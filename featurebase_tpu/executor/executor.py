@@ -1,0 +1,1200 @@
+"""The query executor: PQL call tree -> staged device execution.
+
+Replaces the reference's distributed executor (reference: executor.go:183
+Execute, 679-846 executeCall dispatch, per-shard impls executeRowShard:5120,
+executeIntersectShard:5357 etc.).  Differences by design:
+
+- Per-shard work is dense VPU kernel evaluation over HBM tiles instead of
+  per-container roaring dispatch.
+- Shard fan-out is a local loop here; the multi-device path lives in
+  featurebase_tpu/parallel (shard_map + psum over a Mesh) and is used by the
+  distributed engine; semantics (associative per-shard merge) are identical
+  to the reference's mapReduce (executor.go:6449).
+- Pre-calls (Distinct/UnionRows used as filters) are precomputed once and
+  substituted as Precomputed rows, mirroring reference handlePreCalls
+  (executor.go:364).
+"""
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from featurebase_tpu.core.consts import SHARD_WIDTH, WORDS_PER_ROW
+from featurebase_tpu.executor.results import (ExtractedIDColumn,
+                                              ExtractedIDMatrix,
+                                              ExtractedTable,
+                                              ExtractedTableColumn,
+                                              ExtractedTableField, FieldRow,
+                                              GroupCount, Pair, PairField,
+                                              PairsField, ValCount)
+from featurebase_tpu.model.field import (TYPE_BOOL, TYPE_DECIMAL, TYPE_INT,
+                                         TYPE_MUTEX, TYPE_SET, TYPE_TIME,
+                                         TYPE_TIMESTAMP, Field)
+from featurebase_tpu.model.index import EXISTENCE_FIELD, Holder, Index
+from featurebase_tpu.model.row import Row, SignedRow
+from featurebase_tpu.model.view import VIEW_STANDARD, view_bsi_group
+from featurebase_tpu.ops import bitwise as bw
+from featurebase_tpu.ops import bsi as bsiops
+from featurebase_tpu.pql.ast import Call, Condition, Query
+from featurebase_tpu.pql.parser import parse as pql_parse
+
+
+class ExecError(Exception):
+    pass
+
+
+class FieldNotFound(ExecError):
+    pass
+
+
+def _jnp():
+    import jax.numpy as jnp
+    return jnp
+
+
+class Executor:
+    """Single-controller executor over a Holder.
+
+    Bitmap expressions and counts are executed through the staged-plan
+    compiler (executor/plan.py) — one jitted XLA program over stacked shard
+    tiles — with the per-shard interpreter as fallback for non-plannable
+    calls (mirrors the reference's executor which always interprets;
+    executor.go:679).
+    """
+
+    def __init__(self, holder: Holder, mesh=None):
+        self.holder = holder
+        from featurebase_tpu.executor.plan import PlanExecutor
+        self.plan_executor = PlanExecutor(holder, mesh=mesh)
+
+    # ------------------------------------------------------------------ API
+
+    def execute(self, index_name: str, query, shards: Optional[List[int]] = None
+                ) -> List[Any]:
+        """Execute a PQL query string or pql.Query; returns a result per
+        top-level call (reference api.Query api.go:209 -> executor.Execute)."""
+        index = self.holder.index(index_name)
+        if index is None:
+            raise ExecError(f"index not found: {index_name}")
+        if isinstance(query, str):
+            query = pql_parse(query)
+        results = []
+        for call in query.calls:
+            call = self._pre_translate(index, call)
+            result = self._execute_call(index, call, shards)
+            results.append(self._translate_result(index, call, result))
+        return results
+
+    # ------------------------------------------------- key pre-translation
+
+    def _pre_translate(self, index: Index, call: Call) -> Call:
+        """Convert string keys to IDs in-place (reference executor.go:6814
+        preTranslate / translateCall:7215)."""
+        is_write = call.name in ("Set", "Clear", "Store", "ClearRow", "Delete")
+        # column key
+        col = call.args.get("_col")
+        if isinstance(col, str):
+            if not index.options.keys:
+                raise ExecError("string column key on unkeyed index")
+            if is_write:
+                call.args["_col"] = index.translate_store.create_keys([col])[col]
+            else:
+                found = index.translate_store.find_keys([col])
+                call.args["_col"] = found.get(col, -1)
+        # row keys in field args
+        for k, v in list(call.args.items()):
+            f = index.field(k)
+            if f is None:
+                continue
+            if isinstance(v, str) and f.options.keys:
+                store = index.row_translation(k)
+                if is_write or call.name in ("Row",):
+                    if is_write:
+                        v_id = store.create_keys([v])[v]
+                    else:
+                        v_id = store.find_keys([v]).get(v, -1)
+                else:
+                    v_id = store.find_keys([v]).get(v, -1)
+                call.args[k] = v_id
+            elif isinstance(v, bool) and f.options.type == TYPE_BOOL:
+                call.args[k] = 1 if v else 0
+        for i, ch in enumerate(call.children):
+            call.children[i] = self._pre_translate(index, ch)
+        for k, v in list(call.args.items()):
+            if isinstance(v, Call):
+                call.args[k] = self._pre_translate(index, v)
+        return call
+
+    # ------------------------------------------------------ result mapping
+
+    def _translate_result(self, index: Index, call: Call, result):
+        """IDs -> keys on results (reference executor.go:7519
+        translateResults)."""
+        if isinstance(result, Row) and index.options.keys:
+            cols = result.columns()
+            keys = index.translate_store.translate_ids(cols)
+            result.keys = [k for k in keys if k is not None]
+        if isinstance(result, PairsField):
+            f = index.field(result.field)
+            if f is not None and f.options.keys:
+                store = index.row_translation(result.field)
+                for p in result.pairs:
+                    p.key = store.translate_ids([p.id])[0]
+        if isinstance(result, list) and result and isinstance(result[0], GroupCount):
+            for gc in result:
+                for fr in gc.group:
+                    f = index.field(fr.field)
+                    if f is not None and f.options.keys and fr.value is None:
+                        store = index.row_translation(fr.field)
+                        fr.row_key = store.translate_ids([fr.row_id])[0]
+        return result
+
+    # ------------------------------------------------------- call dispatch
+
+    def _execute_call(self, index: Index, call: Call,
+                      shards: Optional[List[int]]):
+        name = call.name
+        if name == "Options":
+            return self._execute_call(index, call.children[0], shards)
+        if name == "Set":
+            return self._execute_set(index, call)
+        if name == "Clear":
+            return self._execute_clear(index, call)
+        if name == "ClearRow":
+            return self._execute_clear_row(index, call, shards)
+        if name == "Store":
+            return self._execute_store(index, call, shards)
+        if name == "Delete":
+            return self._execute_delete(index, call, shards)
+        if name == "Count":
+            return self._execute_count(index, call, shards)
+        if name == "Sum":
+            return self._execute_sum(index, call, shards)
+        if name == "Min":
+            return self._execute_min_max(index, call, shards, is_min=True)
+        if name == "Max":
+            return self._execute_min_max(index, call, shards, is_min=False)
+        if name == "MinRow":
+            return self._execute_min_max_row(index, call, shards, is_min=True)
+        if name == "MaxRow":
+            return self._execute_min_max_row(index, call, shards, is_min=False)
+        if name == "Percentile":
+            return self._execute_percentile(index, call, shards)
+        if name in ("TopN", "TopK"):
+            return self._execute_topn(index, call, shards)
+        if name == "Rows":
+            return self._execute_rows(index, call, shards)
+        if name == "GroupBy":
+            return self._execute_group_by(index, call, shards)
+        if name == "Extract":
+            return self._execute_extract(index, call, shards)
+        if name == "Distinct":
+            return self._execute_distinct(index, call, shards)
+        if name == "IncludesColumn":
+            return self._execute_includes_column(index, call, shards)
+        if name == "FieldValue":
+            return self._execute_field_value(index, call)
+        if name == "Sort":
+            return self._execute_sort(index, call, shards)
+        if name == "UnionRows":
+            return self._execute_union_rows(index, call, shards)
+        if name == "Limit":
+            return self._execute_limit(index, call, shards)
+        # bitmap-producing calls
+        return self._execute_bitmap_call(index, call, shards)
+
+    def _execute_union_rows(self, index: Index, call: Call,
+                            shards: Optional[List[int]]) -> Row:
+        """UnionRows(Rows(f)...): union the bitmaps of every enumerated row
+        (reference executor.go executeUnionRows)."""
+        acc = Row()
+        for ch in call.children:
+            if ch.name != "Rows":
+                raise ExecError("UnionRows() children must be Rows() calls")
+            fname = ch.args.get("_field") or ch.args.get("field")
+            row_ids = self._execute_rows(index, ch, shards)
+            for rid in row_ids:
+                rcall = Call("Row", {fname: rid})
+                acc = acc.union(self._execute_bitmap_call(index, rcall, shards))
+        return acc
+
+    def _execute_limit(self, index: Index, call: Call,
+                       shards: Optional[List[int]]) -> Row:
+        """Limit(bitmap, limit=, offset=) (reference executor.go
+        executeLimitCall)."""
+        if not call.children:
+            raise ExecError("Limit() requires a child call")
+        limit = call.args.get("limit")
+        offset = int(call.args.get("offset", 0))
+        row = self._execute_bitmap_call(index, call.children[0], shards)
+        cols = row.columns()
+        if offset:
+            cols = cols[offset:]
+        if limit is not None:
+            cols = cols[: int(limit)]
+        return Row.from_columns(cols)
+
+    # -------------------------------------------------------------- writes
+
+    def _field_or_err(self, index: Index, name: str) -> Field:
+        f = index.field(name)
+        if f is None:
+            raise FieldNotFound(f"field not found: {name}")
+        return f
+
+    def _execute_set(self, index: Index, call: Call) -> bool:
+        """Set(col, f=row[, timestamp]) (reference executor.go executeSet)."""
+        col = call.args.get("_col")
+        if col is None or col == -1:
+            raise ExecError("Set() requires a column")
+        fld, val = call.field_arg()
+        if fld is None:
+            raise ExecError("Set() requires a field=value argument")
+        f = self._field_or_err(index, fld)
+        ts = call.args.get("_timestamp")
+        if f.is_bsi():
+            changed = f.set_value(int(col), val)
+        else:
+            changed = f.set_bit(int(val), int(col), timestamp=ts)
+        index.mark_exists(np.array([int(col)]))
+        return changed
+
+    def _execute_clear(self, index: Index, call: Call) -> bool:
+        col = call.args.get("_col")
+        fld, val = call.field_arg()
+        f = self._field_or_err(index, fld)
+        if col is None or col == -1:
+            return False
+        if f.is_bsi():
+            return f.clear_value(int(col))
+        return f.clear_bit(int(val), int(col))
+
+    def _execute_clear_row(self, index: Index, call: Call,
+                           shards: Optional[List[int]]) -> bool:
+        """ClearRow(f=row) (reference executor.go executeClearRow)."""
+        fld, val = call.field_arg()
+        f = self._field_or_err(index, fld)
+        changed = False
+        for shard in self._shards(index, shards):
+            v = f.view(VIEW_STANDARD)
+            frag = v.fragment(shard) if v else None
+            if frag is not None and frag.has_row(int(val)):
+                before = int(bw.popcount(frag.device_row(int(val))))
+                if before:
+                    changed = True
+                frag.clear_row(int(val))
+        return changed
+
+    def _execute_store(self, index: Index, call: Call,
+                       shards: Optional[List[int]]) -> bool:
+        """Store(bitmap, f=row) (reference executor.go executeSetRow)."""
+        fld, val = call.field_arg()
+        f = self._field_or_err(index, fld)
+        row = int(val)
+        for shard in self._shards(index, shards):
+            words = self._bitmap_call_shard(index, call.children[0], shard)
+            frag = f.standard_view().create_fragment_if_not_exists(shard)
+            frag.write_row_words(row, np.asarray(words))
+        return True
+
+    def _execute_delete(self, index: Index, call: Call,
+                        shards: Optional[List[int]]) -> bool:
+        """Delete(filter): clear matching records everywhere (reference
+        executor.go:9050 executeDeleteRecords)."""
+        if not call.children:
+            raise ExecError("Delete() requires a filter")
+        changed = False
+        for shard in self._shards(index, shards):
+            words = np.asarray(self._bitmap_call_shard(index, call.children[0],
+                                                       shard))
+            if not words.any():
+                continue
+            changed = True
+            for f in index.fields.values():
+                for v in f.views.values():
+                    frag = v.fragment(shard)
+                    if frag is not None:
+                        frag.clear_columns(words)
+            if index.options.keys:
+                cols = bw.words_to_cols(words, base=shard * SHARD_WIDTH)
+                for part in index.translate_store.partitions.values():
+                    for c in cols:
+                        k = part.id_to_key.pop(int(c), None)
+                        if k is not None:
+                            part.key_to_id.pop(k, None)
+        return changed
+
+    # ----------------------------------------------------- bitmap calls
+
+    def _shards(self, index: Index, shards: Optional[List[int]]) -> List[int]:
+        if shards is not None:
+            return list(shards)
+        return index.available_shards()
+
+    def _execute_bitmap_call(self, index: Index, call: Call,
+                             shards: Optional[List[int]]) -> Row:
+        shard_list = self._shards(index, shards)
+        # staged-plan fast path: one XLA program over stacked shards
+        plan = self._try_compile(index, call)
+        if plan is not None and shard_list:
+            stacked = self.plan_executor.run_bitmap(index, plan, shard_list)
+            return Row({s: stacked[i] for i, s in enumerate(shard_list)})
+        segs = {}
+        for shard in shard_list:
+            words = self._bitmap_call_shard(index, call, shard)
+            if words is not None:
+                segs[shard] = words
+        return Row(segs)
+
+    def _try_compile(self, index: Index, call: Call):
+        from featurebase_tpu.executor.plan import PlanCompiler, PlanError
+        try:
+            return PlanCompiler(index).compile(call)
+        except PlanError:
+            return None
+
+    def _zero(self):
+        jnp = _jnp()
+        return jnp.zeros(WORDS_PER_ROW, dtype=jnp.uint32)
+
+    def _bitmap_call_shard(self, index: Index, call: Call, shard: int):
+        """Evaluate a bitmap-producing call for one shard -> (W,) device
+        words (reference executeBitmapCallShard executor.go:1782)."""
+        name = call.name
+        if name == "Row" or name == "Range":
+            return self._row_shard(index, call, shard)
+        if name == "Union":
+            out = self._zero()
+            for ch in call.children:
+                out = bw.b_or(out, self._bitmap_call_shard(index, ch, shard))
+            return out
+        if name == "Intersect":
+            if not call.children:
+                raise ExecError("Intersect() requires at least one child")
+            out = self._bitmap_call_shard(index, call.children[0], shard)
+            for ch in call.children[1:]:
+                out = bw.b_and(out, self._bitmap_call_shard(index, ch, shard))
+            return out
+        if name == "Difference":
+            if not call.children:
+                return self._zero()
+            out = self._bitmap_call_shard(index, call.children[0], shard)
+            for ch in call.children[1:]:
+                out = bw.b_andnot(out, self._bitmap_call_shard(index, ch, shard))
+            return out
+        if name == "Xor":
+            out = self._zero()
+            for ch in call.children:
+                out = bw.b_xor(out, self._bitmap_call_shard(index, ch, shard))
+            return out
+        if name == "Not":
+            # complement within the index existence row (reference
+            # executeNotShard executor.go:5554)
+            ex = self._existence_shard(index, shard)
+            child = self._bitmap_call_shard(index, call.children[0], shard)
+            return bw.b_andnot(ex, child)
+        if name == "All":
+            return self._existence_shard(index, shard)
+        if name == "Shift":
+            n = int(call.args.get("n", 1))
+            child = self._bitmap_call_shard(index, call.children[0], shard)
+            return bw.b_shift(child, n)
+        if name == "ConstRow":
+            cols = call.args.get("columns", [])
+            in_shard = [c % SHARD_WIDTH for c in cols
+                        if isinstance(c, int) and c // SHARD_WIDTH == shard]
+            jnp = _jnp()
+            return jnp.asarray(bw.cols_to_words(np.array(in_shard, dtype=np.int64)))
+        if name == "Precomputed":
+            row: Row = call.args["_row"]
+            seg = row.segment(shard)
+            return seg if seg is not None else self._zero()
+        if name in ("Distinct", "UnionRows", "Limit"):
+            # pre-calls: compute globally once, embed (reference
+            # handlePreCalls executor.go:364)
+            result = self._execute_call(index, call, None)
+            if isinstance(result, SignedRow):
+                result = result.pos  # distinct values as columns
+            pre = Call("Precomputed", {"_row": result})
+            call.name, call.args, call.children = \
+                pre.name, pre.args, pre.children
+            return self._bitmap_call_shard(index, call, shard)
+        raise ExecError(f"unknown bitmap call: {name}")
+
+    def _existence_shard(self, index: Index, shard: int):
+        ef = index.existence_field()
+        if ef is None:
+            raise ExecError("index does not track existence")
+        v = ef.view(VIEW_STANDARD)
+        frag = v.fragment(shard) if v else None
+        if frag is None:
+            return self._zero()
+        return frag.device_row(0)
+
+    # Row(...) for one shard ------------------------------------------------
+
+    def _row_shard(self, index: Index, call: Call, shard: int):
+        fld, val = call.field_arg()
+        if fld is None:
+            raise ExecError("Row() requires a field argument")
+        f = self._field_or_err(index, fld)
+        if isinstance(val, Condition):
+            return self._row_bsi_shard(index, f, val, shard)
+        if f.is_bsi():
+            # Row(f=5) on an int field == equality predicate
+            return self._row_bsi_shard(index, f, Condition("==", val), shard)
+        if val is None:
+            # Row(f=null): records with no bit in this field
+            ex = self._existence_shard(index, shard)
+            v = f.view(VIEW_STANDARD)
+            frag = v.fragment(shard) if v else None
+            if frag is None:
+                return ex
+            tile = frag.device_tile()
+            if tile.shape[0] == 0:
+                return ex
+            return bw.b_andnot(ex, bw.or_reduce_rows(tile))
+        row_id = -1 if val == -1 else int(val)
+        if row_id == -1:
+            return self._zero()
+        from_t = call.args.get("from")
+        to_t = call.args.get("to")
+        if f.options.type == TYPE_TIME and (from_t or to_t):
+            from featurebase_tpu.model.timequantum import parse_time
+            from datetime import datetime
+            lo = parse_time(from_t) if from_t else datetime(1, 1, 1)
+            hi = parse_time(to_t) if to_t else datetime(9999, 1, 1)
+            views = f.views_for_range(lo, hi)
+            acc = self._zero()
+            for vn in views:
+                v = f.view(vn)
+                frag = v.fragment(shard) if v else None
+                if frag is not None:
+                    acc = bw.b_or(acc, frag.device_row(row_id))
+            return acc
+        v = f.view(VIEW_STANDARD)
+        frag = v.fragment(shard) if v else None
+        if frag is None:
+            return self._zero()
+        return frag.device_row(row_id)
+
+    def _encode_pred(self, f: Field, v) -> int:
+        return f.encode_value(v) - f.base
+
+    def _row_bsi_shard(self, index: Index, f: Field, cond: Condition,
+                       shard: int):
+        """BSI predicate row (reference executeRowBSIGroupShard
+        executor.go:5249; fragment.rangeOp:937)."""
+        data = f.bsi_data(shard)
+        if data is None:
+            return self._zero()
+        slices, exists, sign, depth = data
+        jnp = _jnp()
+        full = jnp.bitwise_not(jnp.zeros(WORDS_PER_ROW, dtype=jnp.uint32))
+        op, v = cond.op, cond.value
+        if op == "!=" and v is None:
+            return bsiops.range_not_null(exists, full)
+        if op == "==" and v is None:
+            ex = self._existence_shard(index, shard)
+            return bw.b_andnot(ex, exists)
+        if op == "betw":
+            lo, hi = v
+            lo_s = self._encode_pred(f, lo) + (1 if cond.lo_strict else 0)
+            hi_s = self._encode_pred(f, hi) - (1 if cond.hi_strict else 0)
+            return bsiops.range_between(slices, exists, sign, full,
+                                        lo_s, hi_s, depth)
+        pred = self._encode_pred(f, v)
+        if op == "==":
+            return bsiops.range_eq(slices, exists, sign, full, pred, depth)
+        if op == "!=":
+            return bsiops.range_neq(slices, exists, sign, full, pred, depth)
+        if op == "<":
+            return bsiops.range_lt(slices, exists, sign, full, pred, depth, False)
+        if op == "<=":
+            return bsiops.range_lt(slices, exists, sign, full, pred, depth, True)
+        if op == ">":
+            return bsiops.range_gt(slices, exists, sign, full, pred, depth, False)
+        if op == ">=":
+            return bsiops.range_gt(slices, exists, sign, full, pred, depth, True)
+        raise ExecError(f"unsupported condition op: {op}")
+
+    # ------------------------------------------------------------- Count
+
+    def _execute_count(self, index: Index, call: Call,
+                       shards: Optional[List[int]]) -> int:
+        """Count(bitmap) (reference executeCount executor.go:5839)."""
+        if not call.children:
+            raise ExecError("Count() requires a child call")
+        child = call.children[0]
+        if child.name == "Distinct":
+            res = self._execute_distinct(index, child, shards)
+            if isinstance(res, SignedRow):
+                return int(res.values().size)
+            return res.count()
+        shard_list = self._shards(index, shards)
+        plan = self._try_compile(index, child)
+        if plan is not None and shard_list:
+            # fused expr+popcount: intermediate never hits HBM
+            return self.plan_executor.run_count(index, plan, shard_list)
+        total = 0
+        for shard in shard_list:
+            words = self._bitmap_call_shard(index, child, shard)
+            total += int(bw.popcount(words))
+        return total
+
+    # ----------------------------------------------------- Sum / Min / Max
+
+    def _agg_inputs(self, index: Index, call: Call,
+                    shards: Optional[List[int]]):
+        fld = call.args.get("_field") or call.args.get("field")
+        if fld is None:
+            raise ExecError(f"{call.name}() requires a field")
+        f = self._field_or_err(index, fld)
+        filt_call = call.children[0] if call.children else None
+        return f, filt_call
+
+    def _shard_filter(self, index: Index, filt_call, shard: int):
+        jnp = _jnp()
+        if filt_call is None:
+            return jnp.bitwise_not(jnp.zeros(WORDS_PER_ROW, dtype=jnp.uint32))
+        return self._bitmap_call_shard(index, filt_call, shard)
+
+    def _wrap_valcount(self, f: Field, val: int, count: int) -> ValCount:
+        vc = ValCount(val=val, count=count)
+        if f.options.type == TYPE_DECIMAL:
+            vc.float_val = val / (10 ** f.options.scale)
+            vc.decimal_val = vc.float_val
+        elif f.options.type == TYPE_TIMESTAMP:
+            vc.timestamp_val = val
+        return vc
+
+    def _execute_sum(self, index: Index, call: Call,
+                     shards: Optional[List[int]]) -> ValCount:
+        f, filt_call = self._agg_inputs(index, call, shards)
+        total, count = 0, 0
+        for shard in self._shards(index, shards):
+            data = f.bsi_data(shard)
+            if data is None:
+                continue
+            slices, exists, sign, depth = data
+            filt = self._shard_filter(index, filt_call, shard)
+            s, c = bsiops.sum_host(slices, exists, sign, filt, depth)
+            total += s
+            count += c
+        # values are stored relative to base (reference bsiGroup base)
+        total += f.base * count
+        return self._wrap_valcount(f, total, count)
+
+    def _execute_min_max(self, index: Index, call: Call,
+                         shards: Optional[List[int]], is_min: bool) -> ValCount:
+        f, filt_call = self._agg_inputs(index, call, shards)
+        acc = ValCount()
+        for shard in self._shards(index, shards):
+            data = f.bsi_data(shard)
+            if data is None:
+                continue
+            slices, exists, sign, depth = data
+            filt = self._shard_filter(index, filt_call, shard)
+            if is_min:
+                v, c = bsiops.min_host(slices, exists, sign, filt, depth)
+            else:
+                v, c = bsiops.max_host(slices, exists, sign, filt, depth)
+            if c == 0:
+                continue
+            vc = ValCount(v + f.base, c)
+            acc = acc.smaller(vc) if is_min else acc.larger(vc)
+        return self._wrap_valcount(f, acc.val, acc.count)
+
+    def _execute_min_max_row(self, index: Index, call: Call,
+                             shards: Optional[List[int]], is_min: bool):
+        """MinRow/MaxRow: extreme row id with its count (reference
+        executor.go:1604,1643)."""
+        fld = call.args.get("_field") or call.args.get("field")
+        f = self._field_or_err(index, fld)
+        best_row, best_count = None, 0
+        for shard in self._shards(index, shards):
+            v = f.view(VIEW_STANDARD)
+            frag = v.fragment(shard) if v else None
+            if frag is None:
+                continue
+            rows = frag.row_ids()
+            if rows.size == 0:
+                continue
+            tile = frag.device_tile()
+            counts = np.asarray(bw.popcount_rows(tile))
+            slot_rows = np.array([r for r in frag._row_of_slot[:frag.num_rows]])
+            nz = counts[:len(slot_rows)] > 0
+            if not nz.any():
+                continue
+            cand = slot_rows[nz]
+            ccnt = counts[:len(slot_rows)][nz]
+            pick = int(cand.min()) if is_min else int(cand.max())
+            cnt = int(ccnt[cand == pick][0])
+            if best_row is None or (is_min and pick < best_row) or \
+                    (not is_min and pick > best_row):
+                best_row, best_count = pick, cnt
+            elif pick == best_row:
+                best_count += cnt
+        pair = Pair(id=best_row or 0, count=best_count)
+        return PairField(pair, fld)
+
+    # -------------------------------------------------------- Percentile
+
+    def _execute_percentile(self, index: Index, call: Call,
+                            shards: Optional[List[int]]) -> Optional[ValCount]:
+        """Bisection over BSI range counts (reference executor.go:1310)."""
+        nth = call.args.get("nth")
+        if nth is None:
+            raise ExecError("Percentile(): nth required")
+        nth = float(nth)
+        if nth < 0 or nth > 100:
+            raise ExecError("Percentile(): nth must be in [0, 100]")
+        fld = call.args.get("_field") or call.args.get("field")
+        f = self._field_or_err(index, fld)
+        filt = call.args.get("filter")
+        filt_children = [filt] if isinstance(filt, Call) else []
+
+        def count_of(cond: Optional[Condition]) -> int:
+            row_call = Call("Row", {fld: cond if cond is not None
+                                    else Condition("!=", None)})
+            inner = row_call
+            if filt_children:
+                inner = Call("Intersect", children=[row_call] + filt_children)
+            return self._execute_count(index, Call("Count", children=[inner]),
+                                       shards)
+
+        total = count_of(None)
+        if total == 0:
+            return None
+        desired_less = int(total * nth / 100.0)
+        desired_greater = int(total * (100 - nth) / 100.0)
+
+        minc = Call("Min", {"_field": fld}, children=filt_children[:])
+        maxc = Call("Max", {"_field": fld}, children=filt_children[:])
+        if desired_greater != 0:
+            min_vc = self._execute_min_max(index, minc, shards, is_min=True)
+            if desired_less == 0:
+                return min_vc
+        max_vc = self._execute_min_max(index, maxc, shards, is_min=False)
+        if desired_greater == 0:
+            return max_vc
+
+        def _trunc_div(a: int, b: int) -> int:
+            # Go-style integer division (truncates toward zero) so the
+            # bisection pivots match reference executor.go:1497-1500 exactly.
+            return -(-a // b) if (a < 0) != (b < 0) else a // b
+
+        lo, hi = min_vc.val, max_vc.val
+        possible = lo
+        while lo < hi:
+            possible = (_trunc_div(lo, 2) + _trunc_div(hi, 2)
+                        + _trunc_div(_trunc_div(lo, 2) * -2 + lo
+                                     + _trunc_div(hi, 2) * -2 + hi, 2))
+            raw = possible  # field units
+            left = count_of(Condition("<", raw))
+            if left > desired_less:
+                hi = possible - 1
+                continue
+            right = count_of(Condition(">", raw))
+            if right > desired_greater:
+                lo = possible + 1
+                continue
+            break
+        return self._wrap_valcount(f, possible, 1)
+
+    # ------------------------------------------------------- TopN / TopK
+
+    def _execute_topn(self, index: Index, call: Call,
+                      shards: Optional[List[int]]) -> PairsField:
+        """Exact TopN/TopK: per-row fused intersection counts per shard,
+        merged by row id (reference: TopN executor.go:2779 two-pass contract;
+        TopK executor.go:2357 exact path — we always compute exact counts)."""
+        fld = call.args.get("_field") or call.args.get("field")
+        f = self._field_or_err(index, fld)
+        n = call.args.get("n") or call.args.get("k") or 0
+        filt_call = call.children[0] if call.children else None
+        # TopK time range support
+        from_t, to_t = call.args.get("from"), call.args.get("to")
+
+        counts: Dict[int, int] = {}
+        for shard in self._shards(index, shards):
+            tiles = []
+            if f.options.type == TYPE_TIME and (from_t or to_t):
+                from featurebase_tpu.model.timequantum import parse_time
+                from datetime import datetime
+                lo = parse_time(from_t) if from_t else datetime(1, 1, 1)
+                hi = parse_time(to_t) if to_t else datetime(9999, 1, 1)
+                names = f.views_for_range(lo, hi)
+            else:
+                names = [VIEW_STANDARD]
+            # union rows across selected views per row id
+            row_ids: List[int] = sorted({int(r)
+                                         for vn in names
+                                         if (vv := f.view(vn)) is not None
+                                         and (fr := vv.fragment(shard)) is not None
+                                         for r in fr.row_ids()})
+            if not row_ids:
+                continue
+            jnp = _jnp()
+            acc = None
+            for vn in names:
+                vv = f.view(vn)
+                fr = vv.fragment(shard) if vv else None
+                if fr is None:
+                    continue
+                tile, _ = fr.device_rows(row_ids)
+                acc = tile if acc is None else bw.b_or(acc, tile)
+            if acc is None:
+                continue
+            if filt_call is not None:
+                filt = self._bitmap_call_shard(index, filt_call, shard)
+                pc = np.asarray(bw.count_and_rows(acc, filt[None, :]))
+            else:
+                pc = np.asarray(bw.popcount_rows(acc))
+            for rid, c in zip(row_ids, pc):
+                if c:
+                    counts[rid] = counts.get(rid, 0) + int(c)
+        pairs = [Pair(id=rid, count=c) for rid, c in counts.items()]
+        pairs.sort(key=lambda p: (-p.count, p.id))
+        if n:
+            pairs = pairs[: int(n)]
+        return PairsField(pairs, fld)
+
+    # ------------------------------------------------------------- Rows
+
+    def _execute_rows(self, index: Index, call: Call,
+                      shards: Optional[List[int]]) -> List[int]:
+        """Rows(f, ...) row-id enumeration (reference executeRows
+        executor.go:3987 with BitmapFilter stack)."""
+        fld = call.args.get("_field") or call.args.get("field")
+        f = self._field_or_err(index, fld)
+        limit = call.args.get("limit")
+        prev = call.args.get("previous")
+        col = call.args.get("column")
+        like = call.args.get("like")
+        in_list = call.args.get("in")
+        from_t, to_t = call.args.get("from"), call.args.get("to")
+
+        out: set = set()
+        for shard in self._shards(index, shards):
+            if f.options.type == TYPE_TIME and (from_t or to_t):
+                from featurebase_tpu.model.timequantum import parse_time
+                from datetime import datetime
+                lo = parse_time(from_t) if from_t else datetime(1, 1, 1)
+                hi = parse_time(to_t) if to_t else datetime(9999, 1, 1)
+                names = f.views_for_range(lo, hi)
+            else:
+                names = [VIEW_STANDARD]
+            for vn in names:
+                v = f.view(vn)
+                frag = v.fragment(shard) if v else None
+                if frag is None:
+                    continue
+                rows = [int(r) for r in frag.row_ids()]
+                if not rows:
+                    continue
+                if col is not None:
+                    c = int(col)
+                    if c // SHARD_WIDTH != shard:
+                        continue
+                    for r in rows:
+                        if frag.get_bit(r, c % SHARD_WIDTH):
+                            out.add(r)
+                else:
+                    tile, _ = frag.device_rows(rows)
+                    pc = np.asarray(bw.popcount_rows(tile))
+                    out.update(r for r, c_ in zip(rows, pc) if c_ > 0)
+        rows_sorted = sorted(out)
+        if prev is not None:
+            rows_sorted = [r for r in rows_sorted if r > int(prev)]
+        if in_list is not None:
+            want = {int(x) for x in in_list}
+            rows_sorted = [r for r in rows_sorted if r in want]
+        if like is not None and f.options.keys:
+            store = index.row_translation(fld)
+            rx = re.compile("^" + re.escape(like).replace("%", ".*")
+                            .replace("_", ".") + "$")
+            rows_sorted = [r for r in rows_sorted
+                           if (k := store.translate_ids([r])[0]) is not None
+                           and rx.match(k)]
+        if limit is not None:
+            rows_sorted = rows_sorted[: int(limit)]
+        return rows_sorted
+
+    # ----------------------------------------------------------- GroupBy
+
+    def _execute_group_by(self, index: Index, call: Call,
+                          shards: Optional[List[int]]) -> List[GroupCount]:
+        """GroupBy(Rows(f1), Rows(f2), ..., limit=, filter=, aggregate=,
+        having=) (reference executor.go:3176 executeGroupBy,
+        8617 groupByIterator)."""
+        rows_calls = [c for c in call.children if c.name == "Rows"]
+        if not rows_calls:
+            raise ExecError("GroupBy() requires at least one Rows() child")
+        limit = call.args.get("limit")
+        filt_call = call.args.get("filter")
+        agg_call = call.args.get("aggregate")
+        having = call.args.get("having")
+
+        agg_field: Optional[Field] = None
+        agg_kind = None
+        if isinstance(agg_call, Call):
+            agg_kind = agg_call.name  # Sum or Count
+            if agg_kind == "Sum":
+                afld = agg_call.args.get("_field") or agg_call.args.get("field")
+                agg_field = self._field_or_err(index, afld)
+
+        fields = [c.args.get("_field") or c.args.get("field")
+                  for c in rows_calls]
+        groups: Dict[tuple, List[int]] = {}  # key -> [count, agg]
+
+        for shard in self._shards(index, shards):
+            dims = []  # list of (row_ids, tile)
+            empty = False
+            for rc in rows_calls:
+                fname = rc.args.get("_field") or rc.args.get("field")
+                f = self._field_or_err(index, fname)
+                v = f.view(VIEW_STANDARD)
+                frag = v.fragment(shard) if v else None
+                rows = [int(r) for r in frag.row_ids()] if frag else []
+                # apply Rows args (in/limit/previous) to candidate rows
+                if rc.args.get("in") is not None:
+                    want = {int(x) for x in rc.args["in"]}
+                    rows = [r for r in rows if r in want]
+                if not rows:
+                    empty = True
+                    break
+                tile, _ = frag.device_rows(rows)
+                dims.append((rows, tile))
+            if empty:
+                continue
+            base_filter = None
+            if isinstance(filt_call, Call):
+                base_filter = self._bitmap_call_shard(index, filt_call, shard)
+            agg_data = None
+            if agg_field is not None:
+                agg_data = agg_field.bsi_data(shard)
+
+            self._group_by_shard(dims, base_filter, agg_kind, agg_data,
+                                 groups, [])
+
+        # assemble, sort by group key, apply having + limit
+        out = []
+        for key, (cnt, agg) in sorted(groups.items()):
+            if cnt == 0:
+                continue
+            group = [FieldRow(field=fields[i], row_id=key[i])
+                     for i in range(len(fields))]
+            gc = GroupCount(group, count=cnt, agg=agg)
+            if agg_field is not None and agg_field.options.type == TYPE_DECIMAL:
+                gc.decimal_agg = agg / (10 ** agg_field.options.scale)
+            out.append(gc)
+        if isinstance(having, Call):
+            out = self._apply_having(out, having)
+        if limit is not None:
+            out = out[: int(limit)]
+        return out
+
+    def _group_by_shard(self, dims, base_filter, agg_kind, agg_data,
+                        groups: Dict[tuple, List[int]], prefix: List[int],
+                        mask=None):
+        """Recursive cross-product; innermost dimension vectorized
+        (reference groupByIterator.Next executor.go:8651)."""
+        rows, tile = dims[len(prefix)]
+        last = len(prefix) == len(dims) - 1
+        jnp = _jnp()
+        if mask is None and base_filter is not None:
+            mask = base_filter
+        if last and agg_kind is None:
+            # vectorized: per-row fused counts against current mask
+            if mask is not None:
+                pc = np.asarray(bw.count_and_rows(tile, mask[None, :]))
+            else:
+                pc = np.asarray(bw.popcount_rows(tile))
+            for r, c in zip(rows, pc):
+                if c:
+                    key = tuple(prefix + [r])
+                    g = groups.setdefault(key, [0, 0])
+                    g[0] += int(c)
+            return
+        for i, r in enumerate(rows):
+            m = tile[i] if mask is None else bw.b_and(tile[i], mask)
+            if not last:
+                if bool(bw.any_set(m)):
+                    self._group_by_shard(dims, base_filter, agg_kind, agg_data,
+                                         groups, prefix + [r], m)
+                continue
+            # leaf with aggregate
+            cnt = int(bw.popcount(m))
+            if cnt == 0:
+                continue
+            key = tuple(prefix + [r])
+            g = groups.setdefault(key, [0, 0])
+            if agg_kind == "Sum" and agg_data is not None:
+                slices, exists, sign, depth = agg_data
+                s, c = bsiops.sum_host(slices, exists, sign, m, depth)
+                g[0] += c
+                g[1] += s
+            else:
+                g[0] += cnt
+
+    def _apply_having(self, groups: List[GroupCount], having: Call
+                      ) -> List[GroupCount]:
+        """Having(count > x) / Having(sum < y) (reference
+        satisfiesCondition executor.go:3787)."""
+        out = []
+        for k, cond in having.args.items():
+            if not isinstance(cond, Condition):
+                cond = Condition("==", cond)
+            for gc in groups:
+                v = gc.count if k == "count" else gc.agg
+                if self._cond_matches(cond, v):
+                    out.append(gc)
+            return out
+        return groups
+
+    @staticmethod
+    def _cond_matches(cond: Condition, v) -> bool:
+        op, cv = cond.op, cond.value
+        if op == "==":
+            return v == cv
+        if op == "!=":
+            return v != cv
+        if op == "<":
+            return v < cv
+        if op == "<=":
+            return v <= cv
+        if op == ">":
+            return v > cv
+        if op == ">=":
+            return v >= cv
+        if op == "betw":
+            lo, hi = cv
+            if cond.lo_strict:
+                lo = lo + 1
+            if cond.hi_strict:
+                hi = hi - 1
+            return lo <= v <= hi
+        return False
+
+    # ------------------------------------------------------------ Distinct
+
+    def _execute_distinct(self, index: Index, call: Call,
+                          shards: Optional[List[int]]):
+        """Distinct(filter?, field=f) (reference executeDistinct
+        executor.go:1173; set-field path 1952, BSI path 2034)."""
+        fld = call.args.get("_field") or call.args.get("field")
+        f = self._field_or_err(index, fld)
+        filt_call = call.children[0] if call.children else None
+        if not f.is_bsi():
+            # distinct row ids with any column under filter
+            out: set = set()
+            for shard in self._shards(index, shards):
+                v = f.view(VIEW_STANDARD)
+                frag = v.fragment(shard) if v else None
+                if frag is None:
+                    continue
+                rows = [int(r) for r in frag.row_ids()]
+                if not rows:
+                    continue
+                tile, _ = frag.device_rows(rows)
+                if filt_call is not None:
+                    filt = self._bitmap_call_shard(index, filt_call, shard)
+                    pc = np.asarray(bw.count_and_rows(tile, filt[None, :]))
+                else:
+                    pc = np.asarray(bw.popcount_rows(tile))
+                out.update(r for r, c in zip(rows, pc) if c > 0)
+            return Row.from_columns(sorted(out))
+        # BSI: distinct values
+        neg_vals: set = set()
+        pos_vals: set = set()
+        for shard in self._shards(index, shards):
+            data = f.bsi_data(shard)
+            if data is None:
+                continue
+            slices, exists, sign, depth = data
+            filt = self._shard_filter(index, filt_call, shard)
+            base = bw.b_and(exists, filt)
+            if depth <= 31:
+                vals = np.asarray(bsiops.decode_values(slices, sign, depth))
+                present = np.asarray(bsiops.expand_bits(base)).astype(bool)
+                uniq = np.unique(vals[present])
+            else:
+                raise ExecError("Distinct on >31-bit fields not yet supported")
+            for u in uniq:
+                u = int(u) + f.base
+                if u < 0:
+                    neg_vals.add(-u)
+                else:
+                    pos_vals.add(u)
+        return SignedRow(Row.from_columns(sorted(neg_vals)),
+                         Row.from_columns(sorted(pos_vals)), field=fld)
+
+    # ---------------------------------------------------- IncludesColumn
+
+    def _execute_includes_column(self, index: Index, call: Call,
+                                 shards: Optional[List[int]]) -> bool:
+        col = call.args.get("column")
+        if col is None:
+            raise ExecError("IncludesColumn() requires a column argument")
+        col = int(col)
+        shard = col // SHARD_WIDTH
+        if not call.children:
+            raise ExecError("IncludesColumn() requires a row query")
+        words = self._bitmap_call_shard(index, call.children[0], shard)
+        w = np.asarray(words)
+        c = col % SHARD_WIDTH
+        return bool((w[c >> 5] >> (c & 31)) & 1)
+
+    # ------------------------------------------------------- FieldValue
+
+    def _execute_field_value(self, index: Index, call: Call) -> ValCount:
+        fld = call.args.get("_field") or call.args.get("field")
+        col = call.args.get("column")
+        if fld is None or col is None:
+            raise ExecError("FieldValue() requires field and column")
+        f = self._field_or_err(index, fld)
+        if isinstance(col, str):
+            col = index.translate_store.find_keys([col]).get(col, -1)
+        if col == -1:
+            return ValCount()
+        val, ok = f.value(int(col))
+        if not ok:
+            return ValCount()
+        return self._wrap_valcount(f, val, 1)
+
+    # ------------------------------------------------------------ Extract
+
+    def _execute_extract(self, index: Index, call: Call,
+                         shards: Optional[List[int]]) -> ExtractedTable:
+        """Extract(filter, Rows(f)...) (reference executeExtract
+        executor.go:4711, executeExtractShard:4758)."""
+        if not call.children or call.children[0].name not in (
+                "Row", "Union", "Intersect", "Difference", "Xor", "Not",
+                "All", "ConstRow", "Limit", "Distinct", "Precomputed"):
+            raise ExecError("Extract() requires a filter call")
+        filt_call = call.children[0]
+        rows_calls = [c for c in call.children[1:] if c.name == "Rows"]
+        fnames = [c.args.get("_field") or c.args.get("field")
+                  for c in rows_calls]
+        flds = [self._field_or_err(index, fn) for fn in fnames]
+
+        tfields = []
+        for f in flds:
+            t = f.options.type
+            if t in (TYPE_SET, TYPE_TIME):
+                tt = "[]id" if not f.options.keys else "[]string"
+            elif t == TYPE_MUTEX:
+                tt = "id" if not f.options.keys else "string"
+            elif t == TYPE_BOOL:
+                tt = "bool"
+            elif t == TYPE_DECIMAL:
+                tt = "decimal"
+            elif t == TYPE_TIMESTAMP:
+                tt = "timestamp"
+            else:
+                tt = "int64"
+            tfields.append(ExtractedTableField(name=f.name, type=tt))
+
+        columns: List[ExtractedTableColumn] = []
+        for shard in self._shards(index, shards):
+            words = np.asarray(self._bitmap_call_shard(index, filt_call, shard))
+            cols = bw.words_to_cols(words)  # within-shard
+            if cols.size == 0:
+                continue
+            col_vals: List[List[Any]] = [[] for _ in cols]
+            for fi, f in enumerate(flds):
+                if f.is_bsi():
+                    vals = [f.value(int(c) + shard * SHARD_WIDTH) for c in cols]
+                    for ci, (v, ok) in enumerate(vals):
+                        col_vals[ci].append(
+                            f.decode_value(v) if ok else None)
+                else:
+                    v = f.view(VIEW_STANDARD)
+                    frag = v.fragment(shard) if v else None
+                    rows = [int(r) for r in frag.row_ids()] if frag else []
+                    per_col_rows: List[List[int]] = [[] for _ in cols]
+                    if rows:
+                        tile, _ = frag.device_rows(rows)
+                        word_idx = (cols >> 5).astype(np.int32)
+                        bit_idx = (cols & 31).astype(np.uint32)
+                        sub = np.asarray(tile)[:, word_idx]  # (R, C)
+                        bits = (sub >> bit_idx[None, :]) & 1
+                        for ri, r in enumerate(rows):
+                            for ci in np.nonzero(bits[ri])[0]:
+                                per_col_rows[ci].append(r)
+                    for ci in range(len(cols)):
+                        if f.options.type == TYPE_MUTEX:
+                            col_vals[ci].append(
+                                per_col_rows[ci][0] if per_col_rows[ci] else None)
+                        elif f.options.type == TYPE_BOOL:
+                            col_vals[ci].append(
+                                bool(per_col_rows[ci][0])
+                                if per_col_rows[ci] else None)
+                        else:
+                            col_vals[ci].append(per_col_rows[ci])
+            for ci, c in enumerate(cols):
+                columns.append(ExtractedTableColumn(
+                    column=int(c) + shard * SHARD_WIDTH, rows=col_vals[ci]))
+        columns.sort(key=lambda c: c.column)
+        # key translation for columns / row ids
+        if index.options.keys:
+            for c in columns:
+                k = index.translate_store.translate_ids([c.column])[0]
+                c.column = k if k is not None else c.column
+        for fi, f in enumerate(flds):
+            if f.options.keys and not f.is_bsi():
+                store = index.row_translation(f.name)
+                for c in columns:
+                    v = c.rows[fi]
+                    if isinstance(v, list):
+                        c.rows[fi] = [store.translate_ids([r])[0] for r in v]
+                    elif v is not None and f.options.type == TYPE_MUTEX:
+                        c.rows[fi] = store.translate_ids([v])[0]
+        return ExtractedTable(tfields, columns)
+
+    # --------------------------------------------------------------- Sort
+
+    def _execute_sort(self, index: Index, call: Call,
+                      shards: Optional[List[int]]):
+        """Sort(filter, field=f, limit=, offset=, sort-desc=) — sorted column
+        ids by BSI value (reference executor.go:9321 executeSort)."""
+        fld = call.args.get("_field") or call.args.get("field")
+        f = self._field_or_err(index, fld)
+        if not f.is_bsi():
+            raise ExecError("Sort() requires an int-like field")
+        desc = bool(call.args.get("sort-desc", call.args.get("desc", False)))
+        limit = call.args.get("limit")
+        offset = int(call.args.get("offset", 0))
+        filt_call = call.children[0] if call.children else None
+
+        cols_all: List[int] = []
+        vals_all: List[int] = []
+        for shard in self._shards(index, shards):
+            data = f.bsi_data(shard)
+            if data is None:
+                continue
+            slices, exists, sign, depth = data
+            filt = self._shard_filter(index, filt_call, shard)
+            base = np.asarray(bw.b_and(exists, filt))
+            cols = bw.words_to_cols(base)
+            if cols.size == 0:
+                continue
+            for c in cols:
+                v, ok = f.value(int(c) + shard * SHARD_WIDTH)
+                if ok:
+                    cols_all.append(int(c) + shard * SHARD_WIDTH)
+                    vals_all.append(v)
+        order = sorted(range(len(cols_all)),
+                       key=lambda i: (-vals_all[i] if desc else vals_all[i],
+                                      cols_all[i]))
+        ordered = [cols_all[i] for i in order]
+        if offset:
+            ordered = ordered[offset:]
+        if limit is not None:
+            ordered = ordered[: int(limit)]
+        return {"columns": ordered,
+                "values": [f.decode_value(vals_all[i]) for i in order][
+                    offset: offset + int(limit) if limit is not None else None]}

@@ -1,0 +1,439 @@
+"""Staged XLA plan compiler for bitmap expressions.
+
+This is the TPU-native replacement for the reference's per-call interpreter
+dispatch (reference: executor.go:679-846 executeCall -> per-shard
+executeBitmapCallShard:1782).  A PQL bitmap call tree is compiled once into a
+single jitted function over *stacked* shard tiles:
+
+    leaves:  each distinct data source (a field row, a BSI group, the
+             existence row, an embedded const row) becomes one input array of
+             shape (S, W) or (S, D+2, W) — all shards batched on axis 0.
+    params:  BSI predicate literals enter as traced bit vectors
+             (ops/bsi_traced.py), so the compiled plan is reusable across
+             literal values; the jit cache is keyed by plan *shape* only.
+    output:  (S, W) result words, or fused reductions (count per shard).
+
+Executing one compiled plan over the whole shard set replaces the reference's
+per-shard goroutine fan-out (executor.go:6449 mapReduce) with one XLA program
+whose shard axis can be sharded over a device mesh (featurebase_tpu/parallel)
+— collectives ride ICI instead of coordinator HTTP.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from featurebase_tpu.core.consts import (BSI_EXISTS_ROW, BSI_OFFSET,
+                                         BSI_SIGN_ROW, SHARD_WIDTH,
+                                         WORDS_PER_ROW)
+from featurebase_tpu.model.field import TYPE_BOOL, TYPE_TIME, Field
+from featurebase_tpu.model.index import Index
+from featurebase_tpu.model.row import Row
+from featurebase_tpu.model.view import VIEW_STANDARD, view_bsi_group
+from featurebase_tpu.ops import bsi_traced as bst
+from featurebase_tpu.pql.ast import Call, Condition
+
+
+class PlanError(Exception):
+    pass
+
+
+class _Leaf:
+    """A data source to gather: kind in {row, bsi, existence, const, full}."""
+
+    __slots__ = ("kind", "field", "views", "row", "depth", "const_row")
+
+    def __init__(self, kind: str, field: Optional[str] = None,
+                 views: Tuple[str, ...] = (), row: int = 0, depth: int = 0,
+                 const_row: Optional[Row] = None):
+        self.kind = kind
+        self.field = field
+        self.views = views
+        self.row = row
+        self.depth = depth
+        self.const_row = const_row
+
+    def cache_key(self):
+        return (self.kind, self.field, self.views, self.row, self.depth)
+
+
+# IR node: (op, *operands) where operands are node tuples / leaf ids / statics
+class BitmapPlan:
+    """Compiled plan: IR tree + leaves + dynamic params."""
+
+    def __init__(self, ir, leaves: List[_Leaf], params: List[np.ndarray],
+                 key: tuple):
+        self.ir = ir
+        self.leaves = leaves
+        self.params = params
+        self.key = key  # structural key for the jit cache
+
+
+class PlanCompiler:
+    """Compiles a PQL bitmap call tree against an index's schema."""
+
+    def __init__(self, index: Index):
+        self.index = index
+        self.leaves: List[_Leaf] = []
+        self.params: List[np.ndarray] = []
+        self._leaf_ids: Dict[tuple, int] = {}
+
+    def _add_leaf(self, leaf: _Leaf) -> int:
+        k = leaf.cache_key()
+        if leaf.kind != "const" and k in self._leaf_ids:
+            return self._leaf_ids[k]
+        idx = len(self.leaves)
+        self.leaves.append(leaf)
+        if leaf.kind != "const":
+            self._leaf_ids[k] = idx
+        return idx
+
+    def _add_param(self, arr: np.ndarray) -> int:
+        self.params.append(arr)
+        return len(self.params) - 1
+
+    def compile(self, call: Call) -> BitmapPlan:
+        ir = self._node(call)
+        return BitmapPlan(ir, self.leaves, self.params, _ir_key(ir))
+
+    # -- tree walk ----------------------------------------------------------
+
+    def _node(self, call: Call):
+        name = call.name
+        if name in ("Row", "Range"):
+            return self._row_node(call)
+        if name == "Union":
+            return ("or",) + tuple(self._node(c) for c in call.children)
+        if name == "Intersect":
+            if not call.children:
+                raise PlanError("Intersect requires children")
+            return ("and",) + tuple(self._node(c) for c in call.children)
+        if name == "Difference":
+            return ("andnot",) + tuple(self._node(c) for c in call.children)
+        if name == "Xor":
+            return ("xor",) + tuple(self._node(c) for c in call.children)
+        if name == "Not":
+            ex = ("leaf", self._add_leaf(_Leaf("existence")))
+            return ("andnot", ex, self._node(call.children[0]))
+        if name == "All":
+            return ("leaf", self._add_leaf(_Leaf("existence")))
+        if name == "Shift":
+            n = int(call.args.get("n", 1))
+            return ("shift", n, self._node(call.children[0]))
+        if name == "ConstRow":
+            cols = [c for c in call.args.get("columns", [])
+                    if isinstance(c, int)]
+            return ("leaf", self._add_leaf(
+                _Leaf("const", const_row=Row.from_columns(cols))))
+        if name == "Precomputed":
+            return ("leaf", self._add_leaf(
+                _Leaf("const", const_row=call.args["_row"])))
+        raise PlanError(f"not plannable: {name}")
+
+    def _row_node(self, call: Call):
+        fld, val = call.field_arg()
+        if fld is None:
+            raise PlanError("Row() requires a field argument")
+        f = self.index.field(fld)
+        if f is None:
+            raise PlanError(f"field not found: {fld}")
+        if isinstance(val, Condition) or f.is_bsi():
+            cond = val if isinstance(val, Condition) else Condition("==", val)
+            return self._bsi_node(f, cond)
+        if val is None:
+            raise PlanError("Row(f=null) not plannable")  # falls back
+        row_id = int(val)
+        from_t, to_t = call.args.get("from"), call.args.get("to")
+        views: Tuple[str, ...] = (VIEW_STANDARD,)
+        if f.options.type == TYPE_TIME and (from_t or to_t):
+            from datetime import datetime
+
+            from featurebase_tpu.model.timequantum import parse_time
+            lo = parse_time(from_t) if from_t else datetime(1, 1, 1)
+            hi = parse_time(to_t) if to_t else datetime(9999, 1, 1)
+            views = tuple(f.views_for_range(lo, hi))
+        return ("leaf", self._add_leaf(_Leaf("row", field=fld, views=views,
+                                             row=row_id)))
+
+    def _bsi_node(self, f: Field, cond: Condition):
+        depth = max(f.bit_depth, 1)
+        leaf = ("leaf", self._add_leaf(_Leaf("bsi", field=f.name,
+                                             depth=depth)))
+        op, v = cond.op, cond.value
+
+        def enc(x):
+            return f.encode_value(x) - f.base
+
+        if op == "!=" and v is None:
+            return ("bsi_notnull", leaf)
+        if op == "==" and v is None:
+            ex = ("leaf", self._add_leaf(_Leaf("existence")))
+            return ("bsi_null", ex, leaf)
+        if op == "betw":
+            lo, hi = v
+            lo_i = enc(lo) + (1 if cond.lo_strict else 0)
+            hi_i = enc(hi) - (1 if cond.hi_strict else 0)
+            lo_b, lo_n = bst.encode_pred(lo_i, depth)
+            hi_b, hi_n = bst.encode_pred(hi_i, depth)
+            p = self._add_param(lo_b)
+            self._add_param(np.asarray(lo_n))
+            self._add_param(hi_b)
+            self._add_param(np.asarray(hi_n))
+            return ("bsi_betw", depth, p, leaf)
+        pred = enc(v)
+        bits, negf = bst.encode_pred(pred, depth)
+        p = self._add_param(bits)
+        self._add_param(np.asarray(negf))
+        opmap = {"==": "bsi_eq", "!=": "bsi_neq", "<": "bsi_lt",
+                 "<=": "bsi_lte", ">": "bsi_gt", ">=": "bsi_gte"}
+        if op not in opmap:
+            raise PlanError(f"unsupported condition: {op}")
+        return (opmap[op], depth, p, leaf)
+
+
+def _ir_key(ir) -> tuple:
+    """Structural key: drops nothing (params are referenced by index; leaf
+    ids and depths are structural)."""
+    return ir if not isinstance(ir, tuple) else tuple(
+        _ir_key(x) if isinstance(x, tuple) else x for x in ir)
+
+
+# ---------------------------------------------------------------------------
+# Evaluation of compiled IR under jit
+# ---------------------------------------------------------------------------
+
+def eval_ir(ir, leaf_arrays, param_arrays):
+    """Evaluate IR over stacked leaf arrays.  leaf 'row'/'existence'/'const'/
+    'full' arrays: (S, W); 'bsi': (S, D+2, W) with [:,0]=exists, [:,1]=sign,
+    [:,2:]=slices."""
+    import jax.numpy as jnp
+
+    def full_like(x):
+        return jnp.bitwise_not(jnp.zeros_like(x[..., 0, :]
+                                              if x.ndim == 3 else x))
+
+    def rec(node):
+        op = node[0]
+        if op == "leaf":
+            arr = leaf_arrays[node[1]]
+            return arr
+        if op == "or":
+            out = rec(node[1])
+            for sub in node[2:]:
+                out = jnp.bitwise_or(out, rec(sub))
+            return out
+        if op == "and":
+            out = rec(node[1])
+            for sub in node[2:]:
+                out = jnp.bitwise_and(out, rec(sub))
+            return out
+        if op == "andnot":
+            out = rec(node[1])
+            for sub in node[2:]:
+                out = jnp.bitwise_and(out, jnp.bitwise_not(rec(sub)))
+            return out
+        if op == "xor":
+            out = rec(node[1])
+            for sub in node[2:]:
+                out = jnp.bitwise_xor(out, rec(sub))
+            return out
+        if op == "shift":
+            from featurebase_tpu.ops.bitwise import b_shift
+            return b_shift(rec(node[2]), node[1])
+        if op == "bsi_notnull":
+            bsi = rec(node[1])
+            return bsi[..., BSI_EXISTS_ROW, :]
+        if op == "bsi_null":
+            ex = rec(node[1])
+            bsi = rec(node[2])
+            return jnp.bitwise_and(
+                ex, jnp.bitwise_not(bsi[..., BSI_EXISTS_ROW, :]))
+        if op in ("bsi_eq", "bsi_neq", "bsi_lt", "bsi_lte", "bsi_gt",
+                  "bsi_gte", "bsi_betw"):
+            depth, p = node[1], node[2]
+            bsi = rec(node[3])
+            exists = bsi[..., BSI_EXISTS_ROW, :]
+            sign = bsi[..., BSI_SIGN_ROW, :]
+            slices = bsi[..., BSI_OFFSET:, :]
+            filt = full_like(bsi)
+            if op == "bsi_betw":
+                return bst.range_between_t(
+                    slices, exists, sign, filt,
+                    param_arrays[p], param_arrays[p + 1],
+                    param_arrays[p + 2], param_arrays[p + 3], depth)
+            bits, neg = param_arrays[p], param_arrays[p + 1]
+            if op == "bsi_eq":
+                return bst.range_eq_t(slices, exists, sign, filt, bits, neg,
+                                      depth)
+            if op == "bsi_neq":
+                return bst.range_neq_t(slices, exists, sign, filt, bits, neg,
+                                       depth)
+            if op == "bsi_lt":
+                return bst.range_lt_t(slices, exists, sign, filt, bits, neg,
+                                      depth, False)
+            if op == "bsi_lte":
+                return bst.range_lt_t(slices, exists, sign, filt, bits, neg,
+                                      depth, True)
+            if op == "bsi_gt":
+                return bst.range_gt_t(slices, exists, sign, filt, bits, neg,
+                                      depth, False)
+            if op == "bsi_gte":
+                return bst.range_gt_t(slices, exists, sign, filt, bits, neg,
+                                      depth, True)
+        raise PlanError(f"bad IR op: {op}")
+
+    return rec(ir)
+
+
+class PlanExecutor:
+    """Gathers stacked leaves and runs compiled plans, with jit-function and
+    leaf-array caches.  Optionally shards the stacked axis over a device mesh
+    (featurebase_tpu/parallel/mesh.py)."""
+
+    def __init__(self, holder, mesh=None):
+        self.holder = holder
+        self.mesh = mesh
+        self._fn_cache: Dict[tuple, Any] = {}
+        self._leaf_cache: Dict[tuple, Tuple[int, Any]] = {}
+
+    # -- leaf gathering -----------------------------------------------------
+
+    def _gather_leaf(self, index: Index, leaf: _Leaf, shards: List[int]):
+        import jax
+        import jax.numpy as jnp
+        S = len(shards)
+        if leaf.kind == "const":
+            rows = [leaf.const_row.segments.get(s) for s in shards]
+            host = np.stack([np.asarray(r) if r is not None
+                             else np.zeros(WORDS_PER_ROW, np.uint32)
+                             for r in rows])
+            if self.mesh is not None:
+                host = self._pad_for_mesh(host)
+            return jax.device_put(host, self._sharding(host.ndim))
+        if leaf.kind == "full":
+            host = ~np.zeros((S, WORDS_PER_ROW), dtype=np.uint32)
+            if self.mesh is not None:
+                host = self._pad_for_mesh(host)
+            return jax.device_put(host, self._sharding(host.ndim))
+        if leaf.kind == "existence":
+            ef = index.existence_field()
+            if ef is None:
+                raise PlanError("no existence field")
+            frags = [self._frag(ef, VIEW_STANDARD, s) for s in shards]
+            gen = tuple(f.generation if f else -1 for f in frags)
+            ck = ("ex", index.name, tuple(shards))
+            return self._cached_stack(ck, gen, lambda: np.stack(
+                [f.host_row(0) if f is not None
+                 else np.zeros(WORDS_PER_ROW, np.uint32) for f in frags]))
+        if leaf.kind == "row":
+            f = index.field(leaf.field)
+            frag_sets = [[self._frag(f, vn, s) for vn in leaf.views]
+                         for s in shards]
+            gen = tuple(fr.generation if fr else -1
+                        for frs in frag_sets for fr in frs)
+            ck = ("row", index.name, leaf.field, leaf.views, leaf.row,
+                  tuple(shards))
+
+            def build():
+                out = np.zeros((S, WORDS_PER_ROW), dtype=np.uint32)
+                for si, frs in enumerate(frag_sets):
+                    for fr in frs:
+                        if fr is not None:
+                            np.bitwise_or(out[si], fr.host_row(leaf.row),
+                                          out=out[si])
+                return out
+            return self._cached_stack(ck, gen, build)
+        if leaf.kind == "bsi":
+            f = index.field(leaf.field)
+            vname = view_bsi_group(leaf.field)
+            frags = [self._frag(f, vname, s) for s in shards]
+            gen = tuple(fr.generation if fr else -1 for fr in frags)
+            ck = ("bsi", index.name, leaf.field, leaf.depth, tuple(shards))
+
+            def build():
+                D = leaf.depth
+                out = np.zeros((S, D + 2, WORDS_PER_ROW), dtype=np.uint32)
+                for si, fr in enumerate(frags):
+                    if fr is None:
+                        continue
+                    out[si, 0] = fr.host_row(BSI_EXISTS_ROW)
+                    out[si, 1] = fr.host_row(BSI_SIGN_ROW)
+                    for d in range(D):
+                        out[si, 2 + d] = fr.host_row(BSI_OFFSET + d)
+                return out
+            return self._cached_stack(ck, gen, build)
+        raise PlanError(f"bad leaf kind {leaf.kind}")
+
+    @staticmethod
+    def _frag(f, view_name, shard):
+        if f is None:
+            return None
+        v = f.view(view_name)
+        return v.fragment(shard) if v else None
+
+    def _sharding(self, ndim: int):
+        if self.mesh is None:
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec
+        spec = PartitionSpec("shards", *([None] * (ndim - 1)))
+        return NamedSharding(self.mesh, spec)
+
+    def _cached_stack(self, key, gen, build):
+        import jax
+        hit = self._leaf_cache.get(key)
+        if hit is not None and hit[0] == gen:
+            return hit[1]
+        host = build()
+        if self.mesh is not None:
+            host = self._pad_for_mesh(host)
+        arr = jax.device_put(host, self._sharding(host.ndim))
+        self._leaf_cache[key] = (gen, arr)
+        return arr
+
+    def _pad_for_mesh(self, host: np.ndarray) -> np.ndarray:
+        n = self.mesh.devices.size
+        S = host.shape[0]
+        pad = (-S) % n
+        if pad:
+            host = np.concatenate(
+                [host, np.zeros((pad,) + host.shape[1:], host.dtype)])
+        return host
+
+    # -- plan execution -----------------------------------------------------
+
+    def run_bitmap(self, index: Index, plan: BitmapPlan, shards: List[int]):
+        """Returns stacked (S, W) result words (padded shards stripped)."""
+        out = self._run(index, plan, shards, reduce=None)
+        return out[: len(shards)]
+
+    def run_count(self, index: Index, plan: BitmapPlan, shards: List[int]
+                  ) -> int:
+        """Fused popcount reduction — one XLA program: bitmap expr + count,
+        never materializing the intermediate in HBM."""
+        per_shard = self._run(index, plan, shards, reduce="count")
+        return int(np.asarray(per_shard)[: len(shards)].sum())
+
+    def _run(self, index: Index, plan: BitmapPlan, shards: List[int], reduce):
+        import jax
+        leaf_arrays = [self._gather_leaf(index, l, shards)
+                       for l in plan.leaves]
+        param_arrays = [np.asarray(p) for p in plan.params]
+        nparams = len(param_arrays)
+        key = (plan.key, reduce, self.mesh is not None,
+               tuple(a.shape for a in leaf_arrays), nparams)
+        fn = self._fn_cache.get(key)
+        if fn is None:
+            ir = plan.ir
+
+            def raw(leaves, params):
+                import jax.numpy as jnp
+                words = eval_ir(ir, leaves, params)
+                if reduce == "count":
+                    return jnp.sum(
+                        jax.lax.population_count(words).astype(jnp.uint32),
+                        axis=-1, dtype=jnp.uint32)
+                return words
+            fn = jax.jit(raw)
+            self._fn_cache[key] = fn
+        return fn(leaf_arrays, param_arrays)

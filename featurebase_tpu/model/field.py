@@ -1,0 +1,383 @@
+"""Field: a typed column of the data model.
+
+Mirrors reference field.go:73 (Field struct), field types field.go:42-50
+(set/int/time/mutex/bool/decimal/timestamp), option builders field.go:126-391,
+and the bsiGroup value encoding (field.go:2394 bsiGroup, 2412 baseValue).
+
+BSI encoding: int-like values are stored relative to `base` as sign-magnitude
+bit slices in the `bsig_<field>` view — row 0 exists, row 1 sign, row 2+i =
+magnitude bit i (reference fragment.go:62-65).  Timestamps are integers in
+`time_unit` granularity from the Unix epoch; decimals are scaled by 10^scale.
+"""
+from __future__ import annotations
+
+import threading
+from datetime import datetime, timezone
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from featurebase_tpu.core.consts import (BSI_EXISTS_ROW, BSI_OFFSET,
+                                         BSI_SIGN_ROW, SHARD_WIDTH)
+from featurebase_tpu.model.timequantum import (parse_time, views_by_time,
+                                               views_by_time_range)
+from featurebase_tpu.model.view import (VIEW_STANDARD, View, view_bsi_group)
+
+# field types (reference field.go:42-50)
+TYPE_SET = "set"
+TYPE_INT = "int"
+TYPE_TIME = "time"
+TYPE_MUTEX = "mutex"
+TYPE_BOOL = "bool"
+TYPE_DECIMAL = "decimal"
+TYPE_TIMESTAMP = "timestamp"
+
+BSI_TYPES = (TYPE_INT, TYPE_DECIMAL, TYPE_TIMESTAMP)
+
+# cache types (reference field.go:2486 CacheType*)
+CACHE_RANKED = "ranked"
+CACHE_LRU = "lru"
+CACHE_NONE = "none"
+
+DEFAULT_CACHE_SIZE = 50000
+
+_EPOCH = datetime(1970, 1, 1)
+
+_TIME_UNIT_NS = {
+    "s": 1_000_000_000, "ms": 1_000_000, "us": 1_000, "µs": 1_000, "ns": 1,
+    "m": 60 * 1_000_000_000, "h": 3600 * 1_000_000_000,
+    "d": 86400 * 1_000_000_000,
+}
+
+
+class FieldOptions:
+    def __init__(self, type: str = TYPE_SET, keys: bool = False,
+                 cache_type: str = CACHE_RANKED,
+                 cache_size: int = DEFAULT_CACHE_SIZE,
+                 min: Optional[int] = None, max: Optional[int] = None,
+                 scale: int = 0, time_unit: str = "s",
+                 time_quantum: str = "", ttl: int = 0,
+                 no_standard_view: bool = False,
+                 foreign_index: str = ""):
+        self.type = type
+        self.keys = keys
+        self.cache_type = cache_type
+        self.cache_size = cache_size
+        self.min = min
+        self.max = max
+        self.scale = scale
+        self.time_unit = time_unit
+        self.time_quantum = time_quantum
+        self.ttl = ttl
+        self.no_standard_view = no_standard_view
+        self.foreign_index = foreign_index
+
+    def to_json(self):
+        return {
+            "type": self.type, "keys": self.keys,
+            "cacheType": self.cache_type, "cacheSize": self.cache_size,
+            "min": self.min, "max": self.max, "scale": self.scale,
+            "timeUnit": self.time_unit, "timeQuantum": self.time_quantum,
+            "ttl": self.ttl, "noStandardView": self.no_standard_view,
+            "foreignIndex": self.foreign_index,
+        }
+
+    @classmethod
+    def from_json(cls, d: dict) -> "FieldOptions":
+        return cls(type=d.get("type", TYPE_SET), keys=d.get("keys", False),
+                   cache_type=d.get("cacheType", CACHE_RANKED),
+                   cache_size=d.get("cacheSize", DEFAULT_CACHE_SIZE),
+                   min=d.get("min"), max=d.get("max"),
+                   scale=d.get("scale", 0),
+                   time_unit=d.get("timeUnit", "s"),
+                   time_quantum=d.get("timeQuantum", ""),
+                   ttl=d.get("ttl", 0),
+                   no_standard_view=d.get("noStandardView", False),
+                   foreign_index=d.get("foreignIndex", ""))
+
+
+class Field:
+    def __init__(self, index: str, name: str, options: FieldOptions):
+        self.index = index
+        self.name = name
+        self.options = options
+        self._lock = threading.RLock()
+        self.views: Dict[str, View] = {}
+        # dynamic bit depth for BSI fields (grows with observed magnitudes,
+        # reference fragment.go importValue bitDepth growth)
+        self.bit_depth = 0
+        if self.is_bsi():
+            self.bit_depth = self._initial_depth()
+        # base for value encoding (reference field.go:2412 baseValue)
+        self.base = self._compute_base()
+
+    # -- type helpers -------------------------------------------------------
+
+    def is_bsi(self) -> bool:
+        return self.options.type in BSI_TYPES
+
+    def _compute_base(self) -> int:
+        o = self.options
+        if not self.is_bsi():
+            return 0
+        mn, mx = o.min, o.max
+        if mn is None or mx is None:
+            return 0
+        if mn > 0:
+            return mn
+        if mx < 0:
+            return mx
+        return 0
+
+    def _initial_depth(self) -> int:
+        o = self.options
+        if o.min is None or o.max is None:
+            return 1
+        base = self._compute_base()
+        mag = max(abs(int(o.min) - base), abs(int(o.max) - base))
+        return max(1, mag.bit_length())
+
+    def time_quantum(self) -> str:
+        return self.options.time_quantum if self.options.type == TYPE_TIME else ""
+
+    # -- value encoding (field-level units -> stored BSI int) ---------------
+
+    def encode_value(self, v) -> int:
+        o = self.options
+        if o.type == TYPE_DECIMAL:
+            if isinstance(v, str):
+                v = float(v)
+            if isinstance(v, float):
+                v = round(v * (10 ** o.scale))
+            elif isinstance(v, int):
+                v = v * (10 ** o.scale)
+            return int(v)
+        if o.type == TYPE_TIMESTAMP:
+            if isinstance(v, (int, np.integer)):
+                return int(v)
+            t = parse_time(v)
+            ns = int((t - _EPOCH).total_seconds() * 1e9)
+            return ns // _TIME_UNIT_NS.get(o.time_unit, 1_000_000_000)
+        return int(v)
+
+    def decode_value(self, stored: int):
+        o = self.options
+        if o.type == TYPE_DECIMAL:
+            return stored / (10 ** o.scale)
+        return int(stored)
+
+    # -- views --------------------------------------------------------------
+
+    def view(self, name: str) -> Optional[View]:
+        return self.views.get(name)
+
+    def create_view_if_not_exists(self, name: str) -> View:
+        with self._lock:
+            v = self.views.get(name)
+            if v is None:
+                v = View(self.index, self.name, name)
+                self.views[name] = v
+            return v
+
+    def bsi_view(self) -> View:
+        return self.create_view_if_not_exists(view_bsi_group(self.name))
+
+    def standard_view(self) -> View:
+        return self.create_view_if_not_exists(VIEW_STANDARD)
+
+    def available_shards(self) -> List[int]:
+        shards = set()
+        for v in self.views.values():
+            shards.update(v.available_shards())
+        return sorted(shards)
+
+    def delete_view(self, name: str):
+        with self._lock:
+            self.views.pop(name, None)
+
+    # -- bit-level writes (set/mutex/bool/time) -----------------------------
+
+    def set_bit(self, row: int, col: int, timestamp=None) -> bool:
+        """Reference field.SetBit field.go:1301."""
+        o = self.options
+        shard = col >> 20
+        changed = False
+        if o.type in (TYPE_MUTEX, TYPE_BOOL):
+            self._clear_mutex_col(col, keep_row=row)
+        if o.type == TYPE_TIME:
+            views = []
+            if not o.no_standard_view:
+                views.append(VIEW_STANDARD)
+            if timestamp is not None:
+                t = parse_time(timestamp)
+                views.extend(views_by_time(VIEW_STANDARD, t, o.time_quantum))
+            for vn in views:
+                frag = self.create_view_if_not_exists(vn).create_fragment_if_not_exists(shard)
+                changed |= frag.set_bit(row, col)
+            return changed
+        frag = self.standard_view().create_fragment_if_not_exists(shard)
+        return frag.set_bit(row, col) or changed
+
+    def clear_bit(self, row: int, col: int) -> bool:
+        shard = col >> 20
+        changed = False
+        for v in self.views.values():
+            frag = v.fragment(shard)
+            if frag is not None:
+                changed |= frag.clear_bit(row, col)
+        return changed
+
+    def _clear_mutex_col(self, col: int, keep_row: Optional[int] = None):
+        """Mutex invariant: at most one row set per column (reference
+        fragment.go:1787 bulkImportMutex)."""
+        shard = col >> 20
+        v = self.views.get(VIEW_STANDARD)
+        if v is None:
+            return
+        frag = v.fragment(shard)
+        if frag is None:
+            return
+        for r in list(frag.row_ids()):
+            r = int(r)
+            if r != keep_row and frag.get_bit(r, col):
+                frag.clear_bit(r, col)
+
+    # -- BSI writes (reference fragment.setValue:615) -----------------------
+
+    def set_value(self, col: int, value) -> bool:
+        stored = self.encode_value(value) - self.base
+        shard = col >> 20
+        frag = self.bsi_view().create_fragment_if_not_exists(shard)
+        mag = abs(stored)
+        depth = max(self.bit_depth, mag.bit_length(), 1)
+        self.bit_depth = depth
+        changed = frag.set_bit(BSI_EXISTS_ROW, col)
+        if stored < 0:
+            changed |= frag.set_bit(BSI_SIGN_ROW, col)
+        else:
+            changed |= frag.clear_bit(BSI_SIGN_ROW, col)
+        for i in range(depth):
+            if (mag >> i) & 1:
+                changed |= frag.set_bit(BSI_OFFSET + i, col)
+            else:
+                changed |= frag.clear_bit(BSI_OFFSET + i, col)
+        return changed
+
+    def value(self, col: int) -> Tuple[int, bool]:
+        shard = col >> 20
+        v = self.views.get(view_bsi_group(self.name))
+        frag = v.fragment(shard) if v else None
+        if frag is None or not frag.get_bit(BSI_EXISTS_ROW, col):
+            return 0, False
+        mag = 0
+        for i in range(self.bit_depth):
+            if frag.get_bit(BSI_OFFSET + i, col):
+                mag |= 1 << i
+        if frag.get_bit(BSI_SIGN_ROW, col):
+            mag = -mag
+        return mag + self.base, True
+
+    def clear_value(self, col: int) -> bool:
+        shard = col >> 20
+        v = self.views.get(view_bsi_group(self.name))
+        frag = v.fragment(shard) if v else None
+        if frag is None:
+            return False
+        changed = frag.clear_bit(BSI_EXISTS_ROW, col)
+        frag.clear_bit(BSI_SIGN_ROW, col)
+        for i in range(self.bit_depth):
+            frag.clear_bit(BSI_OFFSET + i, col)
+        return changed
+
+    # -- bulk imports -------------------------------------------------------
+
+    def import_bits(self, rows: np.ndarray, cols: np.ndarray,
+                    timestamps=None, clear: bool = False):
+        """Bulk set-bit import (reference fragment.bulkImport:1498; mutex
+        variant 1787; time-view fan-out field.Import field.go:1662)."""
+        rows = np.asarray(rows, dtype=np.int64)
+        cols = np.asarray(cols, dtype=np.int64)
+        o = self.options
+        shards = cols >> 20
+        for s in np.unique(shards):
+            m = shards == s
+            r, c = rows[m], cols[m] % SHARD_WIDTH
+            if o.type in (TYPE_MUTEX, TYPE_BOOL) and not clear:
+                # clear the imported columns across all rows first
+                from featurebase_tpu.ops.bitwise import cols_to_words
+                frag = self.standard_view().create_fragment_if_not_exists(int(s))
+                frag.clear_columns(cols_to_words(np.unique(c)))
+            frag = self.standard_view().create_fragment_if_not_exists(int(s))
+            frag.import_bits(r, c, clear=clear)
+            if o.type == TYPE_TIME and timestamps is not None:
+                ts = np.asarray(timestamps)[m]
+                for vn in set(v for t in ts
+                              for v in views_by_time(VIEW_STANDARD, parse_time(t),
+                                                     o.time_quantum)):
+                    tf = self.create_view_if_not_exists(vn).create_fragment_if_not_exists(int(s))
+                    sel = np.array([vn in views_by_time(VIEW_STANDARD, parse_time(t),
+                                                        o.time_quantum) for t in ts])
+                    tf.import_bits(r[sel], c[sel], clear=clear)
+
+    def import_values(self, cols: np.ndarray, values, clear: bool = False):
+        """Bulk BSI import (reference fragment.importValue:1947)."""
+        cols = np.asarray(cols, dtype=np.int64)
+        stored = np.array([self.encode_value(v) - self.base for v in values],
+                          dtype=np.int64)
+        if clear:
+            for c in cols:
+                self.clear_value(int(c))
+            return
+        mags = np.abs(stored)
+        depth = max(self.bit_depth, int(mags.max()).bit_length() if mags.size else 1, 1)
+        self.bit_depth = depth
+        shards = cols >> 20
+        from featurebase_tpu.ops.bitwise import cols_to_words
+        for s in np.unique(shards):
+            m = shards == s
+            c = cols[m] % SHARD_WIDTH
+            v = stored[m]
+            mg = mags[m]
+            frag = self.bsi_view().create_fragment_if_not_exists(int(s))
+            # clear previous values on these columns, then write
+            col_mask = cols_to_words(np.unique(c))
+            frag.clear_columns(col_mask)
+            exists_rows = np.zeros(c.size, dtype=np.int64) + BSI_EXISTS_ROW
+            frag.import_bits(exists_rows, c)
+            neg = v < 0
+            if neg.any():
+                frag.import_bits(np.full(neg.sum(), BSI_SIGN_ROW, dtype=np.int64),
+                                 c[neg])
+            for i in range(depth):
+                sel = ((mg >> i) & 1).astype(bool)
+                if sel.any():
+                    frag.import_bits(np.full(sel.sum(), BSI_OFFSET + i,
+                                             dtype=np.int64), c[sel])
+
+    # -- BSI device data accessor ------------------------------------------
+
+    def bsi_data(self, shard: int):
+        """Device (slices (D, W), exists (W,), sign (W,), depth) for a shard,
+        or None if no data."""
+        import jax.numpy as jnp
+        v = self.views.get(view_bsi_group(self.name))
+        frag = v.fragment(shard) if v else None
+        if frag is None or frag.num_rows == 0:
+            return None
+        depth = max(self.bit_depth, 1)
+        rows = [BSI_EXISTS_ROW, BSI_SIGN_ROW] + [BSI_OFFSET + i for i in range(depth)]
+        tile, _present = frag.device_rows(rows)
+        exists = tile[0]
+        sign = tile[1]
+        slices = tile[2:]
+        return slices, exists, sign, depth
+
+    # -- views for a time range --------------------------------------------
+
+    def views_for_range(self, from_t, to_t) -> List[str]:
+        return views_by_time_range(VIEW_STANDARD, parse_time(from_t),
+                                   parse_time(to_t), self.options.time_quantum)
+
+    def to_info(self):
+        return {"name": self.name, "options": self.options.to_json(),
+                "views": sorted(self.views)}

@@ -1,0 +1,267 @@
+"""Fragment: one dense bitmap per (field, view, shard).
+
+Replaces the reference's fragment-over-roaring-Tx design (reference:
+fragment.go:84 struct, setBit:337, row:283, value:579, setValue:615).  The
+reference keeps containers in an mmapped RBF B-tree; here the master copy is
+host-DRAM numpy (mutable, row-sparse: only rows that exist are materialized)
+and a device (HBM) mirror is maintained lazily with dirty-row tracking.
+Queries always read the device tile; writes hit the host master and mark rows
+dirty — read-your-writes is guaranteed because every query path calls
+`device_tile()` / `device_row()` which flushes pending uploads first.
+
+Layout per row: SHARD_WIDTH bits as (WORDS_PER_ROW,) uint32 little-endian
+words (see core/consts.py).
+"""
+from __future__ import annotations
+
+import threading
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from featurebase_tpu.core.consts import SHARD_WIDTH, WORDS_PER_ROW
+
+_INIT_CAP = 4
+
+
+class Fragment:
+    """Dense bitmap fragment for (index, field, view, shard)."""
+
+    def __init__(self, index: str, field: str, view: str, shard: int):
+        self.index = index
+        self.field = field
+        self.view = view
+        self.shard = shard
+
+        self._lock = threading.RLock()
+        # host master
+        self._words = np.zeros((_INIT_CAP, WORDS_PER_ROW), dtype=np.uint32)
+        self._row_of_slot: List[int] = []
+        self._slot_of_row: Dict[int, int] = {}
+        # device mirror
+        self._dev = None            # jax array (cap, W) or None
+        self._dev_rows = -1         # number of valid slots on device
+        self._dirty: set = set()    # slots needing upload
+        self._all_dirty = True
+        # bumped on every mutation; plan-leaf caches key on this
+        self.generation = 0
+
+    # -- host-side row management ------------------------------------------
+
+    @property
+    def num_rows(self) -> int:
+        return len(self._row_of_slot)
+
+    def row_ids(self) -> np.ndarray:
+        """Sorted row ids present (may include all-zero rows after clears)."""
+        return np.array(sorted(self._slot_of_row), dtype=np.uint64)
+
+    def has_row(self, row: int) -> bool:
+        return row in self._slot_of_row
+
+    def _ensure_slot(self, row: int) -> int:
+        slot = self._slot_of_row.get(row)
+        if slot is not None:
+            return slot
+        slot = len(self._row_of_slot)
+        if slot >= self._words.shape[0]:
+            new_cap = max(2 * self._words.shape[0], slot + 1)
+            grown = np.zeros((new_cap, WORDS_PER_ROW), dtype=np.uint32)
+            grown[: self._words.shape[0]] = self._words
+            self._words = grown
+            self._all_dirty = True
+        self._row_of_slot.append(row)
+        self._slot_of_row[row] = slot
+        self._dirty.add(slot)
+        return slot
+
+    def host_row(self, row: int) -> np.ndarray:
+        """Host words for a row ((W,) uint32); zeros if absent."""
+        slot = self._slot_of_row.get(row)
+        if slot is None:
+            return np.zeros(WORDS_PER_ROW, dtype=np.uint32)
+        return self._words[slot]
+
+    # -- bit mutation (reference fragment.setBit:337 / clearBit) -----------
+
+    def set_bit(self, row: int, col: int) -> bool:
+        """Set bit; returns True if it changed. col is column-within-shard."""
+        col %= SHARD_WIDTH
+        with self._lock:
+            slot = self._ensure_slot(row)
+            w, b = col >> 5, np.uint32(1 << (col & 31))
+            old = self._words[slot, w]
+            if old & b:
+                return False
+            self._words[slot, w] = old | b
+            self._dirty.add(slot)
+            self.generation += 1
+            return True
+
+    def clear_bit(self, row: int, col: int) -> bool:
+        col %= SHARD_WIDTH
+        with self._lock:
+            slot = self._slot_of_row.get(row)
+            if slot is None:
+                return False
+            w, b = col >> 5, np.uint32(1 << (col & 31))
+            old = self._words[slot, w]
+            if not (old & b):
+                return False
+            self._words[slot, w] = old & ~b
+            self._dirty.add(slot)
+            self.generation += 1
+            return True
+
+    def get_bit(self, row: int, col: int) -> bool:
+        col %= SHARD_WIDTH
+        slot = self._slot_of_row.get(row)
+        if slot is None:
+            return False
+        return bool((self._words[slot, col >> 5] >> (col & 31)) & 1)
+
+    # -- bulk ops (reference fragment.bulkImport:1498, importPositions:1731) -
+
+    def merge_row_words(self, row: int, words: np.ndarray, clear: bool = False):
+        """OR (or ANDNOT if clear) a dense word vector into a row."""
+        with self._lock:
+            if clear:
+                slot = self._slot_of_row.get(row)
+                if slot is None:
+                    return
+                np.bitwise_and(self._words[slot], ~words, out=self._words[slot])
+            else:
+                slot = self._ensure_slot(row)
+                np.bitwise_or(self._words[slot], words, out=self._words[slot])
+            self._dirty.add(slot)
+            self.generation += 1
+
+    def write_row_words(self, row: int, words: np.ndarray):
+        """Replace a row wholesale (reference Store / ClearRow+Set)."""
+        with self._lock:
+            slot = self._ensure_slot(row)
+            self._words[slot] = words
+            self._dirty.add(slot)
+            self.generation += 1
+
+    def clear_row(self, row: int):
+        with self._lock:
+            slot = self._slot_of_row.get(row)
+            if slot is not None:
+                self._words[slot] = 0
+                self._dirty.add(slot)
+                self.generation += 1
+
+    def import_bits(self, rows: np.ndarray, cols: np.ndarray, clear: bool = False):
+        """Bulk set bits given parallel (row, col-in-shard) arrays."""
+        rows = np.asarray(rows, dtype=np.int64)
+        cols = np.asarray(cols, dtype=np.int64) % SHARD_WIDTH
+        with self._lock:
+            order = np.argsort(rows, kind="stable")
+            rows, cols = rows[order], cols[order]
+            uniq, starts = np.unique(rows, return_index=True)
+            bounds = np.append(starts, rows.size)
+            for i, r in enumerate(uniq):
+                c = cols[bounds[i]:bounds[i + 1]]
+                slot = self._ensure_slot(int(r))
+                tgt = self._words[slot]
+                vals = np.uint32(1) << (c & 31).astype(np.uint32)
+                if clear:
+                    # clear bits: need AND NOT of accumulated mask
+                    mask = np.zeros(WORDS_PER_ROW, dtype=np.uint32)
+                    np.bitwise_or.at(mask, c >> 5, vals)
+                    np.bitwise_and(tgt, ~mask, out=tgt)
+                else:
+                    np.bitwise_or.at(tgt, c >> 5, vals)
+                self._dirty.add(slot)
+                self.generation += 1
+
+    def clear_columns(self, col_mask: np.ndarray):
+        """ANDNOT a dense column mask out of every row (reference Delete /
+        ClearRecords paths, executor.go:9131)."""
+        with self._lock:
+            n = self.num_rows
+            if n == 0:
+                return
+            np.bitwise_and(self._words[:n], ~col_mask[None, :],
+                           out=self._words[:n])
+            self._dirty.update(range(n))
+            self.generation += 1
+
+    # -- device mirror ------------------------------------------------------
+
+    def _flush_to_device(self):
+        import jax
+        import jax.numpy as jnp
+        n = self.num_rows
+        if n == 0:
+            self._dev = jnp.zeros((1, WORDS_PER_ROW), dtype=jnp.uint32)
+            self._dev_rows = 0
+            self._dirty.clear()
+            self._all_dirty = False
+            return
+        if self._all_dirty or self._dev is None or self._dev.shape[0] < n:
+            self._dev = jax.device_put(self._words[:n])
+        elif self._dirty:
+            slots = np.array(sorted(self._dirty), dtype=np.int32)
+            self._dev = self._dev.at[slots].set(jax.device_put(self._words[slots]))
+        self._dev_rows = n
+        self._dirty.clear()
+        self._all_dirty = False
+
+    def device_tile(self):
+        """(num_rows, W) uint32 device array of all rows (slot order)."""
+        with self._lock:
+            if self._all_dirty or self._dirty or self._dev is None or \
+                    self._dev_rows != self.num_rows:
+                self._flush_to_device()
+            return self._dev[: max(self.num_rows, 1)] if self.num_rows else self._dev[:0]
+
+    def device_row(self, row: int):
+        """(W,) uint32 device words for one row (zeros if absent)."""
+        import jax.numpy as jnp
+        slot = self._slot_of_row.get(row)
+        if slot is None:
+            return jnp.zeros(WORDS_PER_ROW, dtype=jnp.uint32)
+        tile = self.device_tile()
+        return tile[slot]
+
+    def device_rows(self, rows) -> "tuple":
+        """Gather device rows for a list of row ids; absent rows -> zeros.
+
+        Returns (tile (len(rows), W), present mask np.ndarray bool).
+        """
+        import jax.numpy as jnp
+        tile = self.device_tile()
+        slots = np.array([self._slot_of_row.get(int(r), -1) for r in rows],
+                         dtype=np.int32)
+        present = slots >= 0
+        if tile.shape[0] == 0:
+            return jnp.zeros((len(rows), WORDS_PER_ROW), dtype=jnp.uint32), present
+        safe = np.where(present, slots, 0)
+        gathered = tile[safe]
+        mask = jnp.asarray(present)[:, None]
+        return jnp.where(mask, gathered, jnp.uint32(0)), present
+
+    # -- persistence --------------------------------------------------------
+
+    def to_npz_dict(self) -> dict:
+        n = self.num_rows
+        return {
+            "rows": np.array(self._row_of_slot[:n], dtype=np.int64),
+            "words": self._words[:n],
+        }
+
+    @classmethod
+    def from_npz_dict(cls, index, field, view, shard, d) -> "Fragment":
+        f = cls(index, field, view, shard)
+        rows = d["rows"]
+        words = d["words"]
+        n = len(rows)
+        cap = max(_INIT_CAP, n)
+        f._words = np.zeros((cap, WORDS_PER_ROW), dtype=np.uint32)
+        f._words[:n] = words
+        f._row_of_slot = [int(r) for r in rows]
+        f._slot_of_row = {int(r): i for i, r in enumerate(rows)}
+        f._all_dirty = True
+        return f

@@ -1,0 +1,287 @@
+"""Bit-sliced-index (BSI) arithmetic kernels.
+
+Replaces the reference's per-fragment BSI machinery (reference:
+fragment.go:579 value, 615 setValue, 724 sum, 754 min, 806 max, 937 rangeOp,
+963 rangeEQ, 1024 rangeLT, 1088 rangeGT, 1213 rangeBetween) with vectorized
+bit-plane algorithms over dense tiles.
+
+Layout: a BSI fragment is a stack of shard-wide bit rows
+    row 0: exists bit, row 1: sign bit, rows 2..2+depth: magnitude slices
+(reference: fragment.go:62-65).  Here kernels take the *already separated*
+pieces:
+    slices: (D, W) uint32 — magnitude bit-planes, slice i = bit i
+    exists: (W,) uint32
+    sign:   (W,) uint32
+    filter: (W,) uint32 — column filter (existence row or query row)
+Values are sign-magnitude signed integers (value 0 always has sign bit clear).
+
+All predicate kernels return dense (W,) uint32 row masks.  Loops over bit
+depth are Python-unrolled (depth is static, <= 64) so XLA sees straight-line
+fused VPU code.
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+_u32 = jnp.uint32
+_ZERO = jnp.uint32(0)
+
+
+def _full_like(e):
+    return jnp.bitwise_not(jnp.zeros_like(e))
+
+
+# ---------------------------------------------------------------------------
+# Unsigned magnitude comparisons over bit-planes
+# ---------------------------------------------------------------------------
+
+def _u_eq(slices, base, pred: int, depth: int):
+    """Columns in `base` whose magnitude == pred (reference rangeEQ
+    fragment.go:963)."""
+    b = base
+    for i in range(depth - 1, -1, -1):
+        if (pred >> i) & 1:
+            b = jnp.bitwise_and(b, slices[i])
+        else:
+            b = jnp.bitwise_and(b, jnp.bitwise_not(slices[i]))
+    return b
+
+
+def _u_lt(slices, base, pred: int, depth: int, allow_eq: bool):
+    """Columns in `base` with magnitude < pred (<= if allow_eq) (reference
+    rangeLT / rangeLTUnsigned fragment.go:1024,1061)."""
+    b = base
+    keep = jnp.zeros_like(base)
+    for i in range(depth - 1, -1, -1):
+        s = slices[i]
+        if (pred >> i) & 1:
+            keep = jnp.bitwise_or(keep, jnp.bitwise_and(b, jnp.bitwise_not(s)))
+            b = jnp.bitwise_and(b, s)
+        else:
+            b = jnp.bitwise_and(b, jnp.bitwise_not(s))
+    if allow_eq:
+        keep = jnp.bitwise_or(keep, b)
+    return keep
+
+
+def _u_gt(slices, base, pred: int, depth: int, allow_eq: bool):
+    """Columns in `base` with magnitude > pred (>= if allow_eq) (reference
+    rangeGT / rangeGTUnsigned fragment.go:1088,1129)."""
+    b = base
+    keep = jnp.zeros_like(base)
+    for i in range(depth - 1, -1, -1):
+        s = slices[i]
+        if (pred >> i) & 1:
+            b = jnp.bitwise_and(b, s)
+        else:
+            keep = jnp.bitwise_or(keep, jnp.bitwise_and(b, s))
+            b = jnp.bitwise_and(b, jnp.bitwise_not(s))
+    if allow_eq:
+        keep = jnp.bitwise_or(keep, b)
+    return keep
+
+
+# ---------------------------------------------------------------------------
+# Signed predicate kernels (sign-magnitude semantics, reference rangeOp
+# fragment.go:937 dispatch)
+# ---------------------------------------------------------------------------
+
+def _split(exists, sign, filter_):
+    base = jnp.bitwise_and(exists, filter_)
+    neg = jnp.bitwise_and(base, sign)
+    pos = jnp.bitwise_and(base, jnp.bitwise_not(sign))
+    return base, pos, neg
+
+
+def range_eq(slices, exists, sign, filter_, pred: int, depth: int):
+    _, pos, neg = _split(exists, sign, filter_)
+    if pred >= 0:
+        return _u_eq(slices, pos, pred, depth)
+    return _u_eq(slices, neg, -pred, depth)
+
+
+def range_neq(slices, exists, sign, filter_, pred: int, depth: int):
+    base = jnp.bitwise_and(exists, filter_)
+    eq = range_eq(slices, exists, sign, filter_, pred, depth)
+    return jnp.bitwise_and(base, jnp.bitwise_not(eq))
+
+
+def range_lt(slices, exists, sign, filter_, pred: int, depth: int,
+             allow_eq: bool = False):
+    _, pos, neg = _split(exists, sign, filter_)
+    if pred > 0 or (pred == 0 and allow_eq):
+        # all negatives qualify; positives with mag < pred
+        return jnp.bitwise_or(neg, _u_lt(slices, pos, pred, depth, allow_eq))
+    if pred == 0:  # strictly < 0
+        return neg
+    # pred < 0: negatives with mag > |pred|
+    return _u_gt(slices, neg, -pred, depth, allow_eq)
+
+
+def range_gt(slices, exists, sign, filter_, pred: int, depth: int,
+             allow_eq: bool = False):
+    _, pos, neg = _split(exists, sign, filter_)
+    if pred < 0:
+        # all positives qualify; negatives with mag < |pred|
+        return jnp.bitwise_or(pos, _u_lt(slices, neg, -pred, depth, allow_eq))
+    if pred == 0:
+        if allow_eq:
+            return pos
+        return _u_gt(slices, pos, 0, depth, False)
+    return _u_gt(slices, pos, pred, depth, allow_eq)
+
+
+def range_between(slices, exists, sign, filter_, lo: int, hi: int, depth: int):
+    """lo <= value <= hi (reference rangeBetween fragment.go:1213)."""
+    a = range_gt(slices, exists, sign, filter_, lo, depth, allow_eq=True)
+    b = range_lt(slices, exists, sign, filter_, hi, depth, allow_eq=True)
+    return jnp.bitwise_and(a, b)
+
+
+def range_not_null(exists, filter_):
+    return jnp.bitwise_and(exists, filter_)
+
+
+# ---------------------------------------------------------------------------
+# Aggregates
+# ---------------------------------------------------------------------------
+
+def _pop(x):
+    return jnp.sum(jax.lax.population_count(x).astype(jnp.uint32),
+                   axis=-1, dtype=jnp.int32)
+
+
+def sum_parts_kernel(slices, exists, sign, filter_, depth: int):
+    """Per-slice popcounts for Sum (reference fragment.sum fragment.go:724).
+
+    Device math stays 32-bit: each popcount <= 2^20.  Returns
+    (pos_pops (D,) int32, neg_pops (D,) int32, count int32); the caller
+    assembles sum = Σ 2^i (pos_i - neg_i) with Python ints (exact, unbounded).
+    """
+    base, pos, neg = _split(exists, sign, filter_)
+    pos_pops = jnp.stack([_pop(jnp.bitwise_and(slices[i], pos))
+                          for i in range(depth)])
+    neg_pops = jnp.stack([_pop(jnp.bitwise_and(slices[i], neg))
+                          for i in range(depth)])
+    return pos_pops, neg_pops, _pop(base)
+
+
+def sum_host(slices, exists, sign, filter_, depth: int):
+    """(sum, count) finalized host-side as exact Python ints."""
+    pos_pops, neg_pops, count = sum_parts_kernel(slices, exists, sign,
+                                                 filter_, depth)
+    import numpy as np
+    pp = np.asarray(pos_pops)
+    npops = np.asarray(neg_pops)
+    total = 0
+    for i in range(depth):
+        total += (1 << i) * (int(pp[i]) - int(npops[i]))
+    return total, int(count)
+
+
+def minmax_parts_kernel(slices, exists, sign, filter_, depth: int):
+    """Device part of Min/Max (reference fragment.min:754 / max:806).
+
+    Runs all four greedy descents (pos-min, pos-max, neg-min, neg-max) and
+    returns their bit vectors + counts + presence flags; the host picks the
+    right combination.  Returns dict of small arrays.
+    """
+    base, pos, neg = _split(exists, sign, filter_)
+    out = {}
+    out["has_pos"] = jnp.any(pos != 0)
+    out["has_neg"] = jnp.any(neg != 0)
+    out["pos_min"] = _descend(slices, pos, depth, maximize=False)
+    out["pos_max"] = _descend(slices, pos, depth, maximize=True)
+    out["neg_min"] = _descend(slices, neg, depth, maximize=False)
+    out["neg_max"] = _descend(slices, neg, depth, maximize=True)
+    return out
+
+
+def _bits_to_int(bits) -> int:
+    import numpy as np
+    b = np.asarray(bits)
+    v = 0
+    for i in range(b.shape[0]):
+        if int(b[i]):
+            v |= 1 << i
+    return v
+
+
+def min_host(slices, exists, sign, filter_, depth: int):
+    """(min value, count at min); (0, 0) when no columns match."""
+    p = minmax_parts_kernel(slices, exists, sign, filter_, depth)
+    if bool(p["has_neg"]):
+        bits, cnt = p["neg_max"]  # most negative = largest magnitude negative
+        return -_bits_to_int(bits), int(cnt)
+    if bool(p["has_pos"]):
+        bits, cnt = p["pos_min"]
+        return _bits_to_int(bits), int(cnt)
+    return 0, 0
+
+
+def max_host(slices, exists, sign, filter_, depth: int):
+    """(max value, count at max); (0, 0) when no columns match."""
+    p = minmax_parts_kernel(slices, exists, sign, filter_, depth)
+    if bool(p["has_pos"]):
+        bits, cnt = p["pos_max"]
+        return _bits_to_int(bits), int(cnt)
+    if bool(p["has_neg"]):
+        bits, cnt = p["neg_min"]  # least magnitude negative = max
+        return -_bits_to_int(bits), int(cnt)
+    return 0, 0
+
+
+def _descend(slices, b, depth: int, maximize: bool):
+    """Greedy bit descent over magnitude planes.
+
+    Returns (bits (depth,) int32 — bit i of the extreme value — and count of
+    columns achieving it).  If `b` is empty returns zeros.
+    """
+    bits = []
+    for i in range(depth - 1, -1, -1):
+        s = slices[i]
+        if maximize:
+            t = jnp.bitwise_and(b, s)
+        else:
+            t = jnp.bitwise_and(b, jnp.bitwise_not(s))
+        t_any = jnp.any(t != 0)
+        b = jnp.where(t_any, t, b)
+        if maximize:
+            bit = t_any
+        else:
+            bit = jnp.logical_not(t_any) & jnp.any(b != 0)
+        bits.append(bit.astype(jnp.int32))
+    bits.reverse()
+    return jnp.stack(bits), _pop(b)
+
+
+# ---------------------------------------------------------------------------
+# Dense value extraction (for Extract / GroupBy sums / Distinct / Sort)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnums=())
+def expand_bits(words):
+    """(..., W) uint32 words -> (..., W*32) uint8 bit vector (bit c of the
+    shard = element c)."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (words[..., :, None] >> shifts) & _u32(1)
+    return bits.reshape(*words.shape[:-1], words.shape[-1] * 32).astype(jnp.uint8)
+
+
+def decode_values(slices, sign, depth: int):
+    """Per-column signed values as (..., SHARD_WIDTH) int32 dense vector.
+
+    Device path covers magnitudes up to 2^31-1 (depth <= 31); wider fields are
+    finalized host-side from raw slices.  Columns without the exists bit get
+    arbitrary values — callers mask with the exists row.
+    """
+    if depth > 31:
+        raise ValueError("decode_values device path supports depth <= 31; "
+                         "use host decode for wider fields")
+    width = slices.shape[-1] * 32
+    acc = jnp.zeros(slices.shape[:-2] + (width,), dtype=jnp.int32)
+    for i in range(depth):
+        acc = acc + (expand_bits(slices[..., i, :]).astype(jnp.int32) << i)
+    s = expand_bits(sign).astype(jnp.int32)
+    return jnp.where(s == 1, -acc, acc)

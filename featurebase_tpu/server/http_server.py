@@ -1,0 +1,226 @@
+"""HTTP wire layer.
+
+Mirrors the reference's gorilla/mux route table (reference:
+http_handler.go:493-589) on the Python stdlib ThreadingHTTPServer:
+
+  POST   /index/{index}/query           PQL query (text or {"query": ...})
+  POST   /index/{index}                 create index {"options": {...}}
+  DELETE /index/{index}
+  GET    /index[/{index}]               schema info
+  POST   /index/{i}/field/{f}           create field {"options": {...}}
+  DELETE /index/{i}/field/{f}
+  GET    /schema                        full schema
+  POST   /schema                        apply schema
+  GET    /status                        cluster status
+  GET    /shards?index=i                available shards
+  POST   /index/{i}/field/{f}/import    JSON bulk import (rows/cols or
+                                        cols/values; keys supported)
+  POST   /internal/translate/index/{i}/keys/create   {"keys": [...]}
+  POST   /internal/translate/index/{i}/keys/find
+  POST   /internal/translate/field/{i}/{f}/keys/create
+  POST   /internal/translate/field/{i}/{f}/keys/find
+  GET    /metrics.json
+  POST   /sql                           SQL query {"sql": ...}
+"""
+from __future__ import annotations
+
+import json
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+from featurebase_tpu.server.api import API, APIError
+from featurebase_tpu.server.serialize import response_to_json
+
+
+class Handler(BaseHTTPRequestHandler):
+    api: API = None  # set by make_server
+    protocol_version = "HTTP/1.1"
+
+    # silence default logging
+    def log_message(self, fmt, *args):
+        pass
+
+    # -- helpers ------------------------------------------------------------
+
+    def _body(self) -> bytes:
+        n = int(self.headers.get("Content-Length") or 0)
+        return self.rfile.read(n) if n else b""
+
+    def _json(self):
+        raw = self._body()
+        if not raw:
+            return {}
+        try:
+            return json.loads(raw)
+        except json.JSONDecodeError:
+            return {"_raw": raw.decode("utf-8", "replace")}
+
+    def _send(self, obj, status: int = 200):
+        data = json.dumps(obj).encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def _err(self, msg: str, status: int = 400):
+        self._send({"error": msg}, status)
+
+    # -- routing ------------------------------------------------------------
+
+    def do_GET(self):
+        try:
+            self._route("GET")
+        except APIError as e:
+            self._err(str(e), e.status)
+        except Exception as e:  # noqa: BLE001
+            self._err(f"internal error: {e}", 500)
+
+    do_POST = do_GET
+    do_DELETE = do_GET
+
+    def do_DELETE_(self):
+        pass
+
+    def _route(self, _):
+        method = self.command
+        path = self.path.split("?")[0].rstrip("/")
+        query = {}
+        if "?" in self.path:
+            from urllib.parse import parse_qs
+            query = {k: v[0] for k, v in
+                     parse_qs(self.path.split("?", 1)[1]).items()}
+
+        m = re.fullmatch(r"/index/([^/]+)/query", path)
+        if m and method == "POST":
+            body = self._json()
+            pql = body.get("query") or body.get("_raw") or ""
+            shards = body.get("shards") if isinstance(body, dict) else None
+            results = self.api.query(m.group(1), pql, shards=shards)
+            return self._send(response_to_json(results))
+
+        m = re.fullmatch(r"/index/([^/]+)/field/([^/]+)/import", path)
+        if m and method == "POST":
+            b = self._json()
+            if "values" in b:
+                self.api.import_values(
+                    m.group(1), m.group(2),
+                    cols=b.get("columnIDs", []), values=b["values"],
+                    clear=b.get("clear", False),
+                    col_keys=b.get("columnKeys"))
+            else:
+                self.api.import_bits(
+                    m.group(1), m.group(2),
+                    rows=b.get("rowIDs", []), cols=b.get("columnIDs", []),
+                    timestamps=b.get("timestamps"),
+                    clear=b.get("clear", False),
+                    row_keys=b.get("rowKeys"), col_keys=b.get("columnKeys"))
+            return self._send({})
+
+        m = re.fullmatch(r"/index/([^/]+)/field/([^/]+)", path)
+        if m:
+            if method == "POST":
+                b = self._json()
+                self.api.create_field(m.group(1), m.group(2),
+                                      b.get("options", {}))
+                return self._send({"success": True})
+            if method == "DELETE":
+                self.api.delete_field(m.group(1), m.group(2))
+                return self._send({"success": True})
+
+        m = re.fullmatch(r"/index/([^/]+)", path)
+        if m:
+            if method == "POST":
+                b = self._json()
+                self.api.create_index(m.group(1), b.get("options", {}))
+                return self._send({"success": True})
+            if method == "DELETE":
+                self.api.delete_index(m.group(1))
+                return self._send({"success": True})
+            if method == "GET":
+                idx = self.api.holder.index(m.group(1))
+                if idx is None:
+                    raise APIError("index not found", 404)
+                return self._send(idx.to_info())
+
+        if path == "/index" and method == "GET":
+            return self._send(self.api.schema())
+
+        if path == "/schema":
+            if method == "GET":
+                return self._send({"indexes": self.api.schema()})
+            if method == "POST":
+                b = self._json()
+                self.api.apply_schema(b.get("indexes", []))
+                return self._send({})
+
+        if path == "/status" and method == "GET":
+            return self._send(self.api.status())
+
+        if path == "/shards" and method == "GET":
+            idx = query.get("index", "")
+            return self._send({"shards": self.api.available_shards(idx)})
+
+        if path == "/metrics.json" and method == "GET":
+            from featurebase_tpu.utils.metrics import REGISTRY
+            return self._send(REGISTRY.to_json())
+
+        if path == "/sql" and method == "POST":
+            b = self._json()
+            sql = b.get("sql") or b.get("_raw") or ""
+            from featurebase_tpu.sql.engine import execute_sql
+            return self._send(execute_sql(self.api, sql))
+
+        m = re.fullmatch(r"/internal/translate/index/([^/]+)/keys/(create|find)",
+                         path)
+        if m and method == "POST":
+            b = self._json()
+            keys = b.get("keys", [])
+            if m.group(2) == "create":
+                return self._send(self.api.create_index_keys(m.group(1), keys))
+            return self._send(self.api.find_index_keys(m.group(1), keys))
+
+        m = re.fullmatch(
+            r"/internal/translate/field/([^/]+)/([^/]+)/keys/(create|find)",
+            path)
+        if m and method == "POST":
+            b = self._json()
+            keys = b.get("keys", [])
+            if m.group(3) == "create":
+                return self._send(
+                    self.api.create_field_keys(m.group(1), m.group(2), keys))
+            return self._send(
+                self.api.find_field_keys(m.group(1), m.group(2), keys))
+
+        raise APIError(f"no route: {method} {path}", 404)
+
+
+class Server:
+    """In-process HTTP server (reference: pilosa.Server server.go:46,
+    minus etcd — single-controller for now)."""
+
+    def __init__(self, api: Optional[API] = None, host: str = "127.0.0.1",
+                 port: int = 0):
+        self.api = api or API()
+        handler = type("BoundHandler", (Handler,), {"api": self.api})
+        self.httpd = ThreadingHTTPServer((host, port), handler)
+        self.port = self.httpd.server_address[1]
+        self._thread: Optional[threading.Thread] = None
+
+    def start(self):
+        self._thread = threading.Thread(target=self.httpd.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        if self._thread:
+            self._thread.join(timeout=5)
+
+    @property
+    def url(self) -> str:
+        return f"http://127.0.0.1:{self.port}"

@@ -1,0 +1,193 @@
+"""String-key <-> ID translation stores.
+
+Replaces the reference's BoltDB translate stores (reference: translate.go:43
+TranslateStore iface, translate_boltdb.go; partitioned ID generation
+translate.go:103 GenerateNextPartitionedID) with host-side hash maps plus a
+JSON snapshot for durability.  The partitioning scheme is kept bit-compatible
+with the reference so external tooling's placement assumptions hold:
+
+- key partition  = fnv64a(index + key) % PARTITION_N
+  (reference: disco/snapshot.go KeyToKeyPartition)
+- shard partition = fnv64a(index + bigendian8(shard)) % PARTITION_N
+  (reference: disco/snapshot.go ShardToShardPartition)
+- a column key in partition p is assigned the next free ID whose shard's
+  shard-partition == p (reference: translate.go GenerateNextPartitionedID)
+"""
+from __future__ import annotations
+
+import json
+import os
+import threading
+from typing import Dict, Iterable, List, Optional
+
+from featurebase_tpu.core.consts import PARTITION_N, SHARD_WIDTH
+
+_FNV_OFFSET = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
+_MASK64 = (1 << 64) - 1
+
+
+def fnv64a(data: bytes) -> int:
+    h = _FNV_OFFSET
+    for b in data:
+        h ^= b
+        h = (h * _FNV_PRIME) & _MASK64
+    return h
+
+
+def shard_to_shard_partition(index: str, shard: int,
+                             partition_n: int = PARTITION_N) -> int:
+    return fnv64a(index.encode() + shard.to_bytes(8, "big")) % partition_n
+
+
+def key_to_key_partition(index: str, key: str,
+                         partition_n: int = PARTITION_N) -> int:
+    return fnv64a(index.encode() + key.encode()) % partition_n
+
+
+def jump_hash(key: int, n_buckets: int) -> int:
+    """Google jump consistent hash (reference: disco/hasher.go:16)."""
+    b, j = -1, 0
+    key &= _MASK64
+    while j < n_buckets:
+        b = j
+        key = (key * 2862933555777941757 + 1) & _MASK64
+        j = int(float(b + 1) * (float(1 << 31) / float((key >> 33) + 1)))
+    return b
+
+
+def generate_next_partitioned_id(index: str, prev: int, partition_id: int,
+                                 partition_n: int = PARTITION_N) -> int:
+    """Next column ID whose shard hashes to partition_id
+    (reference: translate.go:103)."""
+    if partition_id == -1:
+        return prev + 1
+    id_ = prev + 1
+    while shard_to_shard_partition(index, id_ // SHARD_WIDTH, partition_n) \
+            != partition_id:
+        id_ += SHARD_WIDTH
+    return id_
+
+
+class TranslatePartition:
+    """One key partition's bidirectional map."""
+
+    def __init__(self, index: str, partition_id: int):
+        self.index = index
+        self.partition_id = partition_id
+        self.key_to_id: Dict[str, int] = {}
+        self.id_to_key: Dict[int, str] = {}
+        self.max_id = 0
+
+    def create(self, key: str) -> int:
+        id_ = self.key_to_id.get(key)
+        if id_ is not None:
+            return id_
+        id_ = generate_next_partitioned_id(self.index, self.max_id,
+                                           self.partition_id)
+        self.max_id = id_
+        self.key_to_id[key] = id_
+        self.id_to_key[id_] = key
+        return id_
+
+
+class IndexTranslateStore:
+    """Per-index column-key translation, 256-way partitioned."""
+
+    def __init__(self, index: str):
+        self.index = index
+        self._lock = threading.RLock()
+        self.partitions: Dict[int, TranslatePartition] = {}
+
+    def _part_for_key(self, key: str) -> TranslatePartition:
+        p = key_to_key_partition(self.index, key)
+        part = self.partitions.get(p)
+        if part is None:
+            part = TranslatePartition(self.index, p)
+            self.partitions[p] = part
+        return part
+
+    def create_keys(self, keys: Iterable[str]) -> Dict[str, int]:
+        with self._lock:
+            return {k: self._part_for_key(k).create(k) for k in keys}
+
+    def find_keys(self, keys: Iterable[str]) -> Dict[str, int]:
+        with self._lock:
+            out = {}
+            for k in keys:
+                id_ = self._part_for_key(k).key_to_id.get(k)
+                if id_ is not None:
+                    out[k] = id_
+            return out
+
+    def translate_ids(self, ids: Iterable[int]) -> List[Optional[str]]:
+        with self._lock:
+            out = []
+            for id_ in ids:
+                found = None
+                for part in self.partitions.values():
+                    found = part.id_to_key.get(int(id_))
+                    if found is not None:
+                        break
+                out.append(found)
+            return out
+
+    def to_json(self):
+        return {str(p): {"keys": part.key_to_id, "max_id": part.max_id}
+                for p, part in self.partitions.items()}
+
+    @classmethod
+    def from_json(cls, index: str, d: dict) -> "IndexTranslateStore":
+        st = cls(index)
+        for p, pd in d.items():
+            part = TranslatePartition(index, int(p))
+            part.key_to_id = dict(pd["keys"])
+            part.id_to_key = {v: k for k, v in part.key_to_id.items()}
+            part.max_id = pd["max_id"]
+            st.partitions[int(p)] = part
+        return st
+
+
+class FieldTranslateStore:
+    """Per-field row-key translation (single primary, unpartitioned;
+    reference: field translate store, cluster.go:258 findFieldKeys)."""
+
+    def __init__(self, index: str, field: str):
+        self.index = index
+        self.field = field
+        self._lock = threading.RLock()
+        self.key_to_id: Dict[str, int] = {}
+        self.id_to_key: Dict[int, str] = {}
+        self.max_id = 0
+
+    def create_keys(self, keys: Iterable[str]) -> Dict[str, int]:
+        with self._lock:
+            out = {}
+            for k in keys:
+                id_ = self.key_to_id.get(k)
+                if id_ is None:
+                    self.max_id += 1
+                    id_ = self.max_id
+                    self.key_to_id[k] = id_
+                    self.id_to_key[id_] = k
+                out[k] = id_
+            return out
+
+    def find_keys(self, keys: Iterable[str]) -> Dict[str, int]:
+        with self._lock:
+            return {k: self.key_to_id[k] for k in keys if k in self.key_to_id}
+
+    def translate_ids(self, ids: Iterable[int]) -> List[Optional[str]]:
+        with self._lock:
+            return [self.id_to_key.get(int(i)) for i in ids]
+
+    def to_json(self):
+        return {"keys": self.key_to_id, "max_id": self.max_id}
+
+    @classmethod
+    def from_json(cls, index: str, field: str, d: dict) -> "FieldTranslateStore":
+        st = cls(index, field)
+        st.key_to_id = dict(d["keys"])
+        st.id_to_key = {v: k for k, v in st.key_to_id.items()}
+        st.max_id = d["max_id"]
+        return st
