@@ -1,0 +1,239 @@
+"""Command-line interface.
+
+Mirrors the reference's cobra CLI surface (reference: cmd/root.go:50,
+ctl/server.go:16 flags, ctl/backup.go, ctl/restore.go, featurebase
+server|backup|restore|import|export commands) on argparse:
+
+  python -m featurebase_tpu server   [--bind HOST:PORT] [--data-dir DIR]
+  python -m featurebase_tpu backup   --data-dir DIR --output TARFILE
+                                     [--host URL]
+  python -m featurebase_tpu restore  --source TARFILE --data-dir DIR
+  python -m featurebase_tpu import   --host URL --index I csv FILE
+  python -m featurebase_tpu export   --host URL --index I --field F
+                                     --shard N [-o FILE]
+  python -m featurebase_tpu query    --host URL --index I 'Count(All())'
+  python -m featurebase_tpu sql      --host URL 'SELECT ...'
+
+Config: flags > env (FEATUREBASE_TPU_*) > TOML file (--config), mirroring
+the reference's pflag/env/TOML precedence (reference cmd/root.go:127).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tarfile
+import tempfile
+
+
+def _env_default(name: str, default):
+    return os.environ.get(f"FEATUREBASE_TPU_{name.upper()}", default)
+
+
+def _load_config(path):
+    if not path:
+        return {}
+    import tomllib
+    with open(path, "rb") as fh:
+        return tomllib.load(fh)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="featurebase_tpu")
+    ap.add_argument("--config", help="TOML config file",
+                    default=_env_default("config", None))
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("server", help="run the query server")
+    sp.add_argument("--bind", default=_env_default("bind", "127.0.0.1:10101"))
+    sp.add_argument("--data-dir", default=_env_default("data_dir", None))
+    sp.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (tests/dev)")
+
+    bp = sub.add_parser("backup", help="tar a data dir snapshot")
+    bp.add_argument("--data-dir", required=True)
+    bp.add_argument("--output", "-o", required=True)
+
+    rp = sub.add_parser("restore", help="restore a backup tar into a data dir")
+    rp.add_argument("--source", required=True)
+    rp.add_argument("--data-dir", required=True)
+
+    ip = sub.add_parser("import", help="import a CSV file")
+    ip.add_argument("--host", default=_env_default("host",
+                                                   "http://127.0.0.1:10101"))
+    ip.add_argument("--index", required=True)
+    ip.add_argument("--id-column", default="id")
+    ip.add_argument("file")
+
+    ep = sub.add_parser("export", help="export a fragment as roaring bytes")
+    ep.add_argument("--host", default=_env_default("host",
+                                                   "http://127.0.0.1:10101"))
+    ep.add_argument("--index", required=True)
+    ep.add_argument("--field", required=True)
+    ep.add_argument("--shard", type=int, default=0)
+    ep.add_argument("--view", default="standard")
+    ep.add_argument("-o", "--output", default="-")
+
+    qp = sub.add_parser("query", help="run a PQL query")
+    qp.add_argument("--host", default=_env_default("host",
+                                                   "http://127.0.0.1:10101"))
+    qp.add_argument("--index", required=True)
+    qp.add_argument("pql")
+
+    qs = sub.add_parser("sql", help="run a SQL query")
+    qs.add_argument("--host", default=_env_default("host",
+                                                   "http://127.0.0.1:10101"))
+    qs.add_argument("sql")
+
+    args = ap.parse_args(argv)
+    cfg = _load_config(args.config)
+
+    if args.cmd == "server":
+        return cmd_server(args, cfg)
+    if args.cmd == "backup":
+        return cmd_backup(args)
+    if args.cmd == "restore":
+        return cmd_restore(args)
+    if args.cmd == "import":
+        return cmd_import(args)
+    if args.cmd == "export":
+        return cmd_export(args)
+    if args.cmd == "query":
+        return cmd_query(args)
+    if args.cmd == "sql":
+        return cmd_sql(args)
+    return 2
+
+
+def cmd_server(args, cfg):
+    if getattr(args, "cpu", False):
+        os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + \
+            " --xla_force_host_platform_device_count=8"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    bind = cfg.get("bind", args.bind)
+    host, _, port = bind.partition(":")
+    from featurebase_tpu.server.api import API
+    from featurebase_tpu.server.http_server import Server
+    api = API(data_dir=cfg.get("data-dir", args.data_dir))
+    srv = Server(api=api, host=host or "127.0.0.1", port=int(port or 10101))
+    print(f"featurebase_tpu serving on {srv.url}", flush=True)
+    try:
+        srv.httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.stop()
+    return 0
+
+
+def cmd_backup(args):
+    """Tar the snapshot + wal (reference ctl/backup.go:87: schema + translate
+    + shard snapshots + idalloc, here unified in the snapshot layout)."""
+    data_dir = args.data_dir
+    if not os.path.isdir(data_dir):
+        print(f"no such data dir: {data_dir}", file=sys.stderr)
+        return 1
+    with tarfile.open(args.output, "w:gz") as tf:
+        tf.add(data_dir, arcname=".")
+    print(f"backed up {data_dir} -> {args.output}")
+    return 0
+
+
+def cmd_restore(args):
+    os.makedirs(args.data_dir, exist_ok=True)
+    with tarfile.open(args.source, "r:*") as tf:
+        tf.extractall(args.data_dir, filter="data")
+    print(f"restored {args.source} -> {args.data_dir}")
+    return 0
+
+
+def _http(host, method, path, body=None, raw=False):
+    import urllib.request
+    req = urllib.request.Request(
+        host + path, method=method,
+        data=(body if isinstance(body, bytes) else
+              json.dumps(body).encode()) if body is not None else None)
+    with urllib.request.urlopen(req) as resp:
+        data = resp.read()
+    return data if raw else json.loads(data)
+
+
+def cmd_import(args):
+    import csv as _csv
+    with open(args.file, newline="") as fh:
+        reader = _csv.DictReader(fh)
+        headers = [h for h in (reader.fieldnames or [])
+                   if h != args.id_column]
+        rows = list(reader)
+    # create fields (int if all-int else keyed mutex), then POST imports
+    def is_int(v):
+        try:
+            int(v)
+            return True
+        except (TypeError, ValueError):
+            return False
+    _http(args.host, "POST", f"/index/{args.index}", {"options": {}})
+    for h in headers:
+        vals = [r[h] for r in rows if r.get(h)]
+        if vals and all(is_int(v) for v in vals):
+            iv = [int(v) for v in vals]
+            opts = {"type": "int", "min": min(iv), "max": max(iv)}
+        else:
+            opts = {"type": "mutex", "keys": True}
+        try:
+            _http(args.host, "POST",
+                  f"/index/{args.index}/field/{h}", {"options": opts})
+        except Exception:
+            pass
+    for h in headers:
+        cols, vals = [], []
+        for r in rows:
+            v = r.get(h)
+            if not v:
+                continue
+            cols.append(int(r[args.id_column]))
+            vals.append(v)
+        if not cols:
+            continue
+        if all(is_int(v) for v in vals):
+            _http(args.host, "POST",
+                  f"/index/{args.index}/field/{h}/import",
+                  {"columnIDs": cols, "values": [int(v) for v in vals]})
+        else:
+            _http(args.host, "POST",
+                  f"/index/{args.index}/field/{h}/import",
+                  {"columnIDs": cols, "rowKeys": vals})
+    print(f"imported {len(rows)} records into {args.index}")
+    return 0
+
+
+def cmd_export(args):
+    data = _http(args.host, "GET",
+                 f"/export?index={args.index}&field={args.field}"
+                 f"&shard={args.shard}&view={args.view}", raw=True)
+    if args.output == "-":
+        sys.stdout.buffer.write(data)
+    else:
+        with open(args.output, "wb") as fh:
+            fh.write(data)
+        print(f"wrote {len(data)} bytes to {args.output}")
+    return 0
+
+
+def cmd_query(args):
+    out = _http(args.host, "POST", f"/index/{args.index}/query",
+                {"query": args.pql})
+    print(json.dumps(out, indent=2))
+    return 0
+
+
+def cmd_sql(args):
+    out = _http(args.host, "POST", "/sql", {"sql": args.sql})
+    print(json.dumps(out, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -173,6 +173,68 @@ class Handler(BaseHTTPRequestHandler):
             from featurebase_tpu.sql.engine import execute_sql
             return self._send(execute_sql(self.api, sql))
 
+        # roaring-payload imports (reference http_handler.go:520
+        # /index/{i}/shard/{s}/import-roaring; api.go:618)
+        m = re.fullmatch(r"/index/([^/]+)/field/([^/]+)/import-roaring/(\d+)",
+                         path)
+        if m and method == "POST":
+            ct = self.headers.get("Content-Type", "")
+            if "json" in ct:
+                import base64
+                b = self._json()
+                data = base64.b64decode(b.get("data", ""))
+                view = b.get("view", "standard")
+                clear = b.get("clear", False)
+            else:
+                data = self._body()
+                view = query.get("view", "standard")
+                clear = query.get("clear", "false") == "true"
+            self.api.import_roaring(m.group(1), m.group(2), int(m.group(3)),
+                                    data, view=view, clear=clear)
+            return self._send({})
+
+        m = re.fullmatch(r"/index/([^/]+)/shard/(\d+)/import-roaring", path)
+        if m and method == "POST":
+            import base64
+            b = self._json()
+            views = {}
+            for spec, p in (b.get("views") or {}).items():
+                views[spec] = {"data": base64.b64decode(p.get("data", "")),
+                               "clear": p.get("clear", False),
+                               "replace": p.get("replace", False)}
+            self.api.import_roaring_shard(m.group(1), int(m.group(2)), views)
+            return self._send({})
+
+        m = re.fullmatch(r"/export", path)
+        if m and method == "GET":
+            data = self.api.export_roaring(
+                query.get("index", ""), query.get("field", ""),
+                int(query.get("shard", 0)), query.get("view", "standard"))
+            self.send_response(200)
+            self.send_header("Content-Type", "application/octet-stream")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+            return
+
+        # id allocation (reference http_handler.go /internal/idalloc)
+        if path == "/internal/idalloc/reserve" and method == "POST":
+            b = self._json()
+            ranges = self.api.reserve_ids(
+                b.get("index", ""), b.get("key", ""), b.get("session", ""),
+                int(b.get("offset", 0)), int(b.get("count", 0)))
+            return self._send({"ranges": [r.to_json() for r in ranges]})
+        if path == "/internal/idalloc/commit" and method == "POST":
+            b = self._json()
+            self.api.commit_ids(
+                b.get("index", ""), b.get("key", ""), b.get("session", ""),
+                int(b.get("offset", 0)), int(b.get("count", 0)))
+            return self._send({})
+
+        if path == "/internal/checkpoint" and method == "POST":
+            self.api.checkpoint()
+            return self._send({})
+
         m = re.fullmatch(r"/internal/translate/index/([^/]+)/keys/(create|find)",
                          path)
         if m and method == "POST":
