@@ -50,6 +50,15 @@ def main(argv=None):
     sp.add_argument("--data-dir", default=_env_default("data_dir", None))
     sp.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (tests/dev)")
+    sp.add_argument("--name", default=_env_default("name", None),
+                    help="this node's id (cluster mode)")
+    sp.add_argument("--cluster-nodes",
+                    default=_env_default("cluster_nodes", None),
+                    help="comma list of id=http://host:port cluster members "
+                         "(reference: cluster.hosts config)")
+    sp.add_argument("--replicas", type=int,
+                    default=int(_env_default("replicas", 1)),
+                    help="replication factor (reference: cluster.replicas)")
 
     bp = sub.add_parser("backup", help="tar a data dir snapshot")
     bp.add_argument("--data-dir", required=True)
@@ -116,7 +125,22 @@ def cmd_server(args, cfg):
     host, _, port = bind.partition(":")
     from featurebase_tpu.server.api import API
     from featurebase_tpu.server.http_server import Server
-    api = API(data_dir=cfg.get("data-dir", args.data_dir))
+    cluster = None
+    nodes_spec = cfg.get("cluster-nodes", args.cluster_nodes)
+    if nodes_spec:
+        from featurebase_tpu.cluster.cluster import Cluster
+        nodes = []
+        for item in nodes_spec.split(","):
+            nid, _, uri = item.strip().partition("=")
+            nodes.append({"id": nid, "uri": uri})
+        cluster = Cluster(cfg.get("name", args.name) or nodes[0]["id"],
+                          nodes,
+                          replicas=int(cfg.get("replicas", args.replicas)))
+    api = API(data_dir=cfg.get("data-dir", args.data_dir), cluster=cluster)
+    if cluster is not None:
+        # liveness + convergence loop (reference: etcd heartbeats +
+        # holderSyncer); also performs the initial schema/translate pull
+        cluster.start_heartbeat(api)
     srv = Server(api=api, host=host or "127.0.0.1", port=int(port or 10101))
     print(f"featurebase_tpu serving on {srv.url}", flush=True)
     try:

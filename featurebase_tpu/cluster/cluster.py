@@ -1,0 +1,239 @@
+"""Cluster runtime: membership, schema broadcast, key-translation routing.
+
+Replaces the reference's etcd-backed DisCo + broadcaster (reference:
+disco/disco.go:35, etcd/embed.go, broadcast.go:30) with a static-topology
+membership table plus HTTP health probes — the TPU deployment model is a
+fixed pod slice over DCN, so membership is configuration, not consensus.
+Liveness is still dynamic: unreachable nodes are marked DOWN and queries
+fail over to replicas (reference: executor.go:6503).
+
+Key translation follows the reference's primary-per-partition write scheme
+(reference: cluster.go:676 createIndexKeys -> PrimaryPartitionNode;
+snapshot.go:136 PrimaryFieldTranslationNode for field keys), with
+synchronous replication of new entries to every node so reads and
+result-translation stay node-local.
+"""
+from __future__ import annotations
+
+import threading
+import time
+from typing import Dict, List, Optional
+
+from featurebase_tpu.cluster.client import (InternalClient, NodeUnreachable,
+                                            RemoteError)
+from featurebase_tpu.cluster.topology import (STATE_DOWN, STATE_STARTED,
+                                              ClusterSnapshot, Node)
+
+
+class Cluster:
+    """One node's view of the cluster (reference: cluster.go:29 cluster)."""
+
+    def __init__(self, node_id: str, nodes: List[dict], replicas: int = 1,
+                 client: Optional[InternalClient] = None):
+        node_objs = [Node.from_json(n) if isinstance(n, dict) else n
+                     for n in nodes]
+        self.node_id = node_id
+        self.snapshot = ClusterSnapshot(node_objs, replicas=replicas)
+        self.client = client or InternalClient()
+        self._lock = threading.Lock()
+        # last-known available shards per index: stands in for the
+        # reference's etcd shard registry (disco.Sharder) so a down node's
+        # shards are still *known* (and error, rather than silently vanish,
+        # when unreplicated; reference: executor fails when no owner is live)
+        self._shard_cache: Dict[str, set] = {}
+        me = self.snapshot.node(node_id)
+        if me is None:
+            raise ValueError(f"node id {node_id!r} not in cluster node list")
+        self.self_node = me
+
+    # -- membership ------------------------------------------------------------
+
+    @property
+    def nodes(self) -> List[Node]:
+        return self.snapshot.nodes
+
+    def peers(self) -> List[Node]:
+        return [n for n in self.nodes if n.id != self.node_id]
+
+    def live_peers(self) -> List[Node]:
+        return [n for n in self.peers() if n.state != STATE_DOWN]
+
+    def is_self(self, node: Node) -> bool:
+        return node.id == self.node_id
+
+    def mark_down(self, node_id: str):
+        n = self.snapshot.node(node_id)
+        if n is not None:
+            n.state = STATE_DOWN
+
+    def mark_up(self, node_id: str):
+        n = self.snapshot.node(node_id)
+        if n is not None:
+            n.state = STATE_STARTED
+
+    def probe(self) -> str:
+        """Health-check all peers, update states, return cluster state
+        (reference: etcd heartbeat watcher role, etcd/embed.go:458)."""
+        for n in self.peers():
+            n.state = (STATE_STARTED if self.client.health(n.uri)
+                       else STATE_DOWN)
+        return self.snapshot.state()
+
+    def start_heartbeat(self, api, interval: float = 2.0):
+        """Background liveness loop: probes peers, and when a peer recovers
+        (DOWN -> up) re-pulls schema/translate state so a node that missed
+        broadcasts converges (reference: etcd heartbeat leases +
+        holderSyncer)."""
+        def loop():
+            while not self._stop_heartbeat.is_set():
+                before = {n.id: n.state for n in self.peers()}
+                self.probe()
+                came_up = [n for n in self.peers()
+                           if before.get(n.id) == STATE_DOWN
+                           and n.state == STATE_STARTED]
+                if came_up or not self._synced_once:
+                    if self.sync_from_peers(api, retries=1):
+                        self._synced_once = True
+                self._stop_heartbeat.wait(interval)
+
+        self._stop_heartbeat = threading.Event()
+        self._synced_once = False
+        t = threading.Thread(target=loop, daemon=True)
+        t.start()
+        self._heartbeat_thread = t
+        return t
+
+    def stop_heartbeat(self):
+        ev = getattr(self, "_stop_heartbeat", None)
+        if ev is not None:
+            ev.set()
+
+    def first_live(self, owners: List[Node]) -> Optional[Node]:
+        """First non-DOWN owner — replica failover order (reference:
+        executor.go:6503)."""
+        for n in owners:
+            if n.state != STATE_DOWN:
+                return n
+        return None
+
+    # -- control-plane broadcast (reference: broadcast.go SendSync) -------------
+
+    def broadcast(self, msg: dict, sync: bool = True):
+        """POST a typed message to every peer (even DOWN-marked ones — a
+        recovered node must not silently miss schema changes; connection
+        failures just mark it DOWN again).  Application errors propagate
+        when sync."""
+        for n in self.peers():
+            try:
+                self.client.cluster_message(n.uri, msg)
+                self.mark_up(n.id)
+            except NodeUnreachable:
+                self.mark_down(n.id)
+            except RemoteError:
+                if sync:
+                    raise
+
+    # -- key translation routing -------------------------------------------------
+
+    def route_create_index_keys(self, api, index: str,
+                                keys: List[str]) -> Dict[str, int]:
+        """Group keys by key partition; create on each partition's primary;
+        primaries replicate to all nodes synchronously."""
+        by_node: Dict[str, List[str]] = {}
+        node_by_id: Dict[str, Node] = {}
+        for k in keys:
+            owner = self.snapshot.primary_key_node(index, k)
+            owner = self.first_live([owner] if owner else [])
+            if owner is None:
+                raise NodeUnreachable("no live node owns key partition")
+            by_node.setdefault(owner.id, []).append(k)
+            node_by_id[owner.id] = owner
+        out: Dict[str, int] = {}
+        for nid, ks in by_node.items():
+            node = node_by_id[nid]
+            if self.is_self(node):
+                created = api.primary_create_index_keys(index, ks)
+            else:
+                created = self.client.translate_keys(node.uri, index, ks,
+                                                     create=True)
+            out.update({k: int(v) for k, v in created.items()})
+        return out
+
+    def route_find_index_keys(self, api, index: str,
+                              keys: List[str]) -> Dict[str, int]:
+        # replication makes every node's store complete; stay local
+        return api.holder.index(index).translate_store.find_keys(keys)
+
+    def route_create_field_keys(self, api, index: str, field: str,
+                                keys: List[str]) -> Dict[str, int]:
+        owner = self.snapshot.primary_field_translation_node()
+        owner = self.first_live([owner] if owner else [])
+        if owner is None:
+            raise NodeUnreachable("no live field-translation primary")
+        if self.is_self(owner):
+            return api.primary_create_field_keys(index, field, keys)
+        return {k: int(v) for k, v in self.client.translate_keys(
+            owner.uri, index, keys, create=True, field=field).items()}
+
+    def replicate_index_keys(self, index: str, entries: Dict[str, int]):
+        for n in self.live_peers():
+            try:
+                self.client.replicate_keys(n.uri, index, entries)
+            except NodeUnreachable:
+                self.mark_down(n.id)
+
+    def replicate_field_keys(self, index: str, field: str,
+                             entries: Dict[str, int]):
+        for n in self.live_peers():
+            try:
+                self.client.replicate_keys(n.uri, index, entries, field=field)
+            except NodeUnreachable:
+                self.mark_down(n.id)
+
+    # -- shard metadata ------------------------------------------------------------
+
+    def all_shards(self, api, index: str) -> List[int]:
+        """Union of available shards across live nodes plus the last-known
+        registry (reference: etcd Sharder per-field available-shards;
+        disco.go:113)."""
+        shards = set(api.holder.index(index).available_shards())
+        for n in self.live_peers():
+            try:
+                shards.update(self.client.shards(n.uri, index))
+            except NodeUnreachable:
+                self.mark_down(n.id)
+        with self._lock:
+            cached = self._shard_cache.setdefault(index, set())
+            cached.update(shards)
+            return sorted(cached)
+
+    def note_shards(self, index: str, shards):
+        """Register shards this node has routed writes into (keeps the
+        registry current even before any read touches them)."""
+        with self._lock:
+            self._shard_cache.setdefault(index, set()).update(
+                int(s) for s in shards)
+
+    def forget_index(self, index: str):
+        with self._lock:
+            self._shard_cache.pop(index, None)
+
+    # -- startup sync ---------------------------------------------------------------
+
+    def sync_from_peers(self, api, retries: int = 3, delay: float = 0.2):
+        """Pull schema + translate state from the first reachable peer
+        (reference: holder.Open loads schema from etcd Schemator)."""
+        for _ in range(retries):
+            for n in self.peers():
+                try:
+                    schema = self.client.schema(n.uri)
+                    if schema:
+                        api.apply_schema(schema)
+                    snap = self.client._call(n.uri, "GET",
+                                             "/internal/translate/snapshot")
+                    api.apply_translate_snapshot(snap)
+                    return True
+                except (NodeUnreachable, RemoteError):
+                    continue
+            time.sleep(delay)
+        return False

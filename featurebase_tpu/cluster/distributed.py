@@ -1,0 +1,467 @@
+"""Distributed query execution: scatter-gather over cluster nodes.
+
+Mirrors the reference's mapReduce (reference: executor.go:6449 mapReduce,
+6579 mapper, 6392 remoteExec, 6487-6533 streaming reduce with replica
+failover).  The coordinator:
+
+1. pre-translates keys cluster-wide (writes route to key-partition
+   primaries; reference executor.go:6814 preTranslate),
+2. precomputes nested Distinct/UnionRows/Limit filters globally and embeds
+   them as Precomputed rows (reference: handlePreCalls executor.go:364,
+   makeEmbeddedDataForShards:6537),
+3. groups shards by their first live owner (jump-hash placement,
+   topology.py), executes locally for its own shards and POSTs the
+   translated AST to peers for theirs,
+4. reduces partial results associatively as they arrive; a connection
+   failure marks the node DOWN and re-maps its shards onto the next live
+   replica (reference: executor.go:6503).
+
+Per-call distribution contracts that differ from naive merging:
+- TopN/TopK: the per-node `n` cut is removed so counts merge exactly, then
+  the coordinator sorts and truncates (the reference achieves exactness
+  with a second recount pass, executor.go:2779-2830; shipping full pair
+  lists gives the same result in one round trip).
+- GroupBy: having/limit are held back and applied after the group merge
+  (reference: mergeGroupCounts executor.go:3728 + satisfiesCondition:3787).
+- Percentile: the bisection loop runs at the coordinator; every probe is a
+  distributed Count (reference executor.go:1310 does the same through its
+  own distributed Count calls).
+"""
+from __future__ import annotations
+
+import copy
+from typing import Any, Dict, List, Optional
+
+from featurebase_tpu.cluster.client import NodeUnreachable, RemoteError
+from featurebase_tpu.cluster.cluster import Cluster
+from featurebase_tpu.cluster.wire import (decode_result, encode_call,
+                                          encode_result)
+from featurebase_tpu.core.consts import SHARD_WIDTH
+from featurebase_tpu.executor.executor import ExecError, Executor
+from featurebase_tpu.executor.results import (ExtractedTable, GroupCount,
+                                              Pair, PairField, PairsField,
+                                              ValCount)
+from featurebase_tpu.model.field import TYPE_BOOL
+from featurebase_tpu.model.index import Index
+from featurebase_tpu.model.row import Row, SignedRow
+from featurebase_tpu.pql.ast import WRITE_CALLS, Call, Condition, Query
+from featurebase_tpu.pql.parser import parse as pql_parse
+
+# calls whose results are precomputed + embedded when nested as filters
+PRE_CALLS = ("Distinct", "UnionRows", "Limit")
+
+
+class DistributedExecutor:
+    def __init__(self, api, cluster: Cluster):
+        self.api = api
+        self.cluster = cluster
+        self.executor: Executor = api.executor
+
+    # ------------------------------------------------------------------ entry
+
+    def execute(self, index_name: str, query,
+                shards: Optional[List[int]] = None) -> List[Any]:
+        index = self.api.holder.index(index_name)
+        if index is None:
+            raise ExecError(f"index not found: {index_name}")
+        if isinstance(query, str):
+            query = pql_parse(query)
+        results = []
+        for call in query.calls:
+            call = self._pre_translate(index, call)
+            self._handle_pre_calls(index, index_name, call, top=True)
+            if call.name in WRITE_CALLS:
+                result = self._execute_write(index, index_name, call)
+            else:
+                result = self._execute_read(index, index_name, call, shards)
+            results.append(
+                self.executor._translate_result(index, call, result))
+        return results
+
+    # --------------------------------------------------- cluster pre-translate
+
+    def _pre_translate(self, index: Index, call: Call) -> Call:
+        """Key->ID with cluster routing: creates go to partition primaries
+        (reference: executor.go:6814 preTranslate)."""
+        is_write = call.name in WRITE_CALLS
+        col = call.args.get("_col")
+        if isinstance(col, str):
+            if not index.options.keys:
+                raise ExecError("string column key on unkeyed index")
+            if is_write:
+                call.args["_col"] = self.cluster.route_create_index_keys(
+                    self.api, index.name, [col])[col]
+            else:
+                call.args["_col"] = index.translate_store.find_keys(
+                    [col]).get(col, -1)
+        for k, v in list(call.args.items()):
+            f = index.field(k)
+            if f is None:
+                continue
+            if isinstance(v, str) and f.options.keys:
+                if is_write:
+                    v_id = self.cluster.route_create_field_keys(
+                        self.api, index.name, k, [v])[v]
+                else:
+                    store = index.row_translation(k)
+                    v_id = store.find_keys([v]).get(v, -1)
+                call.args[k] = v_id
+            elif isinstance(v, bool) and f.options.type == TYPE_BOOL:
+                call.args[k] = 1 if v else 0
+        for i, ch in enumerate(call.children):
+            call.children[i] = self._pre_translate(index, ch)
+        for k, v in list(call.args.items()):
+            if isinstance(v, Call):
+                call.args[k] = self._pre_translate(index, v)
+        return call
+
+    # ------------------------------------------------------------- pre-calls
+
+    def _handle_pre_calls(self, index: Index, index_name: str, call: Call,
+                          top: bool = False):
+        """Replace nested Distinct/UnionRows/Limit with embedded Precomputed
+        rows computed cluster-wide (reference: handlePreCalls
+        executor.go:364)."""
+        if not top and call.name in PRE_CALLS:
+            result = self._execute_read(index, index_name, call, None)
+            if isinstance(result, SignedRow):
+                result = result.pos
+            if not isinstance(result, Row):
+                raise ExecError(f"cannot embed {call.name} result as filter")
+            call.name, call.args, call.children = \
+                "Precomputed", {"_row": result}, []
+            return
+        for ch in call.children:
+            if call.name == "Count" and ch.name == "Distinct":
+                # Count(Distinct(...)) counts signed values exactly — handled
+                # in _execute_read, not embedded (reference: executeCount's
+                # Distinct fast path, executor.go:5839)
+                continue
+            self._handle_pre_calls(index, index_name, ch)
+        for v in call.args.values():
+            if isinstance(v, Call):
+                self._handle_pre_calls(index, index_name, v)
+
+    # ----------------------------------------------------------------- writes
+
+    def _execute_write(self, index: Index, index_name: str, call: Call):
+        snap = self.cluster.snapshot
+        if call.name in ("Set", "Clear"):
+            col = call.args.get("_col")
+            if col is None:
+                raise ExecError(f"{call.name}() requires a column")
+            shard = int(col) // SHARD_WIDTH
+            owners = snap.shard_nodes(index_name, shard)
+            self.cluster.note_shards(index_name, [shard])
+            result = False
+            sent = 0
+            for node in owners:
+                if node.state == "DOWN":
+                    continue
+                r = self._exec_on_node(node, index_name, call, [shard])
+                result = bool(r) or result
+                sent += 1
+            if sent == 0:
+                raise ExecError("no live replica owns shard "
+                                f"{shard} of {index_name}")
+            return result
+        # Store / ClearRow / Delete touch every shard: broadcast with
+        # per-node shard lists
+        shards = self.cluster.all_shards(self.api, index_name)
+        by_node = self._group_shards(index_name, shards)
+        result: Any = None
+        for nid, node_shards in by_node.items():
+            node = snap.node(nid)
+            r = self._exec_on_node(node, index_name, call, node_shards)
+            result = self._merge(index, call, result, r)
+        return result if result is not None else True
+
+    # ------------------------------------------------------------------ reads
+
+    def _execute_read(self, index: Index, index_name: str, call: Call,
+                      shards: Optional[List[int]]):
+        name = call.name
+        if name == "Options":
+            return self._execute_read(index, index_name, call.children[0],
+                                      shards)
+        if name == "Percentile":
+            return self._execute_percentile(index, index_name, call, shards)
+        if name == "Count" and call.children \
+                and call.children[0].name == "Distinct":
+            inner = self._execute_read(index, index_name, call.children[0],
+                                       shards)
+            if isinstance(inner, SignedRow):
+                return inner.neg.count() + inner.pos.count()
+            return inner.count()
+        if name in ("IncludesColumn", "FieldValue"):
+            col = call.args.get("column")
+            if col is None:
+                raise ExecError(f"{name}() requires a column argument")
+            if isinstance(col, str):
+                col = index.translate_store.find_keys([col]).get(col, -1)
+                call.args["column"] = col
+            shard = int(col) // SHARD_WIDTH
+            owners = self.cluster.snapshot.shard_nodes(index_name, shard)
+            node = self.cluster.first_live(owners)
+            if node is None:
+                raise ExecError(f"no live replica owns shard {shard}")
+            return self._exec_on_node(node, index_name, call, [shard])
+
+        # hold back coordinator-side post-processing args
+        fanout = call
+        post: Dict[str, Any] = {}
+        if name in ("TopN", "TopK"):
+            fanout = copy.deepcopy(call)
+            post["n"] = fanout.args.pop("n", None) or fanout.args.pop("k", None)
+        elif name == "GroupBy":
+            fanout = copy.deepcopy(call)
+            post["limit"] = fanout.args.pop("limit", None)
+            post["having"] = fanout.args.pop("having", None)
+        elif name == "Sort":
+            fanout = copy.deepcopy(call)
+            post["limit"] = fanout.args.pop("limit", None)
+            post["offset"] = fanout.args.pop("offset", 0)
+            post["desc"] = bool(fanout.args.get("sort-desc",
+                                                fanout.args.get("desc", False)))
+
+        result = self.map_reduce(index, index_name, fanout, shards)
+        return self._post_process(index, call, result, post)
+
+    def map_reduce(self, index: Index, index_name: str, call: Call,
+                   shards: Optional[List[int]] = None):
+        """Scatter per-owner, streaming reduce, replica failover
+        (reference: executor.go:6449)."""
+        if shards is None:
+            shards = self.cluster.all_shards(self.api, index_name)
+        pending = self._group_shards(index_name, shards)
+        snap = self.cluster.snapshot
+        acc = None
+        first = True
+        while pending:
+            nid, node_shards = pending.popitem()
+            node = snap.node(nid)
+            try:
+                partial = self._exec_on_node(node, index_name, call,
+                                             node_shards)
+            except NodeUnreachable:
+                self.cluster.mark_down(nid)
+                # re-map this node's shards onto their next live replicas
+                regroup = self._group_shards(index_name, node_shards)
+                for k, v in regroup.items():
+                    pending.setdefault(k, []).extend(v)
+                continue
+            if first:
+                acc, first = partial, False
+            else:
+                acc = self._merge(index, call, acc, partial)
+        if first:
+            # no shards: execute locally on nothing for a typed zero value
+            acc = self.executor.execute_remote(index.name,
+                                               Query([call]), [])[0]
+        return acc
+
+    def _group_shards(self, index_name: str,
+                      shards: List[int]) -> Dict[str, List[int]]:
+        snap = self.cluster.snapshot
+        by_node: Dict[str, List[int]] = {}
+        for s in shards:
+            owners = snap.shard_nodes(index_name, s)
+            node = self.cluster.first_live(owners)
+            if node is None:
+                raise ExecError(
+                    f"shard {s} of {index_name} has no live replica")
+            by_node.setdefault(node.id, []).append(s)
+        return by_node
+
+    def _exec_on_node(self, node, index_name: str, call: Call,
+                      shards: List[int]):
+        if self.cluster.is_self(node):
+            return self.api.query_remote_local(index_name, Query([call]),
+                                               shards)[0]
+        out = self.cluster.client.query_node(
+            node.uri, index_name, [encode_call(call)], shards)
+        return decode_result(out[0])
+
+    # ------------------------------------------------------------------ merge
+
+    def _merge(self, index: Index, call: Call, a, b):
+        """Associative partial-result merge (reference: reduceFn per call;
+        Row.Merge row.go:202, ValCount.Add, Pairs.Add, mergeGroupCounts)."""
+        if a is None:
+            return b
+        if b is None:
+            return a
+        if isinstance(a, bool) and isinstance(b, bool):
+            return a or b
+        if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+            return a + b
+        if isinstance(a, Row):
+            return a.union(b)
+        if isinstance(a, SignedRow):
+            return a.union(b)
+        if isinstance(a, ValCount):
+            name = call.name
+            if name == "Sum":
+                return a.add(b)
+            if name == "Min":
+                return a.smaller(b)
+            if name == "Max":
+                return a.larger(b)
+            return a.add(b)
+        if isinstance(a, PairField):  # MinRow / MaxRow
+            if b.pair.count == 0:
+                return a
+            if a.pair.count == 0:
+                return b
+            pick_min = call.name == "MinRow"
+            if a.pair.id == b.pair.id:
+                return PairField(Pair(a.pair.id,
+                                      a.pair.count + b.pair.count), a.field)
+            take_a = (a.pair.id < b.pair.id) == pick_min
+            return a if take_a else b
+        if isinstance(a, PairsField):
+            counts: Dict[int, int] = {}
+            for p in a.pairs + b.pairs:
+                counts[p.id] = counts.get(p.id, 0) + p.count
+            pairs = [Pair(i, c) for i, c in counts.items()]
+            pairs.sort(key=lambda p: (-p.count, p.id))
+            return PairsField(pairs, a.field)
+        if isinstance(a, list) and (not a or isinstance(a[0], GroupCount)) \
+                and (not b or isinstance(b[0], GroupCount)):
+            if (a and isinstance(a[0], GroupCount)) or \
+                    (b and isinstance(b[0], GroupCount)):
+                return self._merge_group_counts(a, b)
+        if isinstance(a, list) and isinstance(b, list):
+            return sorted(set(a) | set(b))
+        if isinstance(a, ExtractedTable):
+            a.columns.extend(b.columns)
+            a.columns.sort(key=lambda c: (isinstance(c.column, str), c.column))
+            return a
+        if isinstance(a, dict) and "columns" in a:  # Sort partials
+            return self._merge_sorted(call, a, b)
+        raise ExecError(f"cannot merge partial results of type {type(a)}")
+
+    @staticmethod
+    def _merge_group_counts(a: List[GroupCount],
+                            b: List[GroupCount]) -> List[GroupCount]:
+        merged: Dict[tuple, GroupCount] = {}
+        for gc in list(a) + list(b):
+            key = tuple(fr.sort_key() for fr in gc.group)
+            cur = merged.get(key)
+            if cur is None:
+                merged[key] = GroupCount(gc.group, gc.count, gc.agg,
+                                         gc.decimal_agg)
+            else:
+                cur.count += gc.count
+                cur.agg += gc.agg
+                if gc.decimal_agg is not None:
+                    cur.decimal_agg = (cur.decimal_agg or 0) + gc.decimal_agg
+        return [merged[k] for k in sorted(merged)]
+
+    @staticmethod
+    def _merge_sorted(call: Call, a: dict, b: dict) -> dict:
+        desc = bool(call.args.get("sort-desc", call.args.get("desc", False)))
+        pairs = list(zip(a["columns"], a["values"])) + \
+            list(zip(b["columns"], b["values"]))
+        pairs.sort(key=lambda cv: ((-cv[1] if desc else cv[1]), cv[0]))
+        return {"columns": [c for c, _ in pairs],
+                "values": [v for _, v in pairs]}
+
+    # ----------------------------------------------------------- post-process
+
+    def _post_process(self, index: Index, call: Call, result, post: dict):
+        name = call.name
+        if name in ("TopN", "TopK") and isinstance(result, PairsField):
+            n = post.get("n")
+            if n:
+                result.pairs = result.pairs[: int(n)]
+            return result
+        if name == "GroupBy" and isinstance(result, list):
+            having = post.get("having")
+            if isinstance(having, Call):
+                result = self.executor._apply_having(result, having)
+            limit = post.get("limit")
+            if limit is not None:
+                result = result[: int(limit)]
+            return result
+        if name == "Sort" and isinstance(result, dict):
+            offset = int(post.get("offset") or 0)
+            limit = post.get("limit")
+            cols, vals = result["columns"], result["values"]
+            if offset:
+                cols, vals = cols[offset:], vals[offset:]
+            if limit is not None:
+                cols, vals = cols[: int(limit)], vals[: int(limit)]
+            return {"columns": cols, "values": vals}
+        if name == "Rows" and isinstance(result, list):
+            limit = call.args.get("limit")
+            if limit is not None:
+                result = result[: int(limit)]
+            return result
+        return result
+
+    # ------------------------------------------------------------- percentile
+
+    def _execute_percentile(self, index: Index, index_name: str, call: Call,
+                            shards: Optional[List[int]]):
+        """Coordinator-driven bisection; each probe is a distributed Count
+        (reference executor.go:1310)."""
+        nth = call.args.get("nth")
+        if nth is None:
+            raise ExecError("Percentile(): nth required")
+        nth = float(nth)
+        if nth < 0 or nth > 100:
+            raise ExecError("Percentile(): nth must be in [0, 100]")
+        fld = call.args.get("_field") or call.args.get("field")
+        f = index.field(fld)
+        if f is None:
+            raise ExecError(f"field not found: {fld}")
+        filt = call.args.get("filter")
+        filt_children = [filt] if isinstance(filt, Call) else []
+
+        def count_of(cond: Optional[Condition]) -> int:
+            row_call = Call("Row", {fld: cond if cond is not None
+                                    else Condition("!=", None)})
+            inner = row_call
+            if filt_children:
+                inner = Call("Intersect",
+                             children=[row_call] + copy.deepcopy(filt_children))
+            return self.map_reduce(index, index_name,
+                                   Call("Count", children=[inner]), shards)
+
+        total = count_of(None)
+        if total == 0:
+            return None
+        desired_less = int(total * nth / 100.0)
+        desired_greater = int(total * (100 - nth) / 100.0)
+        minc = Call("Min", {"_field": fld},
+                    children=copy.deepcopy(filt_children))
+        maxc = Call("Max", {"_field": fld},
+                    children=copy.deepcopy(filt_children))
+        if desired_greater != 0:
+            min_vc = self.map_reduce(index, index_name, minc, shards)
+            if desired_less == 0:
+                return min_vc
+        max_vc = self.map_reduce(index, index_name, maxc, shards)
+        if desired_greater == 0:
+            return max_vc
+
+        def _trunc_div(x: int, y: int) -> int:
+            return -(-x // y) if (x < 0) != (y < 0) else x // y
+
+        lo, hi = min_vc.val, max_vc.val
+        possible = lo
+        while lo < hi:
+            possible = (_trunc_div(lo, 2) + _trunc_div(hi, 2)
+                        + _trunc_div(_trunc_div(lo, 2) * -2 + lo
+                                     + _trunc_div(hi, 2) * -2 + hi, 2))
+            left = count_of(Condition("<", possible))
+            if left > desired_less:
+                hi = possible - 1
+                continue
+            right = count_of(Condition(">", possible))
+            if right > desired_greater:
+                lo = possible + 1
+                continue
+            break
+        return self.executor._wrap_valcount(f, possible, 1)

@@ -87,6 +87,19 @@ class Executor:
             results.append(self._translate_result(index, call, result))
         return results
 
+    def execute_remote(self, index_name: str, query,
+                       shards: Optional[List[int]]) -> List[Any]:
+        """Execute a coordinator-translated call list over an explicit shard
+        subset, returning raw (untranslated) partials (reference: remote leg
+        of mapReduce — peer runs with Remote=true, executor.go:6392)."""
+        index = self.holder.index(index_name)
+        if index is None:
+            raise ExecError(f"index not found: {index_name}")
+        if isinstance(query, str):
+            query = pql_parse(query)
+        return [self._execute_call(index, call, shards)
+                for call in query.calls]
+
     # ------------------------------------------------- key pre-translation
 
     def _pre_translate(self, index: Index, call: Call) -> Call:

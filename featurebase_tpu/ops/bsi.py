@@ -39,6 +39,10 @@ def _full_like(e):
 def _u_eq(slices, base, pred: int, depth: int):
     """Columns in `base` whose magnitude == pred (reference rangeEQ
     fragment.go:963)."""
+    if pred < 0 or pred >= (1 << depth):
+        # unrepresentable at this fragment's bit depth -> no match
+        # (reference: baseValue clamping, field.go:2412)
+        return jnp.zeros_like(base)
     b = base
     for i in range(depth - 1, -1, -1):
         if (pred >> i) & 1:
@@ -51,6 +55,12 @@ def _u_eq(slices, base, pred: int, depth: int):
 def _u_lt(slices, base, pred: int, depth: int, allow_eq: bool):
     """Columns in `base` with magnitude < pred (<= if allow_eq) (reference
     rangeLT / rangeLTUnsigned fragment.go:1024,1061)."""
+    if pred < 0 or (pred == 0 and not allow_eq):
+        return jnp.zeros_like(base)
+    if pred >= (1 << depth):
+        # every representable magnitude is below pred
+        # (reference: baseValue clamping, field.go:2412)
+        return base
     b = base
     keep = jnp.zeros_like(base)
     for i in range(depth - 1, -1, -1):
@@ -68,6 +78,12 @@ def _u_lt(slices, base, pred: int, depth: int, allow_eq: bool):
 def _u_gt(slices, base, pred: int, depth: int, allow_eq: bool):
     """Columns in `base` with magnitude > pred (>= if allow_eq) (reference
     rangeGT / rangeGTUnsigned fragment.go:1088,1129)."""
+    if pred < 0 or (pred == 0 and allow_eq):
+        return base
+    if pred >= (1 << depth):
+        # nothing representable exceeds pred (== only possible when
+        # allow_eq and pred == max, handled by the in-range path)
+        return jnp.zeros_like(base)
     b = base
     keep = jnp.zeros_like(base)
     for i in range(depth - 1, -1, -1):

@@ -37,10 +37,16 @@ def _slice(slices, i):
     return slices[..., i, :]
 
 
+# The comparators walk depth+1 planes: plane `depth` is a virtual all-zeros
+# slice so saturated out-of-range predicates (encode_pred) resolve correctly —
+# a pred magnitude above the fragment's max representable value matches
+# everything for <, nothing for > / == (reference: baseValue clamping,
+# field.go:2412).
+
 def u_eq_t(slices, base, pred_bits, depth: int):
     b = base
-    for i in range(depth - 1, -1, -1):
-        s = _slice(slices, i)
+    for i in range(depth, -1, -1):
+        s = _slice(slices, i) if i < depth else jnp.zeros_like(base)
         b = _sel(pred_bits[i], jnp.bitwise_and(b, s),
                  jnp.bitwise_and(b, jnp.bitwise_not(s)))
     return b
@@ -49,8 +55,8 @@ def u_eq_t(slices, base, pred_bits, depth: int):
 def u_lt_t(slices, base, pred_bits, depth: int, allow_eq: bool):
     b = base
     keep = jnp.zeros_like(base)
-    for i in range(depth - 1, -1, -1):
-        s = _slice(slices, i)
+    for i in range(depth, -1, -1):
+        s = _slice(slices, i) if i < depth else jnp.zeros_like(base)
         not_s = jnp.bitwise_not(s)
         keep = jnp.bitwise_or(
             keep, _sel(pred_bits[i], jnp.bitwise_and(b, not_s),
@@ -65,8 +71,8 @@ def u_lt_t(slices, base, pred_bits, depth: int, allow_eq: bool):
 def u_gt_t(slices, base, pred_bits, depth: int, allow_eq: bool):
     b = base
     keep = jnp.zeros_like(base)
-    for i in range(depth - 1, -1, -1):
-        s = _slice(slices, i)
+    for i in range(depth, -1, -1):
+        s = _slice(slices, i) if i < depth else jnp.zeros_like(base)
         keep = jnp.bitwise_or(
             keep, _sel(pred_bits[i], jnp.zeros_like(b),
                        jnp.bitwise_and(b, s)))
@@ -125,8 +131,13 @@ def range_between_t(slices, exists, sign, filter_, lo_bits, lo_neg,
 
 
 def encode_pred(pred: int, depth: int):
-    """Host helper: int predicate -> (pred_bits (D,) uint32, pred_neg ())."""
+    """Host helper: int predicate -> (pred_bits (D+1,) uint32, pred_neg ()).
+
+    The magnitude is saturated to 2^(depth+1)-1 so any out-of-range pred has
+    the virtual MSB (plane `depth`) set, which the comparators resolve as
+    all-match / no-match (reference: baseValue clamping, field.go:2412)."""
     import numpy as np
-    mag = abs(int(pred))
-    bits = np.array([(mag >> i) & 1 for i in range(depth)], dtype=np.uint32)
+    mag = min(abs(int(pred)), (1 << (depth + 1)) - 1)
+    bits = np.array([(mag >> i) & 1 for i in range(depth + 1)],
+                    dtype=np.uint32)
     return bits, np.uint32(1 if pred < 0 else 0)

@@ -30,12 +30,15 @@ class API:
     ctl/backup.go)."""
 
     def __init__(self, holder: Optional[Holder] = None, mesh=None,
-                 path: str = "", data_dir: Optional[str] = None):
+                 path: str = "", data_dir: Optional[str] = None,
+                 cluster=None):
         from featurebase_tpu.ingest.idalloc import IDAllocator
         self.data_dir = data_dir
         self.idalloc = IDAllocator()
         self.wal = None
         self._replaying = False
+        self.cluster = cluster
+        self.distributed = None
         if data_dir:
             import os
 
@@ -51,6 +54,9 @@ class API:
         else:
             self.holder = holder or Holder(path)
             self.executor = Executor(self.holder, mesh=mesh)
+        if cluster is not None:
+            from featurebase_tpu.cluster.distributed import DistributedExecutor
+            self.distributed = DistributedExecutor(self, cluster)
 
     # -- durability ---------------------------------------------------------
 
@@ -102,6 +108,95 @@ class API:
                                decode_bytes(e["data"]),
                                view=e.get("view", "standard"),
                                clear=e.get("clear", False))
+        elif op == "pql_ast":
+            from featurebase_tpu.cluster.wire import decode_query
+            try:
+                self.executor.execute(e["i"], decode_query(e["q"]))
+            except Exception:
+                pass  # schema may have changed; logical replay best-effort
+        elif op == "keys":
+            idx = self.holder.index(e["i"])
+            if idx is not None:
+                store = (idx.row_translation(e["f"]) if e.get("f")
+                         else idx.translate_store)
+                if store is not None:
+                    store.apply_entries(e["entries"])
+
+    # -- cluster control plane ------------------------------------------------
+
+    def _broadcast(self, msg: dict):
+        """Send a schema/control message to all peers (reference:
+        broadcast.go SendSync; server.go:1109)."""
+        if self.cluster is not None and not self._replaying \
+                and not getattr(self, "_from_broadcast", False):
+            self.cluster.broadcast(msg)
+
+    def handle_cluster_message(self, msg: dict):
+        """Apply a peer's broadcast without re-broadcasting (reference:
+        server.go:995 receiveMessage dispatch)."""
+        t = msg.get("type")
+        self._from_broadcast = True
+        try:
+            if t == "create_index":
+                self.create_index(msg["name"], msg.get("options"),
+                                  if_not_exists=True)
+            elif t == "delete_index":
+                if self.holder.index(msg["name"]) is not None:
+                    self.delete_index(msg["name"])
+            elif t == "create_field":
+                self.create_field(msg["index"], msg["field"],
+                                  msg.get("options"), if_not_exists=True)
+            elif t == "delete_field":
+                idx = self.holder.index(msg["index"])
+                if idx is not None and idx.field(msg["field"]) is not None:
+                    self.delete_field(msg["index"], msg["field"])
+            else:
+                raise APIError(f"unknown cluster message type: {t}", 400)
+        finally:
+            self._from_broadcast = False
+
+    def replicate_index_keys(self, index: str, entries: Dict[str, int]):
+        """Apply primary-assigned column-key entries (replication target)."""
+        idx = self._index(index)
+        entries = {k: int(v) for k, v in entries.items()}
+        idx.translate_store.apply_entries(entries)
+        self._log({"op": "keys", "i": index, "f": "", "entries": entries})
+
+    def replicate_field_keys(self, index: str, field: str,
+                             entries: Dict[str, int]):
+        store = self._index(index).row_translation(field)
+        if store is None:
+            raise APIError("field does not use keys", 400)
+        entries = {k: int(v) for k, v in entries.items()}
+        store.apply_entries(entries)
+        self._log({"op": "keys", "i": index, "f": field, "entries": entries})
+
+    def translate_snapshot(self) -> dict:
+        """Full translate-store state for a node joining/syncing (reference:
+        /internal/translate/data stream, holder.go:1303 holderSyncer)."""
+        out = {}
+        for name in self.holder.indexes:
+            idx = self.holder.index(name)
+            fields = {}
+            for fname in idx.fields:
+                store = idx.row_translation(fname)
+                if store is not None:
+                    fields[fname] = store.to_json()
+            out[name] = {"index": idx.translate_store.to_json(),
+                         "fields": fields}
+        return out
+
+    def apply_translate_snapshot(self, snap: dict):
+        for name, d in (snap or {}).items():
+            idx = self.holder.index(name)
+            if idx is None:
+                continue
+            for p, pd in (d.get("index") or {}).items():
+                idx.translate_store.apply_entries(pd["keys"])
+            for fname, fd in (d.get("fields") or {}).items():
+                store = idx.row_translation(fname)
+                if store is not None:
+                    store.apply_entries(fd["keys"])
 
     def checkpoint(self):
         """Snapshot + truncate WAL."""
@@ -125,6 +220,8 @@ class API:
         except ValueError as e:
             raise APIError(str(e), 409)
         self._log({"op": "create_index", "name": name, "options": options})
+        self._broadcast({"type": "create_index", "name": name,
+                         "options": options})
         return idx
 
     def delete_index(self, name: str):
@@ -132,6 +229,9 @@ class API:
             raise APIError(f"index not found: {name}", 404)
         self.holder.delete_index(name)
         self._log({"op": "delete_index", "name": name})
+        if self.cluster is not None:
+            self.cluster.forget_index(name)
+        self._broadcast({"type": "delete_index", "name": name})
 
     def create_field(self, index: str, field: str,
                      options: Optional[dict] = None,
@@ -145,6 +245,8 @@ class API:
             raise APIError(str(e), 409)
         self._log({"op": "create_field", "i": index, "f": field,
                    "options": options})
+        self._broadcast({"type": "create_field", "index": index,
+                         "field": field, "options": options})
         return f
 
     def delete_field(self, index: str, field: str):
@@ -153,6 +255,8 @@ class API:
             raise APIError(f"field not found: {field}", 404)
         idx.delete_field(field)
         self._log({"op": "delete_field", "i": index, "f": field})
+        self._broadcast({"type": "delete_field", "index": index,
+                         "field": field})
 
     def schema(self) -> list:
         return self.holder.schema()
@@ -170,18 +274,46 @@ class API:
 
     def query(self, index: str, pql: str,
               shards: Optional[List[int]] = None) -> List[Any]:
-        from featurebase_tpu.pql.ast import WRITE_CALLS
         from featurebase_tpu.pql.parser import ParseError
         from featurebase_tpu.pql.parser import parse as _parse
         self._index(index)
         try:
             parsed = _parse(pql) if isinstance(pql, str) else pql
-            if self.wal is not None and any(
-                    c.name in WRITE_CALLS for c in parsed.calls):
-                self._log({"op": "pql", "i": index, "q": pql})
+            if self.distributed is not None:
+                # coordinator path: WAL logging happens on the nodes that
+                # apply the writes (query_remote_local)
+                return self.distributed.execute(index, parsed, shards=shards)
+            self._log_write_calls(index, parsed)
             return self.executor.execute(index, parsed, shards=shards)
         except ParseError as e:
             raise APIError(f"parsing: {e}", 400)
+        except ExecError as e:
+            raise APIError(str(e), 400)
+
+    def _log_write_calls(self, index: str, parsed):
+        from featurebase_tpu.pql.ast import WRITE_CALLS
+        if self.wal is not None and any(
+                c.name in WRITE_CALLS for c in parsed.calls):
+            from featurebase_tpu.cluster.wire import encode_query
+            self._log({"op": "pql_ast", "i": index,
+                       "q": encode_query(parsed)})
+
+    def query_remote_local(self, index: str, query,
+                           shards: Optional[List[int]]) -> List[Any]:
+        """Execute a coordinator-translated query over this node's shard
+        subset; raw partial results (reference: QueryRequest{Remote: true}
+        leg, executor.go:6392)."""
+        self._log_write_calls(index, query)
+        return self.executor.execute_remote(index, query, shards)
+
+    def query_remote(self, index: str, ast: list,
+                     shards: Optional[List[int]]) -> List[dict]:
+        """Wire entry for POST /index/{i}/query with remote=true."""
+        from featurebase_tpu.cluster.wire import (decode_query, encode_result)
+        try:
+            query = decode_query(ast)
+            partials = self.query_remote_local(index, query, shards)
+            return [encode_result(r) for r in partials]
         except ExecError as e:
             raise APIError(str(e), 400)
 
@@ -189,22 +321,35 @@ class API:
 
     def import_bits(self, index: str, field: str, rows, cols,
                     timestamps=None, clear: bool = False,
-                    row_keys=None, col_keys=None):
+                    row_keys=None, col_keys=None, forwarded: bool = False):
         idx = self._index(index)
         f = idx.field(field)
         if f is None:
             raise APIError(f"field not found: {field}", 404)
         if col_keys is not None:
-            ids = idx.translate_store.create_keys(col_keys)
+            ids = self._create_col_keys(idx, col_keys)
             cols = np.array([ids[k] for k in col_keys], dtype=np.int64)
         if row_keys is not None:
-            store = idx.row_translation(field)
-            if store is None:
-                raise APIError("field does not use row keys", 400)
-            ids = store.create_keys(row_keys)
+            ids = self._create_row_keys(idx, field, row_keys)
             rows = np.array([ids[k] for k in row_keys], dtype=np.int64)
         rows = np.asarray(rows, dtype=np.int64)
         cols = np.asarray(cols, dtype=np.int64)
+        if self.cluster is not None and not forwarded:
+            def body_for(sel):
+                b = {"rowIDs": [int(r) for r in rows[sel]],
+                     "columnIDs": [int(c) for c in cols[sel]],
+                     "clear": clear}
+                if timestamps is not None:
+                    ts = np.asarray(timestamps)
+                    b["timestamps"] = list(np.asarray(ts)[sel])
+                return b
+            remote = self._scatter_import(index, field, cols, body_for)
+            if remote is not None:
+                rows, cols = rows[remote], cols[remote]
+                if timestamps is not None:
+                    timestamps = list(np.asarray(timestamps)[remote])
+                if rows.size == 0:
+                    return
         self._log({"op": "bits", "i": index, "f": field,
                    "rows": [int(r) for r in rows],
                    "cols": [int(c) for c in cols],
@@ -214,8 +359,44 @@ class API:
         if not clear:
             idx.mark_exists(cols)
 
+    def _create_col_keys(self, idx, col_keys) -> Dict[str, int]:
+        return self.create_index_keys(idx.name, list(col_keys))
+
+    def _create_row_keys(self, idx, field: str, row_keys) -> Dict[str, int]:
+        return self.create_field_keys(idx.name, field, list(row_keys))
+
+    def _scatter_import(self, index: str, field: str, cols, body_for):
+        """Split an import by shard owner; forward remote slices to every
+        live replica (reference: internal_client.go:691 importNode per
+        replica); returns the positions this node applies locally."""
+        from featurebase_tpu.cluster.client import NodeUnreachable
+        from featurebase_tpu.core.consts import SHARD_WIDTH
+        snap = self.cluster.snapshot
+        shards_arr = np.asarray(cols, dtype=np.int64) // SHARD_WIDTH
+        self.cluster.note_shards(index, np.unique(shards_arr))
+        local = np.zeros(len(shards_arr), dtype=bool)
+        for shard in np.unique(shards_arr):
+            sel = shards_arr == shard
+            owners = snap.shard_nodes(index, int(shard))
+            sent_any = False
+            for node in owners:
+                if self.cluster.is_self(node):
+                    local |= sel
+                    sent_any = True
+                elif node.state != "DOWN":
+                    try:
+                        self.cluster.client.forward_import(
+                            node.uri, index, field, body_for(sel))
+                        sent_any = True
+                    except NodeUnreachable:
+                        self.cluster.mark_down(node.id)
+            if not sent_any:
+                raise APIError(f"no live replica for shard {int(shard)}", 503)
+        return np.nonzero(local)[0]
+
     def import_values(self, index: str, field: str, cols, values,
-                      clear: bool = False, col_keys=None):
+                      clear: bool = False, col_keys=None,
+                      forwarded: bool = False):
         idx = self._index(index)
         f = idx.field(field)
         if f is None:
@@ -223,9 +404,20 @@ class API:
         if not f.is_bsi():
             raise APIError(f"field {field} is not an int-like field", 400)
         if col_keys is not None:
-            ids = idx.translate_store.create_keys(col_keys)
+            ids = self._create_col_keys(idx, col_keys)
             cols = np.array([ids[k] for k in col_keys], dtype=np.int64)
         cols = np.asarray(cols, dtype=np.int64)
+        if self.cluster is not None and not forwarded:
+            values_arr = np.asarray(values)
+            def body_for(sel):
+                return {"columnIDs": [int(c) for c in cols[sel]],
+                        "values": [v.item() if hasattr(v, "item") else v
+                                   for v in values_arr[sel]],
+                        "clear": clear}
+            remote = self._scatter_import(index, field, cols, body_for)
+            cols, values = cols[remote], list(values_arr[remote])
+            if cols.size == 0:
+                return
         self._log({"op": "vals", "i": index, "f": field,
                    "cols": [int(c) for c in cols],
                    "values": [v if not isinstance(v, (np.integer,)) else int(v)
@@ -238,17 +430,47 @@ class API:
     # -- translation --------------------------------------------------------
 
     def create_index_keys(self, index: str, keys: List[str]) -> Dict[str, int]:
-        return self._index(index).translate_store.create_keys(keys)
+        if self.cluster is not None:
+            return self.cluster.route_create_index_keys(self, index, keys)
+        entries = self._index(index).translate_store.create_keys(keys)
+        self._log({"op": "keys", "i": index, "f": "", "entries": entries})
+        return entries
+
+    def primary_create_index_keys(self, index: str,
+                                  keys: List[str]) -> Dict[str, int]:
+        """Key-partition-primary path: create locally, WAL-log, replicate to
+        peers (reference: cluster.go:676 createIndexKeys on primary)."""
+        entries = self._index(index).translate_store.create_keys(keys)
+        self._log({"op": "keys", "i": index, "f": "", "entries": entries})
+        if self.cluster is not None:
+            self.cluster.replicate_index_keys(index, entries)
+        return entries
 
     def find_index_keys(self, index: str, keys: List[str]) -> Dict[str, int]:
         return self._index(index).translate_store.find_keys(keys)
 
     def create_field_keys(self, index: str, field: str,
                           keys: List[str]) -> Dict[str, int]:
+        if self.cluster is not None:
+            return self.cluster.route_create_field_keys(self, index, field,
+                                                        keys)
         store = self._index(index).row_translation(field)
         if store is None:
             raise APIError("field does not use keys", 400)
-        return store.create_keys(keys)
+        entries = store.create_keys(keys)
+        self._log({"op": "keys", "i": index, "f": field, "entries": entries})
+        return entries
+
+    def primary_create_field_keys(self, index: str, field: str,
+                                  keys: List[str]) -> Dict[str, int]:
+        store = self._index(index).row_translation(field)
+        if store is None:
+            raise APIError("field does not use keys", 400)
+        entries = store.create_keys(keys)
+        self._log({"op": "keys", "i": index, "f": field, "entries": entries})
+        if self.cluster is not None:
+            self.cluster.replicate_field_keys(index, field, entries)
+        return entries
 
     def find_field_keys(self, index: str, field: str,
                         keys: List[str]) -> Dict[str, int]:
@@ -259,18 +481,63 @@ class API:
 
     # -- roaring import/export (reference api.go:618,1647; /export route) ----
 
+    def _roaring_owners(self, index: str, shard: int):
+        """(apply_locally, live_remote_owners) for one shard's roaring
+        payload; raises if no live replica."""
+        snap = self.cluster.snapshot
+        owners = snap.shard_nodes(index, shard)
+        self.cluster.note_shards(index, [shard])
+        local = any(self.cluster.is_self(n) for n in owners)
+        remote = [n for n in owners
+                  if not self.cluster.is_self(n) and n.state != "DOWN"]
+        if not local and not remote:
+            raise APIError(f"no live replica for shard {shard}", 503)
+        return local, remote
+
     def import_roaring(self, index: str, field: str, shard: int, data: bytes,
-                       view: str = "standard", clear: bool = False):
+                       view: str = "standard", clear: bool = False,
+                       forwarded: bool = False):
         from featurebase_tpu.ingest.roaring_import import import_roaring
         from featurebase_tpu.storage.wal import encode_bytes
         idx = self._index(index)
         if idx.field(field) is None:
             raise APIError(f"field not found: {field}", 404)
+        if self.cluster is not None and not forwarded:
+            import base64
+            local, remote = self._roaring_owners(index, shard)
+            body = {"views": {f"{field}/{view}": {
+                "data": base64.b64encode(data).decode("ascii"),
+                "clear": clear}}}
+            for node in remote:
+                self.cluster.client.forward_roaring(node.uri, index, shard,
+                                                    body)
+            if not local:
+                return
         self._log({"op": "roaring", "i": index, "f": field, "shard": shard,
                    "data": encode_bytes(data), "view": view, "clear": clear})
         import_roaring(idx, field, shard, data, view=view, clear=clear)
 
-    def import_roaring_shard(self, index: str, shard: int, views: dict):
+    def import_roaring_shard(self, index: str, shard: int, views: dict,
+                             forwarded: bool = False):
+        if self.cluster is not None and not forwarded:
+            import base64
+            local, remote = self._roaring_owners(index, shard)
+            if remote:
+                body = {"views": {
+                    spec: {"data": base64.b64encode(
+                               p.get("data", b"")).decode("ascii"),
+                           "clear": p.get("clear", False),
+                           "replace": p.get("replace", False)}
+                    for spec, p in views.items()}}
+                for node in remote:
+                    self.cluster.client.forward_roaring(node.uri, index,
+                                                        shard, body)
+            if not local:
+                return
+        return self._import_roaring_shard_local(index, shard, views)
+
+    def _import_roaring_shard_local(self, index: str, shard: int,
+                                    views: dict):
         from featurebase_tpu.ingest.roaring_import import import_roaring_shard
         from featurebase_tpu.storage.wal import encode_bytes
         idx = self._index(index)
@@ -317,9 +584,15 @@ class API:
 
     def status(self) -> dict:
         import jax
-        return {
+        out = {
             "state": "NORMAL",
             "indexes": sorted(self.holder.indexes),
             "devices": [str(d) for d in jax.devices()],
             "shardWidth": 1 << 20,
         }
+        if self.cluster is not None:
+            out["state"] = self.cluster.snapshot.state()
+            out["nodeID"] = self.cluster.node_id
+            out["nodes"] = [n.to_json() for n in self.cluster.nodes]
+            out["replicas"] = self.cluster.snapshot.replicas
+        return out

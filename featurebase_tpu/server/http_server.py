@@ -96,6 +96,13 @@ class Handler(BaseHTTPRequestHandler):
         m = re.fullmatch(r"/index/([^/]+)/query", path)
         if m and method == "POST":
             body = self._json()
+            if isinstance(body, dict) and body.get("remote"):
+                # peer leg of distributed mapReduce (reference:
+                # QueryRequest{Remote: true}, executor.go:6392 remoteExec)
+                partials = self.api.query_remote(m.group(1),
+                                                 body.get("ast") or [],
+                                                 body.get("shards"))
+                return self._send({"partials": partials})
             pql = body.get("query") or body.get("_raw") or ""
             shards = body.get("shards") if isinstance(body, dict) else None
             results = self.api.query(m.group(1), pql, shards=shards)
@@ -104,19 +111,21 @@ class Handler(BaseHTTPRequestHandler):
         m = re.fullmatch(r"/index/([^/]+)/field/([^/]+)/import", path)
         if m and method == "POST":
             b = self._json()
+            fwd = self.headers.get("X-Featurebase-Forwarded") == "1"
             if "values" in b:
                 self.api.import_values(
                     m.group(1), m.group(2),
                     cols=b.get("columnIDs", []), values=b["values"],
                     clear=b.get("clear", False),
-                    col_keys=b.get("columnKeys"))
+                    col_keys=b.get("columnKeys"), forwarded=fwd)
             else:
                 self.api.import_bits(
                     m.group(1), m.group(2),
                     rows=b.get("rowIDs", []), cols=b.get("columnIDs", []),
                     timestamps=b.get("timestamps"),
                     clear=b.get("clear", False),
-                    row_keys=b.get("rowKeys"), col_keys=b.get("columnKeys"))
+                    row_keys=b.get("rowKeys"), col_keys=b.get("columnKeys"),
+                    forwarded=fwd)
             return self._send({})
 
         m = re.fullmatch(r"/index/([^/]+)/field/([^/]+)", path)
@@ -189,8 +198,10 @@ class Handler(BaseHTTPRequestHandler):
                 data = self._body()
                 view = query.get("view", "standard")
                 clear = query.get("clear", "false") == "true"
+            fwd = self.headers.get("X-Featurebase-Forwarded") == "1"
             self.api.import_roaring(m.group(1), m.group(2), int(m.group(3)),
-                                    data, view=view, clear=clear)
+                                    data, view=view, clear=clear,
+                                    forwarded=fwd)
             return self._send({})
 
         m = re.fullmatch(r"/index/([^/]+)/shard/(\d+)/import-roaring", path)
@@ -202,7 +213,9 @@ class Handler(BaseHTTPRequestHandler):
                 views[spec] = {"data": base64.b64decode(p.get("data", "")),
                                "clear": p.get("clear", False),
                                "replace": p.get("replace", False)}
-            self.api.import_roaring_shard(m.group(1), int(m.group(2)), views)
+            fwd = self.headers.get("X-Featurebase-Forwarded") == "1"
+            self.api.import_roaring_shard(m.group(1), int(m.group(2)), views,
+                                          forwarded=fwd)
             return self._send({})
 
         m = re.fullmatch(r"/export", path)
@@ -256,6 +269,48 @@ class Handler(BaseHTTPRequestHandler):
             return self._send(
                 self.api.find_field_keys(m.group(1), m.group(2), keys))
 
+        # -- cluster internal routes (reference: /internal/* table,
+        # http_handler.go:557-589) --------------------------------------
+
+        if path == "/internal/cluster/message" and method == "POST":
+            self.api.handle_cluster_message(self._json())
+            return self._send({})
+
+        m = re.fullmatch(r"/internal/translate/index/([^/]+)/replicate", path)
+        if m and method == "POST":
+            self.api.replicate_index_keys(m.group(1),
+                                          self._json().get("entries", {}))
+            return self._send({})
+
+        m = re.fullmatch(r"/internal/translate/field/([^/]+)/([^/]+)/replicate",
+                         path)
+        if m and method == "POST":
+            self.api.replicate_field_keys(m.group(1), m.group(2),
+                                          self._json().get("entries", {}))
+            return self._send({})
+
+        m = re.fullmatch(r"/internal/translate/index/([^/]+)/ids", path)
+        if m and method == "POST":
+            idx = self.api.holder.index(m.group(1))
+            if idx is None:
+                raise APIError("index not found", 404)
+            keys = idx.translate_store.translate_ids(
+                self._json().get("ids", []))
+            return self._send({"keys": keys})
+
+        m = re.fullmatch(r"/internal/translate/field/([^/]+)/([^/]+)/ids",
+                         path)
+        if m and method == "POST":
+            store = self.api.holder.index(m.group(1)).row_translation(
+                m.group(2)) if self.api.holder.index(m.group(1)) else None
+            if store is None:
+                raise APIError("field not found or unkeyed", 404)
+            return self._send(
+                {"keys": store.translate_ids(self._json().get("ids", []))})
+
+        if path == "/internal/translate/snapshot" and method == "GET":
+            return self._send(self.api.translate_snapshot())
+
         raise APIError(f"no route: {method} {path}", 404)
 
 
@@ -264,12 +319,21 @@ class Server:
     minus etcd — single-controller for now)."""
 
     def __init__(self, api: Optional[API] = None, host: str = "127.0.0.1",
-                 port: int = 0):
-        self.api = api or API()
-        handler = type("BoundHandler", (Handler,), {"api": self.api})
-        self.httpd = ThreadingHTTPServer((host, port), handler)
+                 port: int = 0, defer_api: bool = False):
+        """With defer_api=True the listening socket is bound (so the port is
+        known for cluster config) but the API is attached later via
+        set_api() — used by the multi-node harness where node URIs must
+        exist before each node's Cluster/API can be built."""
+        self.api = api if defer_api else (api or API())
+        self._handler_cls = type("BoundHandler", (Handler,),
+                                 {"api": self.api})
+        self.httpd = ThreadingHTTPServer((host, port), self._handler_cls)
         self.port = self.httpd.server_address[1]
         self._thread: Optional[threading.Thread] = None
+
+    def set_api(self, api: API):
+        self.api = api
+        self._handler_cls.api = api
 
     def start(self):
         self._thread = threading.Thread(target=self.httpd.serve_forever,

@@ -132,6 +132,16 @@ class IndexTranslateStore:
                 out.append(found)
             return out
 
+    def apply_entries(self, entries: Dict[str, int]):
+        """Install primary-assigned key->id pairs verbatim (cluster
+        replication; reference: translate entry streaming, holder.go:1303)."""
+        with self._lock:
+            for k, id_ in entries.items():
+                part = self._part_for_key(k)
+                part.key_to_id[k] = int(id_)
+                part.id_to_key[int(id_)] = k
+                part.max_id = max(part.max_id, int(id_))
+
     def to_json(self):
         return {str(p): {"keys": part.key_to_id, "max_id": part.max_id}
                 for p, part in self.partitions.items()}
@@ -180,6 +190,13 @@ class FieldTranslateStore:
     def translate_ids(self, ids: Iterable[int]) -> List[Optional[str]]:
         with self._lock:
             return [self.id_to_key.get(int(i)) for i in ids]
+
+    def apply_entries(self, entries: Dict[str, int]):
+        with self._lock:
+            for k, id_ in entries.items():
+                self.key_to_id[k] = int(id_)
+                self.id_to_key[int(id_)] = k
+                self.max_id = max(self.max_id, int(id_))
 
     def to_json(self):
         return {"keys": self.key_to_id, "max_id": self.max_id}

@@ -1,0 +1,234 @@
+"""Multi-node cluster tests: placement, broadcast, distributed queries,
+replication, failover.
+
+Modeled on the reference's in-process cluster harness tests (reference:
+test/cluster.go MustRunCluster; executor_test.go distributed cases;
+internal/clustertests/pause_node_test.go TestPauseReplica for failover).
+Parity oracle: the same data on a single-node API must produce identical
+JSON responses.
+"""
+import numpy as np
+import pytest
+
+from featurebase_tpu.cluster.topology import ClusterSnapshot, Node
+from featurebase_tpu.core.consts import SHARD_WIDTH
+from featurebase_tpu.server.api import API
+from featurebase_tpu.server.serialize import response_to_json
+from featurebase_tpu.testing import TestCluster
+
+COLS = [1, 5, SHARD_WIDTH + 3, 2 * SHARD_WIDTH + 7, 5 * SHARD_WIDTH + 100,
+        9 * SHARD_WIDTH + 2, 3, SHARD_WIDTH + 9]
+ROWS = [1, 1, 1, 2, 2, 3, 4, 4]
+VALS = [10, -3, 42, 7, 42, 5, 0, 99]
+
+QUERIES = [
+    "Count(Row(f=1))",
+    "Row(f=2)",
+    "Count(Union(Row(f=1), Row(f=2)))",
+    "Count(Intersect(Row(f=1), Row(f=4)))",
+    "Count(Not(Row(f=1)))",
+    "TopN(f, n=2)",
+    "Sum(field=v)",
+    "Min(field=v)",
+    "Max(field=v)",
+    "Count(Row(v > 6))",
+    "Count(Distinct(field=v))",
+    "GroupBy(Rows(f))",
+    "GroupBy(Rows(f), aggregate=Sum(field=v))",
+    "Rows(f)",
+    "Percentile(field=v, nth=50)",
+    "Extract(Row(f=1), Rows(f))",
+    "Sort(All(), field=v, limit=3)",
+    "MinRow(field=f)",
+    "MaxRow(field=f)",
+]
+
+
+def seed(api_like, via_http=None):
+    """Create schema + data either directly on an API or over HTTP."""
+    if via_http is None:
+        api_like.create_index("i", {"trackExistence": True})
+        api_like.create_field("i", "f", {"type": "set"})
+        api_like.create_field("i", "v", {"type": "int"})
+        api_like.import_bits("i", "f", ROWS, COLS)
+        api_like.import_values("i", "v", COLS, VALS)
+    else:
+        tc, n = api_like, via_http
+        tc.http(n, "POST", "/index/i",
+                {"options": {"trackExistence": True}})
+        tc.http(n, "POST", "/index/i/field/f", {"options": {"type": "set"}})
+        tc.http(n, "POST", "/index/i/field/v", {"options": {"type": "int"}})
+        tc.http(n, "POST", "/index/i/field/f/import",
+                {"rowIDs": ROWS, "columnIDs": COLS})
+        tc.http(n, "POST", "/index/i/field/v/import",
+                {"columnIDs": COLS, "values": VALS})
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    api = API()
+    seed(api)
+    return api
+
+
+class TestTopology:
+    def make_snap(self, n=3, replicas=2):
+        return ClusterSnapshot(
+            [Node(f"node{i}", f"http://127.0.0.1:{10000+i}")
+             for i in range(n)], replicas=replicas)
+
+    def test_every_node_computes_identical_placement(self):
+        a, b = self.make_snap(), self.make_snap()
+        for s in range(64):
+            assert [n.id for n in a.shard_nodes("i", s)] == \
+                [n.id for n in b.shard_nodes("i", s)]
+
+    def test_replicas_are_distinct_consecutive_nodes(self):
+        snap = self.make_snap(n=4, replicas=3)
+        for s in range(32):
+            owners = [n.id for n in snap.shard_nodes("i", s)]
+            assert len(owners) == 3
+            assert len(set(owners)) == 3
+
+    def test_shards_spread_across_nodes(self):
+        snap = self.make_snap(n=3, replicas=1)
+        primaries = {snap.shard_nodes("i", s)[0].id for s in range(64)}
+        assert len(primaries) == 3  # jump hash spreads partitions
+
+    def test_key_partition_primary_is_stable(self):
+        snap = self.make_snap()
+        assert snap.primary_key_node("i", "abc").id == \
+            snap.primary_key_node("i", "abc").id
+        assert snap.primary_field_translation_node() is not None
+
+    def test_cluster_state(self):
+        snap = self.make_snap(n=3, replicas=2)
+        assert snap.state() == "NORMAL"
+        snap.nodes[1].state = "DOWN"
+        assert snap.state() == "DEGRADED"
+        snap.nodes[2].state = "DOWN"
+        assert snap.state() == "DOWN"
+
+
+class TestDistributedQueries:
+    @pytest.fixture(scope="class")
+    def cluster(self):
+        with TestCluster(3) as tc:
+            seed(tc, via_http=0)
+            yield tc
+
+    def test_schema_broadcast(self, cluster):
+        for i in range(3):
+            schema = cluster.http(i, "GET", "/schema")["indexes"]
+            names = {f["name"] for f in schema[0]["fields"]}
+            assert {"f", "v"} <= names
+
+    def test_data_is_distributed(self, cluster):
+        # at least two nodes hold some shard of i locally
+        holders = sum(
+            1 for api in cluster.apis
+            if api.holder.index("i").available_shards())
+        assert holders >= 2
+
+    @pytest.mark.parametrize("pql", QUERIES)
+    def test_parity_with_single_node(self, cluster, oracle, pql):
+        want = response_to_json(oracle.query("i", pql))
+        for n in range(3):
+            got = cluster.query(n, "i", pql)
+            assert got == want, f"node{n} {pql}: {got} != {want}"
+
+    def test_writes_from_any_node(self, cluster, oracle):
+        col = 7 * SHARD_WIDTH + 11
+        cluster.query(1, "i", f"Set({col}, f=9)")
+        oracle.query("i", f"Set({col}, f=9)")
+        for n in range(3):
+            assert cluster.query(n, "i", "Count(Row(f=9))") == \
+                {"results": [1]}
+        # clear it back
+        cluster.query(2, "i", f"Clear({col}, f=9)")
+        oracle.query("i", f"Clear({col}, f=9)")
+        assert cluster.query(0, "i", "Count(Row(f=9))") == {"results": [0]}
+
+    def test_nested_precall_distinct_filter(self, cluster, oracle):
+        pql = "Count(Intersect(Row(f=1), Distinct(field=f)))"
+        want = response_to_json(oracle.query("i", pql))
+        assert cluster.query(1, "i", pql) == want
+
+
+class TestKeyedCluster:
+    @pytest.fixture(scope="class")
+    def cluster(self):
+        with TestCluster(3) as tc:
+            tc.http(0, "POST", "/index/k", {"options": {"keys": True}})
+            tc.http(0, "POST", "/index/k/field/tag",
+                    {"options": {"type": "set", "keys": True}})
+            tc.http(1, "POST", "/index/k/field/tag/import",
+                    {"rowKeys": ["red", "blue", "red", "green"],
+                     "columnKeys": ["a", "b", "c", "d"]})
+            yield tc
+
+    def test_keys_replicated_to_all_nodes(self, cluster):
+        for api in cluster.apis:
+            store = api.holder.index("k").translate_store
+            found = store.find_keys(["a", "b", "c", "d"])
+            assert len(found) == 4
+
+    def test_query_by_key_from_any_node(self, cluster):
+        for n in range(3):
+            got = cluster.query(n, "k", 'Count(Row(tag="red"))')
+            assert got == {"results": [2]}
+
+    def test_row_result_translates_to_keys(self, cluster):
+        got = cluster.query(2, "k", 'Row(tag="red")')
+        assert sorted(got["results"][0]["keys"]) == ["a", "c"]
+
+    def test_topn_returns_keys(self, cluster):
+        got = cluster.query(1, "k", "TopN(tag, n=1)")
+        assert got["results"][0]["pairs"][0]["key"] == "red"
+
+    def test_pql_set_with_keys(self, cluster):
+        cluster.query(2, "k", 'Set("zzz", tag="purple")')
+        for n in range(3):
+            assert cluster.query(n, "k", 'Count(Row(tag="purple"))') == \
+                {"results": [1]}
+
+
+class TestReplicationFailover:
+    def test_read_failover_with_replicas(self):
+        with TestCluster(3, replicas=2) as tc:
+            seed(tc, via_http=0)
+            want = tc.query(0, "i", "Count(Row(f=1))")
+            assert want == {"results": [3]}
+            # kill a non-coordinator node; reads must still succeed via
+            # replicas (reference: executor.go:6503 failover;
+            # TestPauseReplica)
+            tc.stop_node(2)
+            for n in (0, 1):
+                got = tc.query(n, "i", "Count(Row(f=1))")
+                assert got == {"results": [3]}
+            got = tc.query(0, "i", "Sum(field=v)")
+            assert got["results"][0]["value"] == sum(VALS)
+
+    def test_no_replica_means_missing_shards_error(self):
+        with TestCluster(2, replicas=1) as tc:
+            tc.http(0, "POST", "/index/i", {"options": {}})
+            tc.http(0, "POST", "/index/i/field/f",
+                    {"options": {"type": "set"}})
+            # place a bit in a shard owned (solely) by node1
+            snap = tc.apis[0].cluster.snapshot
+            shard = next(s for s in range(64)
+                         if snap.shard_nodes("i", s)[0].id == "node1")
+            tc.query(0, "i", f"Set({shard * SHARD_WIDTH + 1}, f=1)")
+            tc.stop_node(1)
+            import urllib.error
+            with pytest.raises(urllib.error.HTTPError):
+                tc.query(0, "i", "Count(Row(f=1))")
+
+
+class TestClusterStatus:
+    def test_status_reports_nodes(self):
+        with TestCluster(2) as tc:
+            st = tc.http(0, "GET", "/status")
+            assert st["nodeID"] == "node0"
+            assert len(st["nodes"]) == 2
+            assert st["state"] == "NORMAL"
