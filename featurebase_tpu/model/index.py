@@ -114,6 +114,9 @@ class Holder:
         self.path = path
         self._lock = threading.RLock()
         self.indexes: Dict[str, Index] = {}
+        # SQL views: name -> SELECT statement text (reference: sql3 CREATE
+        # VIEW; persisted in snapshots, replayed from the WAL)
+        self.sql_views: Dict[str, str] = {}
 
     def create_index(self, name: str, options: Optional[IndexOptions] = None,
                      if_not_exists: bool = False) -> Index:

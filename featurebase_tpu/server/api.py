@@ -121,6 +121,10 @@ class API:
                          else idx.translate_store)
                 if store is not None:
                     store.apply_entries(e["entries"])
+        elif op == "create_view":
+            self.holder.sql_views[e["name"]] = e["sql"]
+        elif op == "delete_view":
+            self.holder.sql_views.pop(e["name"], None)
 
     # -- cluster control plane ------------------------------------------------
 
@@ -150,6 +154,11 @@ class API:
                 idx = self.holder.index(msg["index"])
                 if idx is not None and idx.field(msg["field"]) is not None:
                     self.delete_field(msg["index"], msg["field"])
+            elif t == "create_view":
+                self.create_sql_view(msg["name"], msg["sql"],
+                                     if_not_exists=True)
+            elif t == "delete_view":
+                self.delete_sql_view(msg["name"], if_exists=True)
             else:
                 raise APIError(f"unknown cluster message type: {t}", 400)
         finally:
@@ -184,10 +193,15 @@ class API:
                     fields[fname] = store.to_json()
             out[name] = {"index": idx.translate_store.to_json(),
                          "fields": fields}
+        if self.holder.sql_views:
+            out["$views"] = dict(self.holder.sql_views)
         return out
 
     def apply_translate_snapshot(self, snap: dict):
         for name, d in (snap or {}).items():
+            if name == "$views":
+                self.holder.sql_views.update(d)
+                continue
             idx = self.holder.index(name)
             if idx is None:
                 continue
@@ -257,6 +271,26 @@ class API:
         self._log({"op": "delete_field", "i": index, "f": field})
         self._broadcast({"type": "delete_field", "index": index,
                          "field": field})
+
+    def create_sql_view(self, name: str, select_sql: str,
+                        if_not_exists: bool = False):
+        """Register a SQL view (reference: sql3 CREATE VIEW; stored on the
+        holder, snapshot-persisted, WAL-logged, broadcast to peers)."""
+        if name in self.holder.sql_views and not if_not_exists:
+            raise APIError(f"view already exists: {name}", 409)
+        self.holder.sql_views[name] = select_sql
+        self._log({"op": "create_view", "name": name, "sql": select_sql})
+        self._broadcast({"type": "create_view", "name": name,
+                         "sql": select_sql})
+
+    def delete_sql_view(self, name: str, if_exists: bool = False):
+        if name not in self.holder.sql_views:
+            if if_exists:
+                return
+            raise APIError(f"view not found: {name}", 404)
+        del self.holder.sql_views[name]
+        self._log({"op": "delete_view", "name": name})
+        self._broadcast({"type": "delete_view", "name": name})
 
     def schema(self) -> list:
         return self.holder.schema()

@@ -1,0 +1,152 @@
+"""Scalar SQL functions (reference: sql3/planner/inbuiltfunctions*.go —
+string/number/date built-ins).  Each takes already-evaluated Python values
+and returns a Python value; None propagates unless stated."""
+from __future__ import annotations
+
+import datetime
+import math
+from typing import Any, Callable, Dict, List
+
+
+def _nullable(fn):
+    def wrapped(*args):
+        if any(a is None for a in args):
+            return None
+        return fn(*args)
+    return wrapped
+
+
+def _as_dt(v) -> datetime.datetime:
+    if isinstance(v, datetime.datetime):
+        return v
+    if isinstance(v, (int, float)):
+        return datetime.datetime.utcfromtimestamp(v)
+    return datetime.datetime.fromisoformat(str(v).replace("Z", "+00:00")) \
+        .replace(tzinfo=None)
+
+
+def _datetimepart(part, v):
+    dt = _as_dt(v)
+    part = str(part).lower()
+    table = {"yy": dt.year, "year": dt.year, "m": dt.month, "month": dt.month,
+             "d": dt.day, "day": dt.day, "hh": dt.hour, "hour": dt.hour,
+             "mi": dt.minute, "minute": dt.minute, "s": dt.second,
+             "second": dt.second, "ms": dt.microsecond // 1000,
+             "w": dt.isoweekday() % 7, "wk": dt.isocalendar()[1]}
+    if part not in table:
+        raise ValueError(f"bad datetimepart {part!r}")
+    return table[part]
+
+
+def _substring(s, start, length=None):
+    s = str(s)
+    start = int(start)
+    if length is None:
+        return s[start:]
+    return s[start:start + int(length)]
+
+
+def _round(x, digits=0):
+    return round(float(x), int(digits)) if digits else float(round(float(x)))
+
+
+def _setcontains(s, v) -> bool:
+    if s is None:
+        return False
+    return v in s if isinstance(s, (list, set, tuple)) else s == v
+
+
+def _setcontainsany(s, vals) -> bool:
+    if s is None or vals is None:
+        return False
+    ss = s if isinstance(s, (list, set, tuple)) else [s]
+    return any(v in ss for v in vals)
+
+
+def _setcontainsall(s, vals) -> bool:
+    if s is None or vals is None:
+        return False
+    ss = s if isinstance(s, (list, set, tuple)) else [s]
+    return all(v in ss for v in vals)
+
+
+FUNCTIONS: Dict[str, Callable[..., Any]] = {
+    # string (reference: inbuiltfunctionsstring.go)
+    "upper": _nullable(lambda s: str(s).upper()),
+    "lower": _nullable(lambda s: str(s).lower()),
+    "char_length": _nullable(lambda s: len(str(s))),
+    "len": _nullable(lambda s: len(str(s))),
+    "ltrim": _nullable(lambda s: str(s).lstrip()),
+    "rtrim": _nullable(lambda s: str(s).rstrip()),
+    "trim": _nullable(lambda s: str(s).strip()),
+    "reverse": _nullable(lambda s: str(s)[::-1]),
+    "substring": _nullable(_substring),
+    "replaceall": _nullable(lambda s, a, b: str(s).replace(str(a), str(b))),
+    "replace": _nullable(lambda s, a, b: str(s).replace(str(a), str(b))),
+    "stringsplit": _nullable(
+        lambda s, sep, idx=0: (str(s).split(str(sep)) + [None] * 99)[int(idx)]),
+    "format": _nullable(lambda fmt, *a: str(fmt).format(*a)),
+    "space": _nullable(lambda n: " " * int(n)),
+    "prefix": _nullable(lambda s, n: str(s)[: int(n)]),
+    "suffix": _nullable(lambda s, n: str(s)[-int(n):]),
+    "str": _nullable(lambda v: str(v)),
+    # number (reference: inbuiltfunctionsnumber.go)
+    "abs": _nullable(lambda x: abs(x)),
+    "ceil": _nullable(lambda x: math.ceil(x)),
+    "floor": _nullable(lambda x: math.floor(x)),
+    "round": _nullable(_round),
+    "sqrt": _nullable(lambda x: math.sqrt(x)),
+    "power": _nullable(lambda x, y: x ** y),
+    "pow": _nullable(lambda x, y: x ** y),
+    "mod": _nullable(lambda x, y: x % y),
+    "sign": _nullable(lambda x: (x > 0) - (x < 0)),
+    "log": _nullable(lambda x: math.log(x)),
+    "log10": _nullable(lambda x: math.log10(x)),
+    "exp": _nullable(lambda x: math.exp(x)),
+    "sin": _nullable(math.sin), "cos": _nullable(math.cos),
+    "tan": _nullable(math.tan), "atan": _nullable(math.atan),
+    "int": _nullable(lambda v: int(v)),
+    # date/time (reference: inbuiltfunctionsdatetime.go)
+    "datetimepart": _nullable(_datetimepart),
+    "datetimename": _nullable(
+        lambda part, v: _as_dt(v).strftime(
+            {"month": "%B", "m": "%B", "day": "%A", "d": "%A"}
+            .get(str(part).lower(), "%c"))),
+    "dateadd": _nullable(lambda part, n, v: _date_add(part, n, v)),
+    "totimestamp": _nullable(lambda v, unit="s": _as_dt(
+        float(v) * {"s": 1, "ms": 1e-3, "us": 1e-6, "ns": 1e-9}
+        [str(unit)]).isoformat()),
+    # set helpers (reference: inbuiltfunctionsset.go)
+    "setcontains": _setcontains,
+    "setcontainsany": _setcontainsany,
+    "setcontainsall": _setcontainsall,
+    # misc
+    "coalesce": lambda *a: next((x for x in a if x is not None), None),
+    "nullif": _nullable(lambda a, b: None if a == b else a),
+    "iif": lambda c, a, b: a if c else b,
+    "greatest": _nullable(lambda *a: max(a)),
+    "least": _nullable(lambda *a: min(a)),
+}
+
+
+def _date_add(part, n, v):
+    dt = _as_dt(v)
+    part = str(part).lower()
+    n = int(n)
+    if part in ("yy", "year"):
+        return dt.replace(year=dt.year + n).isoformat()
+    if part in ("m", "month"):
+        month = dt.month - 1 + n
+        return dt.replace(year=dt.year + month // 12,
+                          month=month % 12 + 1).isoformat()
+    delta = {"d": "days", "day": "days", "hh": "hours", "hour": "hours",
+             "mi": "minutes", "minute": "minutes", "s": "seconds",
+             "second": "seconds", "ms": "milliseconds"}[part]
+    return (dt + datetime.timedelta(**{delta: n})).isoformat()
+
+
+def call_function(name: str, args: List[Any]):
+    fn = FUNCTIONS.get(name)
+    if fn is None:
+        raise ValueError(f"unknown function {name}()")
+    return fn(*args)

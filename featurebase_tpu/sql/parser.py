@@ -1,37 +1,36 @@
-"""SQL parser — a hand-written lexer/recursive-descent parser for the subset
-of the reference dialect that lowers onto the PQL layer (reference:
-sql3/parser/parser.go 3933 LoC hand-written parser; this grows toward it).
+"""SQL parser — hand-written lexer + recursive-descent parser for the
+reference dialect subset that lowers onto the PQL layer (reference:
+sql3/parser/parser.go hand-written parser, token.go, astdatatype.go).
 
-Supported:
-  SELECT <list> FROM <table> [WHERE <expr>] [GROUP BY c, ...]
-      [HAVING <expr>] [ORDER BY c [ASC|DESC], ...] [LIMIT n [OFFSET m]]
-      list: *, _id, col, COUNT(*), COUNT(col), COUNT(DISTINCT col),
-            SUM(col), MIN(col), MAX(col), AVG(col)
-  CREATE TABLE t (_id ID | STRING, col TYPE [CACHETYPE ...], ...)
-      types: ID, STRING, IDSET, STRINGSET, INT [MIN x MAX y],
-             DECIMAL(scale), TIMESTAMP, BOOL
-  DROP TABLE t; SHOW TABLES; SHOW COLUMNS FROM t
-  INSERT INTO t (_id, col, ...) VALUES (...), (...)
-  DELETE FROM t [WHERE expr]
+Statements: SELECT (expressions, aliases, DISTINCT, TOP, joins, subqueries
+in FROM and IN, GROUP BY/HAVING, ORDER BY, LIMIT/OFFSET), CREATE/ALTER/DROP
+TABLE, CREATE/DROP VIEW, INSERT/REPLACE, BULK INSERT, DELETE, SHOW
+TABLES|DATABASES|VIEWS|COLUMNS|CREATE TABLE.
+
+Expression grammar (precedence low->high):
+  OR < AND < NOT < predicate (cmp, IN, BETWEEN, LIKE, IS NULL)
+     < additive (+ - ||) < multiplicative (* / %) < unary (-) < primary
 """
 from __future__ import annotations
 
 import re
 from typing import Any, List, Optional, Tuple
 
+from featurebase_tpu.sql.ast import (AlterTable, Between, BinOp, BulkInsert,
+                                     Case, Col, CreateTable, CreateView,
+                                     Delete, DropTable, DropView, Expr, Func,
+                                     InList, InSelect, Insert, IsNull, Like,
+                                     Lit, Select, SelectItem, Show, Star,
+                                     TableRef, Join, UnOp, AGGREGATES)
+
 _TOKEN_RX = re.compile(r"""
     \s*(?:
-      (?P<num>-?\d+\.\d+|-?\d+)
-    | (?P<str>'(?:[^']|'')*'|"(?:[^"]|"")*")
-    | (?P<op><=|>=|<>|!=|=|<|>|\(|\)|,|\*|\[|\]|;)
+      (?P<num>\d+\.\d+|\d+)
+    | (?P<str>'(?:[^']|'')*')
+    | (?P<qident>"(?:[^"]|"")*")
+    | (?P<op><=|>=|<>|!=|\|\||=|<|>|\(|\)|,|\*|/|%|\+|-|;|\.|\[|\])
     | (?P<word>[A-Za-z_][A-Za-z0-9_\-]*)
     )""", re.VERBOSE)
-
-KEYWORDS = {"select", "from", "where", "group", "by", "having", "order",
-            "limit", "offset", "and", "or", "not", "in", "between", "is",
-            "null", "asc", "desc", "distinct", "create", "table", "drop",
-            "insert", "into", "values", "delete", "show", "tables",
-            "columns", "true", "false", "if", "exists", "with", "as", "top"}
 
 
 class SQLError(Exception):
@@ -40,7 +39,8 @@ class SQLError(Exception):
 
 class Lexer:
     def __init__(self, src: str):
-        self.tokens: List[Tuple[str, Any]] = []
+        self.src = src
+        self.tokens: List[Tuple[str, Any, int]] = []
         i = 0
         while i < len(src):
             m = _TOKEN_RX.match(src, i)
@@ -48,30 +48,38 @@ class Lexer:
                 if src[i:].strip() == "":
                     break
                 raise SQLError(f"bad token at {i}: {src[i:i+16]!r}")
-            i = m.end()
+            start, i = m.start(), m.end()
             if m.group("num") is not None:
                 t = m.group("num")
-                self.tokens.append(("num", float(t) if "." in t else int(t)))
+                self.tokens.append(
+                    ("num", float(t) if "." in t else int(t), start))
             elif m.group("str") is not None:
                 s = m.group("str")
-                q = s[0]
-                self.tokens.append(("str", s[1:-1].replace(q + q, q)))
+                self.tokens.append(("str", s[1:-1].replace("''", "'"), start))
+            elif m.group("qident") is not None:
+                s = m.group("qident")
+                self.tokens.append(
+                    ("word", s[1:-1].replace('""', '"'), start))
             elif m.group("op") is not None:
-                self.tokens.append(("op", m.group("op")))
+                self.tokens.append(("op", m.group("op"), start))
             else:
-                w = m.group("word")
-                self.tokens.append(("word", w))
+                self.tokens.append(("word", m.group("word"), start))
         self.pos = 0
 
-    def peek(self) -> Tuple[str, Any]:
-        if self.pos < len(self.tokens):
-            return self.tokens[self.pos]
+    def peek(self, ahead: int = 0) -> Tuple[str, Any]:
+        p = self.pos + ahead
+        if p < len(self.tokens):
+            return self.tokens[p][:2]
         return ("eof", None)
 
     def next(self) -> Tuple[str, Any]:
         t = self.peek()
         self.pos += 1
         return t
+
+    def at_kw(self, word: str, ahead: int = 0) -> bool:
+        k, v = self.peek(ahead)
+        return k == "word" and v.lower() == word
 
     def try_kw(self, *words: str) -> bool:
         save = self.pos
@@ -85,7 +93,7 @@ class Lexer:
     def expect_kw(self, *words: str):
         if not self.try_kw(*words):
             raise SQLError(f"expected {' '.join(words).upper()} near "
-                           f"{self.peek()}")
+                           f"{self.peek()[1]!r}")
 
     def try_op(self, op: str) -> bool:
         k, v = self.peek()
@@ -96,7 +104,7 @@ class Lexer:
 
     def expect_op(self, op: str):
         if not self.try_op(op):
-            raise SQLError(f"expected {op!r} near {self.peek()}")
+            raise SQLError(f"expected {op!r} near {self.peek()[1]!r}")
 
     def ident(self) -> str:
         k, v = self.next()
@@ -104,87 +112,35 @@ class Lexer:
             raise SQLError(f"expected identifier, got {v!r}")
         return v
 
-
-# -- AST --------------------------------------------------------------------
-
-class Select:
-    def __init__(self):
-        self.columns: List[Tuple[str, Optional[str], bool]] = []  # (kind, col, distinct) kind: star|col|count|sum|min|max|avg
-        self.table = ""
-        self.where = None
-        self.group_by: List[str] = []
-        self.having = None
-        self.order_by: List[Tuple[str, bool]] = []  # (col, desc)
-        self.limit: Optional[int] = None
-        self.offset: int = 0
+    def span_from(self, mark: int) -> str:
+        """Raw SQL text from token index `mark` to current position."""
+        if mark >= len(self.tokens):
+            return ""
+        start = self.tokens[mark][2]
+        end = (self.tokens[self.pos][2] if self.pos < len(self.tokens)
+               else len(self.src))
+        return self.src[start:end].strip()
 
 
-class CreateTable:
-    def __init__(self, name, columns, if_not_exists=False):
-        self.name = name
-        self.columns = columns  # list of (name, type, opts dict)
-        self.if_not_exists = if_not_exists
-
-
-class DropTable:
-    def __init__(self, name):
-        self.name = name
-
-
-class Insert:
-    def __init__(self, table, columns, rows):
-        self.table = table
-        self.columns = columns
-        self.rows = rows
-
-
-class Delete:
-    def __init__(self, table, where):
-        self.table = table
-        self.where = where
-
-
-class Show:
-    def __init__(self, what, table=None):
-        self.what = what
-        self.table = table
-
-
-# where-expr nodes
-class Cmp:
-    def __init__(self, col, op, value):
-        self.col, self.op, self.value = col, op, value
-
-
-class Between:
-    def __init__(self, col, lo, hi):
-        self.col, self.lo, self.hi = col, lo, hi
-
-
-class InList:
-    def __init__(self, col, values):
-        self.col, self.values = col, values
-
-
-class IsNull:
-    def __init__(self, col, negated):
-        self.col, self.negated = col, negated
-
-
-class Logical:
-    def __init__(self, op, args):
-        self.op, self.args = op, args  # 'and' | 'or' | 'not'
-
+# -- entry --------------------------------------------------------------------
 
 def parse_sql(src: str):
     lx = Lexer(src)
     stmts = []
     while lx.peek()[0] != "eof":
         stmts.append(_statement(lx))
-        lx.try_op(";")
+        while lx.try_op(";"):
+            pass
     if not stmts:
         raise SQLError("empty statement")
     return stmts
+
+
+_RESERVED_AFTER_SELECT = {"from", "where", "group", "having", "order",
+                          "limit", "offset", "as", "asc", "desc", "join",
+                          "inner", "left", "on", "and", "or", "not",
+                          "between", "in", "is", "like", "union", "top",
+                          "distinct", "case", "when", "then", "else", "end"}
 
 
 def _statement(lx: Lexer):
@@ -196,83 +152,101 @@ def _statement(lx: Lexer):
         return _select(lx)
     if w == "create":
         return _create(lx)
+    if w == "alter":
+        return _alter(lx)
     if w == "drop":
         lx.next()
+        if lx.try_kw("view"):
+            ife = lx.try_kw("if", "exists")
+            return DropView(lx.ident(), ife)
         lx.expect_kw("table")
-        lx.try_kw("if", "exists")
-        return DropTable(lx.ident())
-    if w == "insert":
-        return _insert(lx)
+        ife = lx.try_kw("if", "exists")
+        return DropTable(lx.ident(), ife)
+    if w == "bulk":
+        return _bulk_insert(lx)
+    if w in ("insert", "replace"):
+        return _insert(lx, replace=(w == "replace"))
     if w == "delete":
         lx.next()
         lx.expect_kw("from")
         table = lx.ident()
-        where = None
-        if lx.try_kw("where"):
-            where = _expr(lx)
+        where = _expr(lx) if lx.try_kw("where") else None
         return Delete(table, where)
     if w == "show":
         lx.next()
         if lx.try_kw("tables"):
             return Show("tables")
-        if lx.try_kw("columns"):
+        if lx.try_kw("databases"):
+            return Show("databases")
+        if lx.try_kw("views"):
+            return Show("views")
+        if lx.try_kw("create", "table"):
+            return Show("create_table", lx.ident())
+        if lx.try_kw("columns") or lx.try_kw("fields"):
             lx.expect_kw("from")
             return Show("columns", lx.ident())
-        if lx.try_kw("fields"):
-            lx.expect_kw("from")
-            return Show("columns", lx.ident())
-        raise SQLError("expected TABLES or COLUMNS after SHOW")
+        raise SQLError("expected TABLES/DATABASES/VIEWS/COLUMNS/CREATE TABLE "
+                       "after SHOW")
     raise SQLError(f"unsupported statement: {v}")
 
+
+# -- SELECT ---------------------------------------------------------------------
 
 def _select(lx: Lexer) -> Select:
     lx.expect_kw("select")
     sel = Select()
+    if lx.try_kw("distinct"):
+        sel.distinct = True
     if lx.try_kw("top"):
-        k, n = lx.next()
+        if lx.try_op("("):
+            k, n = lx.next()
+            lx.expect_op(")")
+        else:
+            k, n = lx.next()
         sel.limit = int(n)
     while True:
         if lx.try_op("*"):
-            sel.columns.append(("star", None, False))
+            sel.items.append(SelectItem(Star()))
         else:
-            k, v = lx.peek()
-            if k != "word":
-                raise SQLError(f"bad select list near {v!r}")
-            w = v.lower()
-            if w in ("count", "sum", "min", "max", "avg"):
-                lx.next()
-                lx.expect_op("(")
-                distinct = lx.try_kw("distinct")
-                if lx.try_op("*"):
-                    col = None
-                else:
-                    col = lx.ident()
-                lx.expect_op(")")
-                lx.try_kw("as") and lx.ident()
-                sel.columns.append((w, col, distinct))
+            e = _expr(lx)
+            alias = None
+            if lx.try_kw("as"):
+                alias = lx.ident()
             else:
-                col = lx.ident()
-                lx.try_kw("as") and lx.ident()
-                sel.columns.append(("col", col, False))
+                k, v = lx.peek()
+                if k == "word" and v.lower() not in _RESERVED_AFTER_SELECT:
+                    alias = lx.ident()
+            sel.items.append(SelectItem(e, alias))
         if not lx.try_op(","):
             break
-    lx.expect_kw("from")
-    sel.table = lx.ident()
+    if lx.try_kw("from"):
+        sel.table = _table_ref(lx)
+        while True:
+            if lx.try_kw("inner", "join") or lx.try_kw("join"):
+                kind = "inner"
+            elif lx.try_kw("left", "outer", "join") or lx.try_kw("left",
+                                                                 "join"):
+                kind = "left"
+            else:
+                break
+            t = _table_ref(lx)
+            on = _expr(lx) if lx.try_kw("on") else None
+            sel.joins.append(Join(kind, t, on))
     if lx.try_kw("where"):
         sel.where = _expr(lx)
     if lx.try_kw("group", "by"):
-        sel.group_by.append(lx.ident())
+        sel.group_by.append(_expr(lx))
         while lx.try_op(","):
-            sel.group_by.append(lx.ident())
+            sel.group_by.append(_expr(lx))
     if lx.try_kw("having"):
         sel.having = _expr(lx)
     if lx.try_kw("order", "by"):
         while True:
-            c = lx.ident()
+            e = _expr(lx)
             desc = bool(lx.try_kw("desc"))
             if not desc:
                 lx.try_kw("asc")
-            sel.order_by.append((c, desc))
+            sel.order_by.append((e, desc))
             if not lx.try_op(","):
                 break
     if lx.try_kw("limit"):
@@ -284,48 +258,118 @@ def _select(lx: Lexer) -> Select:
     return sel
 
 
+def _table_ref(lx: Lexer) -> TableRef:
+    if lx.try_op("("):
+        sub = _select(lx)
+        lx.expect_op(")")
+        alias = None
+        if lx.try_kw("as"):
+            alias = lx.ident()
+        elif lx.peek()[0] == "word" and \
+                lx.peek()[1].lower() not in _RESERVED_AFTER_SELECT:
+            alias = lx.ident()
+        return TableRef(subquery=sub, alias=alias or "_sub")
+    name = lx.ident()
+    alias = None
+    if lx.try_kw("as"):
+        alias = lx.ident()
+    elif lx.peek()[0] == "word" and \
+            lx.peek()[1].lower() not in _RESERVED_AFTER_SELECT:
+        alias = lx.ident()
+    return TableRef(name=name, alias=alias)
+
+
+# -- DDL --------------------------------------------------------------------------
+
 _TYPES = {"id", "string", "idset", "stringset", "int", "decimal",
-          "timestamp", "bool"}
+          "timestamp", "bool", "varchar"}
 
 
-def _create(lx: Lexer) -> CreateTable:
+def _column_def(lx: Lexer):
+    cname = lx.ident()
+    k, t = lx.next()
+    if k != "word" or t.lower() not in _TYPES:
+        raise SQLError(f"bad column type {t!r}")
+    t = t.lower()
+    if t == "varchar":
+        t = "string"
+        if lx.try_op("("):
+            lx.next()
+            lx.expect_op(")")
+    opts = {}
+    if t == "decimal" and lx.try_op("("):
+        k, s = lx.next()
+        opts["scale"] = int(s)
+        lx.expect_op(")")
+    while True:
+        k2, w2 = lx.peek()
+        if k2 == "word" and w2.lower() in ("min", "max", "timeunit",
+                                           "cachetype", "timequantum",
+                                           "ttl", "size", "epoch"):
+            lx.next()
+            k3, v3 = lx.next()
+            if w2.lower() == "min" and v3 == "-":  # negative literal
+                k4, v4 = lx.next()
+                v3 = -v4
+            opts[w2.lower()] = v3
+        elif k2 == "op" and w2 == "-":
+            # e.g. MIN -100 tokenizes as op('-') then num
+            break
+        else:
+            break
+    return (cname, t, opts)
+
+
+def _create(lx: Lexer):
     lx.expect_kw("create")
+    if lx.try_kw("view"):
+        ine = lx.try_kw("if", "not", "exists")
+        name = lx.ident()
+        lx.expect_kw("as")
+        mark = lx.pos
+        _select(lx)  # validate
+        return CreateView(name, lx.span_from(mark), ine)
     lx.expect_kw("table")
     ine = lx.try_kw("if", "not", "exists")
     name = lx.ident()
     lx.expect_op("(")
     cols = []
     while True:
-        cname = lx.ident()
-        k, t = lx.next()
-        if k != "word" or t.lower() not in _TYPES:
-            raise SQLError(f"bad column type {t!r}")
-        t = t.lower()
-        opts = {}
-        if t == "decimal" and lx.try_op("("):
-            k, s = lx.next()
-            opts["scale"] = int(s)
-            lx.expect_op(")")
-        # optional constraints: MIN x MAX y, TIMEUNIT 's', CACHETYPE ranked
-        while True:
-            k2, w2 = lx.peek()
-            if k2 == "word" and w2.lower() in ("min", "max", "timeunit",
-                                               "cachetype", "timequantum",
-                                               "ttl", "size"):
-                lx.next()
-                k3, v3 = lx.next()
-                opts[w2.lower()] = v3
-            else:
-                break
-        cols.append((cname, t, opts))
+        cols.append(_column_def(lx))
         if not lx.try_op(","):
             break
     lx.expect_op(")")
-    return CreateTable(name, cols, ine)
+    options = {}
+    while lx.try_kw("with"):
+        oname = lx.ident()
+        k, v = lx.next()
+        options[oname.lower()] = v
+    if lx.try_kw("comment"):
+        k, v = lx.next()
+        options["comment"] = v
+    return CreateTable(name, cols, ine, options)
 
 
-def _insert(lx: Lexer) -> Insert:
-    lx.expect_kw("insert")
+def _alter(lx: Lexer) -> AlterTable:
+    lx.expect_kw("alter")
+    lx.expect_kw("table")
+    table = lx.ident()
+    if lx.try_kw("add"):
+        lx.try_kw("column")
+        return AlterTable(table, "add", column=_column_def(lx))
+    if lx.try_kw("drop"):
+        lx.try_kw("column")
+        return AlterTable(table, "drop", column=(lx.ident(), None, {}))
+    if lx.try_kw("rename"):
+        lx.expect_kw("to")
+        return AlterTable(table, "rename", new_name=lx.ident())
+    raise SQLError("expected ADD/DROP/RENAME after ALTER TABLE")
+
+
+# -- INSERT -------------------------------------------------------------------------
+
+def _insert(lx: Lexer, replace: bool = False) -> Insert:
+    lx.next()  # insert | replace
     lx.expect_kw("into")
     table = lx.ident()
     cols = []
@@ -341,100 +385,256 @@ def _insert(lx: Lexer) -> Insert:
         lx.expect_op("(")
         vals = []
         while True:
-            vals.append(_value(lx))
+            vals.append(_literal_value(lx))
             if not lx.try_op(","):
                 break
         lx.expect_op(")")
         rows.append(vals)
         if not lx.try_op(","):
             break
-    return Insert(table, cols, rows)
+    return Insert(table, cols, rows, replace=replace)
 
 
-def _value(lx: Lexer):
+def _bulk_insert(lx: Lexer) -> BulkInsert:
+    lx.expect_kw("bulk")
+    lx.expect_kw("insert")
+    lx.expect_kw("into")
+    table = lx.ident()
+    cols = []
+    if lx.try_op("("):
+        while True:
+            cols.append(lx.ident())
+            if not lx.try_op(","):
+                break
+        lx.expect_op(")")
+    lx.expect_kw("from")
+    k, src = lx.next()
+    if k != "str":
+        raise SQLError("BULK INSERT FROM expects a quoted path")
+    fmt, header = "CSV", True
+    while lx.try_kw("with"):
+        w = lx.ident().lower()
+        if w == "format":
+            k, fmt = lx.next()
+        elif w == "header_row":
+            header = True
+        elif w == "no_header_row":
+            header = False
+    return BulkInsert(table, cols, src, fmt, header)
+
+
+def _literal_value(lx: Lexer):
     if lx.try_op("["):
         out = []
         if not lx.try_op("]"):
             while True:
-                out.append(_value(lx))
+                out.append(_literal_value(lx))
                 if not lx.try_op(","):
                     break
             lx.expect_op("]")
         return out
+    neg = lx.try_op("-")
     k, v = lx.next()
     if k == "num":
-        return v
+        return -v if neg else v
+    if neg:
+        raise SQLError(f"bad value -{v!r}")
     if k == "str":
         return v
     if k == "word":
-        if v.lower() == "null":
+        lv = v.lower()
+        if lv == "null":
             return None
-        if v.lower() == "true":
+        if lv == "true":
             return True
-        if v.lower() == "false":
+        if lv == "false":
             return False
         return v
+    if k == "op" and v == "[":
+        pass
     raise SQLError(f"bad value {v!r}")
 
 
-# -- where-expression parsing (precedence: OR < AND < NOT < cmp) ------------
+# -- expressions ---------------------------------------------------------------------
 
-def _expr(lx: Lexer):
+def _expr(lx: Lexer) -> Expr:
     node = _and_expr(lx)
     while lx.try_kw("or"):
-        rhs = _and_expr(lx)
-        if isinstance(node, Logical) and node.op == "or":
-            node.args.append(rhs)
-        else:
-            node = Logical("or", [node, rhs])
+        node = BinOp("or", node, _and_expr(lx))
     return node
 
 
-def _and_expr(lx: Lexer):
+def _and_expr(lx: Lexer) -> Expr:
     node = _not_expr(lx)
     while lx.try_kw("and"):
-        rhs = _not_expr(lx)
-        if isinstance(node, Logical) and node.op == "and":
-            node.args.append(rhs)
-        else:
-            node = Logical("and", [node, rhs])
+        node = BinOp("and", node, _not_expr(lx))
     return node
 
 
-def _not_expr(lx: Lexer):
+def _not_expr(lx: Lexer) -> Expr:
     if lx.try_kw("not"):
-        return Logical("not", [_not_expr(lx)])
-    if lx.try_op("("):
-        node = _expr(lx)
-        lx.expect_op(")")
-        return node
+        return UnOp("not", _not_expr(lx))
     return _predicate(lx)
 
 
-def _predicate(lx: Lexer):
-    col = lx.ident()
-    if lx.try_kw("is"):
-        neg = lx.try_kw("not")
-        lx.expect_kw("null")
-        return IsNull(col, neg)
-    if lx.try_kw("between"):
-        lo = _value(lx)
-        lx.expect_kw("and")
-        hi = _value(lx)
-        return Between(col, lo, hi)
-    if lx.try_kw("in"):
-        lx.expect_op("(")
-        vals = []
-        while True:
-            vals.append(_value(lx))
-            if not lx.try_op(","):
+_CMP_OPS = ("<=", ">=", "<>", "!=", "=", "<", ">")
+
+
+def _predicate(lx: Lexer) -> Expr:
+    node = _additive(lx)
+    while True:
+        negated = False
+        save = lx.pos
+        if lx.try_kw("not"):
+            negated = True
+        if lx.try_kw("between"):
+            lo = _additive(lx)
+            lx.expect_kw("and")
+            hi = _additive(lx)
+            node = Between(node, lo, hi, negated)
+            continue
+        if lx.try_kw("in"):
+            lx.expect_op("(")
+            if lx.at_kw("select"):
+                sub = _select(lx)
+                lx.expect_op(")")
+                node = InSelect(node, sub, negated)
+            else:
+                vals = []
+                while True:
+                    vals.append(_additive(lx))
+                    if not lx.try_op(","):
+                        break
+                lx.expect_op(")")
+                node = InList(node, vals, negated)
+            continue
+        if lx.try_kw("like"):
+            k, pat = lx.next()
+            if k != "str":
+                raise SQLError("LIKE expects a string pattern")
+            node = Like(node, pat, negated)
+            continue
+        if negated:
+            lx.pos = save
+            break
+        if lx.try_kw("is"):
+            neg = lx.try_kw("not")
+            lx.expect_kw("null")
+            node = IsNull(node, neg)
+            continue
+        matched = False
+        for op in _CMP_OPS:
+            if lx.try_op(op):
+                rhs = _additive(lx)
+                node = BinOp("!=" if op == "<>" else op, node, rhs)
+                matched = True
                 break
+        if not matched:
+            break
+    return node
+
+
+def _additive(lx: Lexer) -> Expr:
+    node = _multiplicative(lx)
+    while True:
+        if lx.try_op("+"):
+            node = BinOp("+", node, _multiplicative(lx))
+        elif lx.try_op("-"):
+            node = BinOp("-", node, _multiplicative(lx))
+        elif lx.try_op("||"):
+            node = BinOp("||", node, _multiplicative(lx))
+        else:
+            return node
+
+
+def _multiplicative(lx: Lexer) -> Expr:
+    node = _unary(lx)
+    while True:
+        if lx.try_op("*"):
+            node = BinOp("*", node, _unary(lx))
+        elif lx.try_op("/"):
+            node = BinOp("/", node, _unary(lx))
+        elif lx.try_op("%"):
+            node = BinOp("%", node, _unary(lx))
+        else:
+            return node
+
+
+def _unary(lx: Lexer) -> Expr:
+    if lx.try_op("-"):
+        return UnOp("-", _unary(lx))
+    return _primary(lx)
+
+
+def _primary(lx: Lexer) -> Expr:
+    k, v = lx.peek()
+    if k == "num":
+        lx.next()
+        return Lit(v)
+    if k == "str":
+        lx.next()
+        return Lit(v)
+    if k == "op" and v == "(":
+        lx.next()
+        node = _expr(lx)
         lx.expect_op(")")
-        return InList(col, vals)
-    for op in ("<=", ">=", "<>", "!=", "=", "<", ">"):
-        if lx.try_op(op):
-            v = _value(lx)
-            if op == "<>":
-                op = "!="
-            return Cmp(col, op, v)
-    raise SQLError(f"bad predicate near {lx.peek()}")
+        return node
+    if k == "op" and v == "[":
+        lx.next()
+        vals = []
+        if not lx.try_op("]"):
+            while True:
+                vals.append(_expr(lx))
+                if not lx.try_op(","):
+                    break
+            lx.expect_op("]")
+        return Func("tuple", vals)
+    if k != "word":
+        raise SQLError(f"bad expression near {v!r}")
+    w = v.lower()
+    if w == "null":
+        lx.next()
+        return Lit(None)
+    if w == "true":
+        lx.next()
+        return Lit(True)
+    if w == "false":
+        lx.next()
+        return Lit(False)
+    if w == "case":
+        return _case(lx)
+    # function call?
+    if lx.peek(1) == ("op", "("):
+        name = lx.ident()
+        lx.expect_op("(")
+        distinct = lx.try_kw("distinct")
+        args: List[Expr] = []
+        if lx.try_op("*"):
+            args.append(Star())
+        elif not (lx.peek() == ("op", ")")):
+            while True:
+                args.append(_expr(lx))
+                if not lx.try_op(","):
+                    break
+        lx.expect_op(")")
+        return Func(name, args, distinct)
+    # [table.]column
+    name = lx.ident()
+    if lx.try_op("."):
+        return Col(lx.ident(), table=name)
+    return Col(name)
+
+
+def _case(lx: Lexer) -> Case:
+    lx.expect_kw("case")
+    operand = None
+    if not lx.at_kw("when"):
+        operand = _expr(lx)
+    whens = []
+    while lx.try_kw("when"):
+        cond = _expr(lx)
+        lx.expect_kw("then")
+        whens.append((cond, _expr(lx)))
+    else_ = _expr(lx) if lx.try_kw("else") else None
+    lx.expect_kw("end")
+    return Case(operand, whens, else_)

@@ -1,31 +1,43 @@
-"""SQL planner: lowers parsed SQL onto the PQL executor.
+"""SQL planner: compiles parsed SQL onto the PQL layer.
 
-Mirrors the reference's sql3 planner lowering rules (reference:
-sql3/planner/planoptimizer.go:86 — filter pushdown into PQL scans:501,
-GroupBy->PQLGroupBy/PQLAggregate:661,876, Distinct->PQLDistinct:753,
-top pushdown:980): WHERE expressions compile to PQL bitmap call trees,
-aggregates to Sum/Min/Max/Count calls, GROUP BY to GroupBy(Rows(...)),
-projections to Extract.
+Mirrors the reference's sql3 planner/optimizer lowering rules (reference:
+sql3/planner/executionplanner.go:59 CompilePlan; planoptimizer.go:86 —
+filter pushdown into PQL scans:501, GroupBy->PQLGroupBy/PQLAggregate:661,876,
+Distinct->PQLDistinctScan:753, top pushdown:980):
 
-Table <-> index type mapping (reference sql3 data types, astdatatype.go):
-  ID -> mutex | STRING -> mutex keyed | IDSET -> set | STRINGSET -> set keyed
-  INT min max -> int | DECIMAL(s) -> decimal | TIMESTAMP -> timestamp
-  BOOL -> bool.  A table whose _id is STRING maps to a keyed index.
+- WHERE subtrees that map onto bitmap algebra are pushed into the PQL scan
+  (Row/Union/Intersect/Not/ConstRow/BSI Conditions); the rest runs as a
+  residual row filter.
+- SELECT of pure aggregates over pushable filters lowers to PQL
+  Count/Sum/Min/Max/Percentile/Distinct calls — no row materialization.
+- GROUP BY over set/mutex/bool/time columns with count/sum aggregates lowers
+  to PQL GroupBy(Rows...).
+- Everything else (joins, expressions, functions, HAVING, ORDER BY,
+  DISTINCT) runs in the volcano operator tree (sql/ops.py) over the
+  Extract()-scanned rows.
+
+All PQL execution goes through api.query(), so SQL is automatically
+distributed across the cluster and WAL-logged on writes.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional
+import datetime
+from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 
-from featurebase_tpu.executor.results import GroupCount, ValCount
-from featurebase_tpu.model.row import Row, SignedRow
-from featurebase_tpu.pql.ast import Call, Condition
+from featurebase_tpu.pql.ast import Call, Condition, Query
 from featurebase_tpu.server.api import API, APIError
-from featurebase_tpu.sql.parser import (Between, Cmp, CreateTable, Delete,
-                                        DropTable, InList, Insert, IsNull,
-                                        Logical, Select, Show, SQLError,
-                                        parse_sql)
+from featurebase_tpu.sql import ast as sa
+from featurebase_tpu.sql import ops as so
+from featurebase_tpu.sql.ops import (PlanOp, PlanOpDistinct, PlanOpFilter,
+                                     PlanOpGroupBy, PlanOpNestedLoops,
+                                     PlanOpOrderBy, PlanOpProjection,
+                                     PlanOpStatic, PlanOpTop,
+                                     SQLRuntimeError, agg_slot_name,
+                                     eval_expr, make_env, repr_expr)
+from featurebase_tpu.sql.parser import SQLError, parse_sql
+from featurebase_tpu.sql.system_tables import is_system_table, run_system_table
 
 _TYPE_TO_FIELD = {
     "id": {"type": "mutex"},
@@ -38,6 +50,16 @@ _TYPE_TO_FIELD = {
     "bool": {"type": "bool"},
 }
 
+_FIELD_TO_SQL = {
+    ("mutex", False): "id", ("mutex", True): "string",
+    ("set", False): "idset", ("set", True): "stringset",
+    ("time", False): "idset", ("time", True): "stringset",
+    ("int", False): "int", ("decimal", False): "decimal",
+    ("timestamp", False): "timestamp", ("bool", False): "bool",
+}
+
+_UNIT_SECONDS = {"s": 1.0, "ms": 1e-3, "us": 1e-6, "ns": 1e-9}
+
 
 def plan_and_execute(api: API, sql: str) -> dict:
     try:
@@ -46,24 +68,44 @@ def plan_and_execute(api: API, sql: str) -> dict:
         raise APIError(f"SQL parse error: {e}", 400)
     out = None
     for stmt in stmts:
-        out = _execute_stmt(api, stmt)
-    return out if out is not None else {"schema": {"fields": []}, "data": []}
+        try:
+            out = _execute_stmt(api, stmt)
+        except (SQLRuntimeError, ValueError) as e:
+            raise APIError(str(e), 400)
+    return out if out is not None else _ok()
 
 
 def _execute_stmt(api: API, stmt) -> dict:
-    if isinstance(stmt, CreateTable):
+    if isinstance(stmt, sa.CreateTable):
         return _create_table(api, stmt)
-    if isinstance(stmt, DropTable):
+    if isinstance(stmt, sa.AlterTable):
+        return _alter_table(api, stmt)
+    if isinstance(stmt, sa.DropTable):
+        if stmt.if_exists and api.holder.index(stmt.name) is None:
+            return _ok()
         api.delete_index(stmt.name)
         return _ok()
-    if isinstance(stmt, Show):
+    if isinstance(stmt, sa.CreateView):
+        api.create_sql_view(stmt.name, stmt.select_sql,
+                            if_not_exists=stmt.if_not_exists)
+        return _ok()
+    if isinstance(stmt, sa.DropView):
+        api.delete_sql_view(stmt.name, if_exists=stmt.if_exists)
+        return _ok()
+    if isinstance(stmt, sa.Show):
         return _show(api, stmt)
-    if isinstance(stmt, Insert):
+    if isinstance(stmt, sa.Insert):
         return _insert(api, stmt)
-    if isinstance(stmt, Delete):
+    if isinstance(stmt, sa.BulkInsert):
+        return _bulk_insert(api, stmt)
+    if isinstance(stmt, sa.Delete):
         return _delete(api, stmt)
-    if isinstance(stmt, Select):
-        return _select(api, stmt)
+    if isinstance(stmt, sa.Select):
+        op = SelectCompiler(api).compile(stmt)
+        schema, rows = op.run()
+        return {"schema": {"fields": [{"name": n, "type": t}
+                                      for n, t in schema]},
+                "data": rows}
     raise APIError(f"unsupported statement {type(stmt).__name__}", 400)
 
 
@@ -71,41 +113,84 @@ def _ok() -> dict:
     return {"schema": {"fields": []}, "data": []}
 
 
-def _create_table(api: API, stmt: CreateTable) -> dict:
-    keyed = False
-    for name, typ, _ in stmt.columns:
-        if name == "_id" and typ == "string":
-            keyed = True
+# -- DDL -----------------------------------------------------------------------
+
+def _field_options(typ: str, opts: dict) -> dict:
+    fo = dict(_TYPE_TO_FIELD.get(typ, {"type": typ}))
+    if "min" in opts:
+        fo["min"] = int(opts["min"])
+    if "max" in opts:
+        fo["max"] = int(opts["max"])
+    if "scale" in opts:
+        fo["scale"] = int(opts["scale"])
+    if "timeunit" in opts:
+        fo["timeUnit"] = str(opts["timeunit"])
+    if "timequantum" in opts:
+        fo["timeQuantum"] = str(opts["timequantum"])
+        fo["type"] = "time"
+    if "cachetype" in opts:
+        fo["cacheType"] = str(opts["cachetype"])
+    if "ttl" in opts:
+        fo["ttl"] = opts["ttl"]
+    return fo
+
+
+def _create_table(api: API, stmt: sa.CreateTable) -> dict:
+    keyed = any(name == "_id" and typ == "string"
+                for name, typ, _ in stmt.columns)
     api.create_index(stmt.name, {"keys": keyed},
                      if_not_exists=stmt.if_not_exists)
     for name, typ, opts in stmt.columns:
         if name == "_id":
             continue
-        fo = dict(_TYPE_TO_FIELD.get(typ, {"type": typ}))
-        if "min" in opts:
-            fo["min"] = int(opts["min"])
-        if "max" in opts:
-            fo["max"] = int(opts["max"])
-        if "scale" in opts:
-            fo["scale"] = int(opts["scale"])
-        if "timeunit" in opts:
-            fo["timeUnit"] = str(opts["timeunit"])
-        if "timequantum" in opts:
-            fo["timeQuantum"] = str(opts["timequantum"])
-            fo["type"] = "time"
-        api.create_field(stmt.name, name, fo, if_not_exists=stmt.if_not_exists)
+        api.create_field(stmt.name, name, _field_options(typ, opts),
+                         if_not_exists=stmt.if_not_exists)
     return _ok()
 
 
-def _show(api: API, stmt: Show) -> dict:
+def _alter_table(api: API, stmt: sa.AlterTable) -> dict:
+    idx = api.holder.index(stmt.table)
+    if idx is None:
+        raise APIError(f"table not found: {stmt.table}", 404)
+    if stmt.action == "add":
+        name, typ, opts = stmt.column
+        api.create_field(stmt.table, name, _field_options(typ, opts))
+        return _ok()
+    if stmt.action == "drop":
+        api.delete_field(stmt.table, stmt.column[0])
+        return _ok()
+    raise APIError("ALTER TABLE RENAME is not supported", 400)
+
+
+def _show(api: API, stmt: sa.Show) -> dict:
     if stmt.what == "tables":
         return {
             "schema": {"fields": [{"name": "name", "type": "string"}]},
             "data": [[n] for n in sorted(api.holder.indexes)],
         }
+    if stmt.what == "databases":
+        return {
+            "schema": {"fields": [{"name": "name", "type": "string"}]},
+            "data": [["featurebase_tpu"]],
+        }
+    if stmt.what == "views":
+        return {
+            "schema": {"fields": [{"name": "name", "type": "string"}]},
+            "data": [[n] for n in
+                     sorted(getattr(api.holder, "sql_views", {}))],
+        }
     idx = api.holder.index(stmt.table)
     if idx is None:
         raise APIError(f"table not found: {stmt.table}", 404)
+    if stmt.what == "create_table":
+        cols = ["_id " + ("string" if idx.options.keys else "id")]
+        for f in idx.public_fields():
+            t = _FIELD_TO_SQL.get((f.options.type, f.options.keys),
+                                  f.options.type)
+            cols.append(f"{f.name} {t}")
+        ddl = f"CREATE TABLE {idx.name} ({', '.join(cols)})"
+        return {"schema": {"fields": [{"name": "ddl", "type": "string"}]},
+                "data": [[ddl]]}
     return {
         "schema": {"fields": [{"name": "name", "type": "string"},
                               {"name": "type", "type": "string"}]},
@@ -113,7 +198,9 @@ def _show(api: API, stmt: Show) -> dict:
     }
 
 
-def _insert(api: API, stmt: Insert) -> dict:
+# -- INSERT / DELETE --------------------------------------------------------------
+
+def _insert(api: API, stmt: sa.Insert) -> dict:
     idx = api.holder.index(stmt.table)
     if idx is None:
         raise APIError(f"table not found: {stmt.table}", 404)
@@ -121,13 +208,14 @@ def _insert(api: API, stmt: Insert) -> dict:
     if "_id" not in cols:
         raise APIError("INSERT requires _id column", 400)
     id_pos = cols.index("_id")
+    # batch per field, then route through the (distributed, WAL-logged)
+    # import API (reference: INSERT lowers to import, sql3 planner opinsert)
+    bit_batches: Dict[str, dict] = {}
+    val_batches: Dict[str, dict] = {}
     for row in stmt.rows:
         if len(row) != len(cols):
             raise APIError("INSERT row arity mismatch", 400)
         rid = row[id_pos]
-        if isinstance(rid, str):
-            rid = idx.translate_store.create_keys([rid])[rid]
-        rid = int(rid)
         for ci, cname in enumerate(cols):
             if cname == "_id":
                 continue
@@ -137,251 +225,995 @@ def _insert(api: API, stmt: Insert) -> dict:
             f = idx.field(cname)
             if f is None:
                 raise APIError(f"column not found: {cname}", 400)
-            vals = val if isinstance(val, list) else [val]
-            for v in vals:
-                if f.is_bsi():
-                    f.set_value(rid, v)
-                elif f.options.type == "bool":
-                    f.set_bit(1 if v in (True, 1, "true") else 0, rid)
-                else:
-                    if isinstance(v, str):
-                        store = idx.row_translation(cname)
-                        if store is None:
-                            raise APIError(
-                                f"column {cname} does not accept strings", 400)
-                        v = store.create_keys([v])[v]
-                    f.set_bit(int(v), rid)
-        idx.mark_exists(np.array([rid]))
+            if f.is_bsi():
+                b = val_batches.setdefault(cname, {"cols": [], "values": []})
+                b["cols"].append(rid)
+                b["values"].append(val)
+            else:
+                b = bit_batches.setdefault(cname, {"rows": [], "cols": []})
+                vals = val if isinstance(val, list) else [val]
+                for v in vals:
+                    if f.options.type == "bool":
+                        v = 1 if v in (True, 1, "true") else 0
+                    b["rows"].append(v)
+                    b["cols"].append(rid)
+    for cname, b in bit_batches.items():
+        f = idx.field(cname)
+        row_keys = None
+        rows = b["rows"]
+        if any(isinstance(r, str) for r in rows):
+            if not f.options.keys:
+                raise APIError(
+                    f"column {cname} does not accept strings", 400)
+            row_keys, rows = [str(r) for r in rows], None
+        col_keys, cids = _split_ids(idx, b["cols"])
+        api.import_bits(stmt.table, cname,
+                        rows if rows is not None else [],
+                        cids if cids is not None else [],
+                        row_keys=row_keys, col_keys=col_keys)
+    for cname, b in val_batches.items():
+        col_keys, cids = _split_ids(idx, b["cols"])
+        api.import_values(stmt.table, cname,
+                          cids if cids is not None else [],
+                          b["values"], col_keys=col_keys)
+    if not bit_batches and not val_batches:
+        # records with only _id still exist (reference: existence field)
+        ids = [row[id_pos] for row in stmt.rows]
+        col_keys, cids = _split_ids(idx, ids)
+        if col_keys is not None:
+            created = api.create_index_keys(stmt.table, col_keys)
+            cids = [created[k] for k in col_keys]
+        idx.mark_exists(np.asarray(cids, dtype=np.int64))
     return _ok()
 
 
-def _delete(api: API, stmt: Delete) -> dict:
-    filt = _where_to_call(api, stmt.table, stmt.where) if stmt.where \
-        else Call("All")
-    api.executor.execute(stmt.table, _pql_query([Call("Delete",
-                                                      children=[filt])]))
-    return _ok()
+def _split_ids(idx, ids):
+    """-> (col_keys, col_ids): string ids go through key translation."""
+    if any(isinstance(i, str) for i in ids):
+        if not idx.options.keys:
+            raise APIError("table does not use string _id", 400)
+        return [str(i) for i in ids], None
+    return None, [int(i) for i in ids]
 
 
-def _pql_query(calls: List[Call]):
-    from featurebase_tpu.pql.ast import Query
-    return Query(calls)
-
-
-# -- WHERE compilation ------------------------------------------------------
-
-def _where_to_call(api: API, table: str, node) -> Call:
-    idx = api.holder.index(table)
-    if idx is None:
-        raise APIError(f"table not found: {table}", 404)
-
-    def field_of(col: str):
-        f = idx.field(col)
-        if f is None:
-            raise APIError(f"column not found: {col}", 400)
-        return f
-
-    def rec(n) -> Call:
-        if isinstance(n, Logical):
-            if n.op == "and":
-                return Call("Intersect", children=[rec(a) for a in n.args])
-            if n.op == "or":
-                return Call("Union", children=[rec(a) for a in n.args])
-            return Call("Not", children=[rec(n.args[0])])
-        if isinstance(n, Cmp):
-            f = field_of(n.col)
-            v = n.value
-            if f.is_bsi():
-                if n.op == "=":
-                    return Call("Row", {n.col: Condition("==", v)})
-                return Call("Row", {n.col: Condition(n.op, v)})
-            if n.op == "=":
-                if f.options.type == "bool":
-                    v = 1 if v in (True, 1, "true") else 0
-                return Call("Row", {n.col: v})
-            if n.op == "!=":
-                return Call("Not", children=[Call("Row", {n.col: v})])
-            raise APIError(f"operator {n.op} needs an int-like column", 400)
-        if isinstance(n, Between):
-            return Call("Row", {n.col: Condition("betw", [n.lo, n.hi])})
-        if isinstance(n, InList):
-            f = field_of(n.col)
-            if f.is_bsi():
-                return Call("Union", children=[
-                    Call("Row", {n.col: Condition("==", v)})
-                    for v in n.values])
-            return Call("Union", children=[Call("Row", {n.col: v})
-                                           for v in n.values])
-        if isinstance(n, IsNull):
-            f = field_of(n.col)
-            if n.negated:
-                return Call("Row", {n.col: Condition("!=", None)})
-            return Call("Row", {n.col: Condition("==", None)})
-        raise APIError(f"unsupported WHERE node {type(n).__name__}", 400)
-
-    return rec(node)
-
-
-# -- SELECT -----------------------------------------------------------------
-
-def _select(api: API, stmt: Select) -> dict:
+def _bulk_insert(api: API, stmt: sa.BulkInsert) -> dict:
+    """BULK INSERT ... FROM 'file.csv' (reference: sql3 BULK INSERT)."""
+    import csv
     idx = api.holder.index(stmt.table)
     if idx is None:
         raise APIError(f"table not found: {stmt.table}", 404)
-    filt = _where_to_call(api, stmt.table, stmt.where) if stmt.where \
-        else Call("All")
+    if str(stmt.format).upper() != "CSV":
+        raise APIError(f"unsupported BULK INSERT format {stmt.format}", 400)
+    try:
+        fh = open(stmt.source, newline="")
+    except OSError as e:
+        raise APIError(f"cannot open {stmt.source}: {e}", 400)
+    with fh:
+        reader = csv.reader(fh)
+        rows = list(reader)
+    if not rows:
+        return _ok()
+    if stmt.columns:
+        cols = stmt.columns
+        if stmt.header:
+            rows = rows[1:]
+    elif stmt.header:
+        cols, rows = rows[0], rows[1:]
+    else:
+        raise APIError("BULK INSERT needs a column list or header row", 400)
 
-    agg_kinds = [c for c in stmt.columns if c[0] in
-                 ("count", "sum", "min", "max", "avg")]
+    def coerce(cname, v):
+        if v == "":
+            return None
+        f = idx.field(cname)
+        if cname == "_id":
+            return int(v) if not idx.options.keys else v
+        if f is not None and f.is_bsi():
+            return float(v) if "." in v else int(v)
+        if f is not None and f.options.type == "bool":
+            return v.lower() in ("1", "true", "t")
+        if f is not None and not f.options.keys:
+            return int(v)
+        return v
 
-    # GROUP BY path (reference: GroupBy -> PQLGroupBy lowering)
-    if stmt.group_by:
-        rows_calls = [Call("Rows", {"_field": g}) for g in stmt.group_by]
-        args: Dict[str, Any] = {}
-        agg_out = None
-        for kind, col, distinct in agg_kinds:
-            if kind == "sum":
-                args["aggregate"] = Call("Sum", {"_field": col})
-                agg_out = "sum"
-            elif kind == "count" and col is None:
-                pass
-        if stmt.where:
+    data = [[coerce(c, v) for c, v in zip(cols, r)] for r in rows]
+    return _insert(api, sa.Insert(stmt.table, list(cols), data))
+
+
+def _delete(api: API, stmt: sa.Delete) -> dict:
+    idx = api.holder.index(stmt.table)
+    if idx is None:
+        raise APIError(f"table not found: {stmt.table}", 404)
+    if stmt.where is None:
+        filt = Call("All")
+    else:
+        comp = SelectCompiler(api)
+        filt, residual = comp.split_where(idx, stmt.table, stmt.where)
+        if residual is not None:
+            raise APIError("DELETE WHERE must be expressible as a bitmap "
+                           "filter", 400)
+        if filt is None:
+            filt = Call("All")
+    api.query(stmt.table, Query([Call("Delete", children=[filt])]))
+    return _ok()
+
+
+# -- PQL-backed operators -----------------------------------------------------------
+
+class PlanOpPQLTableScan(PlanOp):
+    """Extract()-backed scan (reference: oppqltablescan.go:24)."""
+
+    def __init__(self, api: API, table: str, alias: str,
+                 columns: List[str], filt: Optional[Call]):
+        self.api = api
+        self.table = table
+        self.alias = alias or table
+        self.columns = columns
+        self.filt = filt or Call("All")
+
+    def name(self):
+        return f"PQLTableScan({self.table})"
+
+    def run(self):
+        idx = self.api.holder.index(self.table)
+        ext = Call("Extract", children=[self.filt] +
+                   [Call("Rows", {"_field": c}) for c in self.columns])
+        (tbl,) = self.api.query(self.table, Query([ext]))
+        id_type = "string" if idx.options.keys else "id"
+        schema = [(f"{self.alias}._id", id_type)]
+        fields = []
+        for c in self.columns:
+            f = idx.field(c)
+            t = _FIELD_TO_SQL.get((f.options.type, f.options.keys),
+                                  f.options.type)
+            schema.append((f"{self.alias}.{c}", t))
+            fields.append(f)
+        rows = []
+        for colrec in tbl.columns:
+            row = [colrec.column]
+            for fi, f in enumerate(fields):
+                v = colrec.rows[fi]
+                if f.options.type == "timestamp" and v is not None:
+                    v = _ts_to_iso(v, f.options.time_unit)
+                row.append(v)
+            rows.append(row)
+        return schema, rows
+
+
+def _ts_to_iso(v, unit: str) -> str:
+    secs = float(v) * _UNIT_SECONDS.get(unit or "s", 1.0)
+    return datetime.datetime.fromtimestamp(
+        secs, datetime.timezone.utc).replace(tzinfo=None).isoformat()
+
+
+class PlanOpPQLAggregate(PlanOp):
+    """Pure-aggregate pushdown: one PQL call per aggregate (reference:
+    oppqlaggregate.go; planoptimizer.go:876)."""
+
+    def __init__(self, api: API, table: str, aggs: List[sa.Func],
+                 filt: Optional[Call]):
+        self.api = api
+        self.table = table
+        self.aggs = aggs
+        self.filt = filt
+
+    def name(self):
+        return f"PQLAggregate({self.table})"
+
+    def run(self):
+        calls = []
+        for a in self.aggs:
+            calls.append(_agg_to_call(a, self.filt))
+        results = self.api.query(self.table, Query(calls))
+        schema, row = [], []
+        for a, r in zip(self.aggs, results):
+            schema.append((agg_slot_name(a), "int"))
+            row.append(_agg_result_value(a, r))
+        return schema, [row]
+
+
+def _agg_to_call(a: sa.Func, filt: Optional[Call]) -> Call:
+    kids = [filt] if filt is not None else []
+    col = a.args[0].name if a.args and isinstance(a.args[0], sa.Col) else None
+    if a.name == "count":
+        if a.distinct and col:
+            return Call("Count", children=[
+                Call("Distinct", {"_field": col}, children=list(kids))])
+        if col:
+            # COUNT(col) counts rows where col is not null
+            notnull = Call("Row", {col: Condition("!=", None)})
+            inner = Call("Intersect", children=[notnull] + kids) if kids \
+                else notnull
+            return Call("Count", children=[inner])
+        return Call("Count", children=kids or [Call("All")])
+    if a.name in ("sum", "avg"):
+        return Call("Sum", {"_field": col}, children=list(kids))
+    if a.name == "min":
+        return Call("Min", {"_field": col}, children=list(kids))
+    if a.name == "max":
+        return Call("Max", {"_field": col}, children=list(kids))
+    if a.name == "percentile":
+        nth = a.args[1].value if len(a.args) > 1 else 50
+        args = {"_field": col, "nth": nth}
+        if filt is not None:
             args["filter"] = filt
-        if stmt.limit is not None and not stmt.having:
-            args["limit"] = stmt.limit
-        gb = Call("GroupBy", args, children=rows_calls)
-        (groups,) = api.executor.execute(stmt.table, _pql_query([gb]))
-        fields = [{"name": g, "type": "string"} for g in stmt.group_by]
-        data = []
+        return Call("Percentile", args)
+    raise SQLRuntimeError(f"cannot push down aggregate {a.name}")
+
+
+def _agg_result_value(a: sa.Func, r):
+    if a.name == "count":
+        return int(r)
+    if r is None:
+        return None
+    if a.name == "avg":
+        return r.val / r.count if r.count else None
+    if r.float_val is not None:
+        return r.float_val
+    return r.val
+
+
+class PlanOpPQLGroupBy(PlanOp):
+    """GroupBy pushdown (reference: oppqlmultigroupby.go;
+    planoptimizer.go:661)."""
+
+    def __init__(self, api: API, table: str, group_cols: List[str],
+                 aggs: List[sa.Func], filt: Optional[Call], alias: str):
+        self.api = api
+        self.table = table
+        self.alias = alias or table
+        self.group_cols = group_cols
+        self.aggs = aggs
+        self.filt = filt
+
+    def name(self):
+        return f"PQLGroupBy({self.table})"
+
+    def run(self):
+        args: Dict[str, Any] = {}
+        for a in self.aggs:
+            if a.name in ("sum", "avg"):
+                args["aggregate"] = Call("Sum", {"_field": a.args[0].name})
+        if self.filt is not None:
+            args["filter"] = self.filt
+        gb = Call("GroupBy", args,
+                  children=[Call("Rows", {"_field": g})
+                            for g in self.group_cols])
+        (groups,) = self.api.query(self.table, Query([gb]))
+        schema = [(f"{self.alias}.{g}", "") for g in self.group_cols] + \
+            [(agg_slot_name(a), "int") for a in self.aggs]
+        rows = []
         for gc in groups:
             key = [fr.row_key if fr.row_key is not None else fr.row_id
                    for fr in gc.group]
-            rowvals = list(key)
-            for kind, col, distinct in agg_kinds:
-                if kind == "count":
-                    rowvals.append(gc.count)
-                elif kind == "sum":
-                    rowvals.append(gc.decimal_agg if gc.decimal_agg is not None
-                                   else gc.agg)
-                elif kind == "avg":
-                    rowvals.append(gc.agg / gc.count if gc.count else None)
-            data.append(rowvals)
-        for kind, col, _ in agg_kinds:
-            fields.append({"name": f"{kind}({col or '*'})", "type": "int"})
-        if stmt.having is not None:
-            data = _apply_having_rows(stmt, fields, data)
-        if stmt.limit is not None:
-            data = data[stmt.offset: stmt.offset + stmt.limit]
-        return {"schema": {"fields": fields}, "data": data}
+            vals = []
+            for a in self.aggs:
+                if a.name == "count":
+                    vals.append(gc.count)
+                elif a.name == "sum":
+                    vals.append(gc.decimal_agg if gc.decimal_agg is not None
+                                else gc.agg)
+                elif a.name == "avg":
+                    agg = gc.decimal_agg if gc.decimal_agg is not None \
+                        else gc.agg
+                    vals.append(agg / gc.count if gc.count else None)
+            rows.append(key + vals)
+        return schema, rows
 
-    # pure aggregates
-    if agg_kinds:
-        fields = []
-        vals = []
-        for kind, col, distinct in agg_kinds:
-            if kind == "count":
-                if distinct and col:
-                    c = Call("Count", children=[
-                        Call("Distinct", {"_field": col}, children=(
-                            [filt] if stmt.where else []))])
-                elif stmt.where:
-                    c = Call("Count", children=[filt])
-                else:
-                    c = Call("Count", children=[Call("All")])
-                (v,) = api.executor.execute(stmt.table, _pql_query([c]))
-                vals.append(int(v))
-            elif kind in ("sum", "min", "max", "avg"):
-                name = {"sum": "Sum", "min": "Min", "max": "Max",
-                        "avg": "Sum"}[kind]
-                c = Call(name, {"_field": col},
-                         children=([filt] if stmt.where else []))
-                (vc,) = api.executor.execute(stmt.table, _pql_query([c]))
-                if kind == "avg":
-                    vals.append(vc.val / vc.count if vc.count else None)
-                elif vc.float_val is not None:
-                    vals.append(vc.float_val)
-                else:
-                    vals.append(vc.val)
-            fields.append({"name": f"{kind}({col or '*'})", "type": "int"})
-        return {"schema": {"fields": fields}, "data": [vals]}
 
-    # projection path -> Extract
-    proj_cols = [c[1] for c in stmt.columns if c[0] == "col"]
-    star = any(c[0] == "star" for c in stmt.columns)
-    if star:
-        proj_cols = [f.name for f in idx.public_fields()]
-    id_only = proj_cols == ["_id"]
-    proj_fields = [c for c in proj_cols if c != "_id"]
+class PlanOpSystemTable(PlanOp):
+    def __init__(self, api: API, table: str, alias: str):
+        self.api = api
+        self.table = table
+        self.alias = alias or table
 
-    if id_only:
-        (row,) = api.executor.execute(stmt.table, _pql_query([filt]))
-        ids = row.keys if row.keys is not None else \
-            [int(c) for c in row.columns()]
-        data = [[i] for i in ids]
-        if stmt.limit is not None:
-            data = data[stmt.offset: stmt.offset + stmt.limit]
-        return {"schema": {"fields": [{"name": "_id", "type": "id"}]},
-                "data": data}
+    def name(self):
+        return f"SystemTable({self.table})"
 
-    ext = Call("Extract", children=[filt] + [Call("Rows", {"_field": c})
-                                             for c in proj_fields])
-    (tbl,) = api.executor.execute(stmt.table, _pql_query([ext]))
-    fields = [{"name": "_id", "type": "id"}] if star or "_id" in proj_cols \
-        else []
-    fields += [{"name": f.name, "type": f.type} for f in tbl.fields]
-    data = []
-    for colrec in tbl.columns:
-        rowvals = []
-        if fields and fields[0]["name"] == "_id":
-            rowvals.append(colrec.column)
-        for fi, f in enumerate(tbl.fields):
-            v = colrec.rows[fi]
-            if f.type in ("id", "string", "bool") and not isinstance(v, list):
-                rowvals.append(v)
-            elif f.type.startswith("[]"):
-                rowvals.append(v)
+    def run(self):
+        schema, rows = run_system_table(self.api, self.table)
+        return [(f"{self.alias}.{n}", t) for n, t in schema], rows
+
+
+class PlanOpPQLDistinctScan(PlanOp):
+    """SELECT DISTINCT col pushdown (reference: oppqldistinctscan.go;
+    planoptimizer.go:753)."""
+
+    def __init__(self, api: API, table: str, column: str,
+                 filt: Optional[Call], alias: str):
+        self.api = api
+        self.table = table
+        self.column = column
+        self.filt = filt
+        self.alias = alias or table
+
+    def name(self):
+        return f"PQLDistinctScan({self.table}.{self.column})"
+
+    def run(self):
+        idx = self.api.holder.index(self.table)
+        f = idx.field(self.column)
+        call = Call("Distinct", {"_field": self.column},
+                    children=[self.filt] if self.filt is not None else [])
+        (res,) = self.api.query(self.table, Query([call]))
+        t = _FIELD_TO_SQL.get((f.options.type, f.options.keys),
+                              f.options.type)
+        schema = [(f"{self.alias}.{self.column}",
+                   t.replace("[]", "").replace("idset", "id")
+                   .replace("stringset", "string"))]
+        from featurebase_tpu.model.row import Row, SignedRow
+        rows = []
+        if isinstance(res, SignedRow):
+            for v in res.values():
+                rows.append([f.decode_value(int(v)) if f.is_bsi() else int(v)])
+        elif isinstance(res, Row):
+            if res.keys is not None and f.options.keys:
+                rows = [[k] for k in res.keys]
             else:
-                rowvals.append(v)
-        data.append(rowvals)
-    if stmt.order_by:
-        names = [f["name"] for f in fields]
-        for col, desc in reversed(stmt.order_by):
-            if col in names:
-                k = names.index(col)
-                data.sort(key=lambda r: (r[k] is None, r[k]), reverse=desc)
-    if stmt.limit is not None:
-        data = data[stmt.offset: stmt.offset + stmt.limit]
-    return {"schema": {"fields": fields}, "data": data}
+                ids = [int(c) for c in res.columns()]
+                if f.options.keys:
+                    store = idx.row_translation(self.column)
+                    rows = [[store.translate_ids([i])[0]] for i in ids]
+                else:
+                    rows = [[i] for i in ids]
+        return schema, rows
 
 
-def _apply_having_rows(stmt, fields, data):
-    """Very small HAVING support: count(*)/sum(col) comparisons."""
-    names = [f["name"] for f in fields]
+# -- SELECT compiler ------------------------------------------------------------------
 
-    def match(row, node) -> bool:
-        if isinstance(node, Logical):
-            if node.op == "and":
-                return all(match(row, a) for a in node.args)
-            if node.op == "or":
-                return any(match(row, a) for a in node.args)
-            return not match(row, node.args[0])
-        if isinstance(node, Cmp):
-            tgt = None
-            for i, n in enumerate(names):
-                if n.startswith(node.col) or n == f"count(*)" and \
-                        node.col == "count":
-                    tgt = i
-            if tgt is None:
-                for i, n in enumerate(names):
-                    if node.col in n:
-                        tgt = i
-            if tgt is None:
-                raise APIError(f"HAVING column not found: {node.col}", 400)
-            v = row[tgt]
-            ops = {"=": lambda a, b: a == b, "!=": lambda a, b: a != b,
-                   "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
-                   ">": lambda a, b: a > b, ">=": lambda a, b: a >= b}
-            return ops[node.op](v, node.value)
-        raise APIError("unsupported HAVING expression", 400)
+class SelectCompiler:
+    def __init__(self, api: API, depth: int = 0):
+        self.api = api
+        self.depth = depth
+        if depth > 8:
+            raise APIError("view/subquery nesting too deep", 400)
 
-    return [r for r in data if match(r, stmt.having)]
+    # -- entry ---------------------------------------------------------------
+
+    def compile(self, sel: sa.Select) -> PlanOp:
+        sel = self._rewrite_in_selects(sel)
+        aggs = self._collect_aggs(sel)
+
+        # sources
+        if sel.table is None:
+            src: PlanOp = PlanOpStatic([], [[]])
+            src_info = None
+        else:
+            src, src_info = self._compile_source(sel.table,
+                                                 allow_scan_defer=True)
+        join_srcs = [(j, *self._compile_source(j.table,
+                                               allow_scan_defer=True))
+                     for j in sel.joins]
+        self._validate_columns(sel, src, src_info, join_srcs)
+
+        joins_present = bool(sel.joins)
+
+        # WHERE pushdown (single real-table scans only; reference
+        # planoptimizer.go:501 filter pushdown)
+        residual = sel.where
+        filt_call: Optional[Call] = None
+        if src_info is not None and not joins_present:
+            idx = self.api.holder.index(src_info["table"])
+            if sel.where is not None:
+                filt_call, residual = self.split_where(
+                    idx, src_info["alias"], sel.where)
+
+        # ---- fast path: DISTINCT single column, no joins/aggregates
+        if (src_info is not None and not joins_present and sel.distinct
+                and not aggs and not sel.group_by
+                and len(sel.items) == 1
+                and isinstance(sel.items[0].expr, sa.Col)
+                and residual is None
+                and sel.items[0].expr.name != "_id"):
+            colname = sel.items[0].expr.name
+            idx = self.api.holder.index(src_info["table"])
+            if idx.field(colname) is not None and \
+                    idx.field(colname).options.type != "time":
+                op: PlanOp = PlanOpPQLDistinctScan(
+                    self.api, src_info["table"], colname, filt_call,
+                    src_info["alias"])
+                op = self._finalize(sel, op, aggs, distinct_done=True)
+                return op
+
+        # ---- fast path: pure aggregates, all pushable
+        if (src_info is not None and not joins_present and aggs
+                and not sel.group_by and residual is None
+                and all(self._agg_pushable(src_info["table"], a)
+                        for a in aggs)
+                and all(self._is_agg_only_item(it, aggs)
+                        for it in sel.items)):
+            op = PlanOpPQLAggregate(self.api, src_info["table"], aggs,
+                                    filt_call)
+            return self._finalize(sel, op, aggs)
+
+        # ---- fast path: GROUP BY pushdown
+        if (src_info is not None and not joins_present and sel.group_by
+                and residual is None
+                and self._groupby_pushable(src_info["table"], sel, aggs)):
+            cols = [g.name for g in sel.group_by]
+            op = PlanOpPQLGroupBy(self.api, src_info["table"], cols, aggs,
+                                  filt_call, src_info["alias"])
+            return self._finalize(sel, op, aggs, grouped=True)
+
+        # ---- general path: scan -> residual filter -> joins -> group -> ...
+        if src_info is not None:
+            cols_needed = self._referenced_columns(sel, src_info)
+            src = PlanOpPQLTableScan(self.api, src_info["table"],
+                                     src_info["alias"], cols_needed,
+                                     filt_call)
+        op = src
+        for j, right, rinfo in join_srcs:
+            if rinfo is not None:
+                rcols = self._referenced_columns(sel, rinfo)
+                right = PlanOpPQLTableScan(self.api, rinfo["table"],
+                                           rinfo["alias"], rcols, None)
+            op = PlanOpNestedLoops(op, right, j.kind, j.on)
+        if residual is not None:
+            op = PlanOpFilter(op, residual)
+        if sel.group_by or aggs:
+            op = PlanOpGroupBy(op, sel.group_by, aggs)
+            return self._finalize(sel, op, aggs, grouped=True)
+        return self._finalize(sel, op, aggs)
+
+    # -- binder: column validation (reference: analyzePlan type-check/bind,
+    # executionplanner.go:137) --------------------------------------------------
+
+    def _validate_columns(self, sel: sa.Select, src, src_info,
+                          join_srcs=()):
+        qualified: set = set()
+        bare: set = set()
+
+        def add_source(op, info, alias_hint=None):
+            if info is not None:
+                idx = self.api.holder.index(info["table"])
+                alias = info["alias"]
+                for n in ["_id"] + [f.name for f in idx.public_fields()]:
+                    qualified.add((alias, n))
+                    bare.add(n)
+            elif op is not None:
+                for name, _ in self._schema_of(op):
+                    if name.startswith("$agg:"):
+                        continue
+                    if "." in name:
+                        a, n = name.split(".", 1)
+                        qualified.add((a, n))
+                        bare.add(n)
+                    else:
+                        bare.add(name)
+
+        add_source(src, src_info)
+        for _, jop, jinfo in join_srcs:
+            add_source(jop, jinfo)
+        aliases = {it.alias for it in sel.items if it.alias}
+
+        def check(e):
+            if e is None or isinstance(e, (sa.Lit, sa.Star)):
+                return
+            if isinstance(e, sa.Col):
+                if e.table is not None:
+                    if (e.table, e.name) not in qualified:
+                        raise APIError(
+                            f"column not found: {e.table}.{e.name}", 400)
+                elif e.name not in bare and e.name not in aliases:
+                    raise APIError(f"column not found: {e.name}", 400)
+                return
+            if isinstance(e, sa.BinOp):
+                check(e.left)
+                check(e.right)
+            elif isinstance(e, sa.UnOp):
+                check(e.operand)
+            elif isinstance(e, sa.Func):
+                for a in e.args:
+                    check(a)
+            elif isinstance(e, sa.Case):
+                check(e.operand)
+                for c, r in e.whens:
+                    check(c)
+                    check(r)
+                check(e.else_)
+            elif isinstance(e, sa.InList):
+                check(e.expr)
+                for v in e.values:
+                    check(v)
+            elif isinstance(e, sa.Between):
+                check(e.expr)
+                check(e.lo)
+                check(e.hi)
+            elif isinstance(e, (sa.IsNull, sa.Like)):
+                check(e.expr)
+
+        for it in sel.items:
+            check(it.expr)
+        check(sel.where)
+        check(sel.having)
+        for g in sel.group_by:
+            check(g)
+        for e, _ in sel.order_by:
+            check(e)
+        for j in sel.joins:
+            check(j.on)
+
+    # -- finalize: having / projection / distinct / order / top ----------------
+
+    def _finalize(self, sel: sa.Select, op: PlanOp, aggs: List[sa.Func],
+                  grouped: bool = False, distinct_done: bool = False
+                  ) -> PlanOp:
+        if sel.having is not None:
+            op = PlanOpFilter(op, sel.having)
+
+        # ORDER BY runs pre-projection so it can reference scan columns;
+        # aliases are resolved to their defining expressions
+        if sel.order_by:
+            alias_map = {it.alias: it.expr for it in sel.items if it.alias}
+            keys = []
+            for e, desc in sel.order_by:
+                target = alias_map.get(e.name, e) \
+                    if isinstance(e, sa.Col) and e.table is None else e
+                keys.append((self._key_fn(target), desc))
+            op = PlanOpOrderBy(op, keys)
+
+        items = self._expand_items(sel, op)
+        op = PlanOpProjection(op, items)
+        if sel.distinct and not distinct_done:
+            op = PlanOpDistinct(op)
+        if sel.limit is not None or sel.offset:
+            op = PlanOpTop(op, sel.limit, sel.offset)
+        return op
+
+    @staticmethod
+    def _key_fn(expr: sa.Expr):
+        def fn(schema, row):
+            return eval_expr(expr, make_env(schema, row))
+        return fn
+
+    def _expand_items(self, sel: sa.Select, op: PlanOp
+                      ) -> List[Tuple[str, str, sa.Expr]]:
+        """SelectItem list -> (name, type, expr) triples; Star expands to the
+        child schema (bare names)."""
+        # probing the child schema requires knowing it without running; all
+        # our ops expose schema only via run(), so for Star we inspect the
+        # source ops structurally
+        items: List[Tuple[str, str, sa.Expr]] = []
+        for it in sel.items:
+            if isinstance(it.expr, sa.Star):
+                for name, t in self._schema_of(op):
+                    if name.startswith("$agg:"):
+                        continue
+                    bare = name.split(".", 1)[1] if "." in name else name
+                    items.append((bare, t, sa.Col(name)))
+                continue
+            name = it.alias or repr_expr(it.expr)
+            t = self._type_of(it.expr, op)
+            items.append((name, t, it.expr))
+        return items
+
+    def _schema_of(self, op: PlanOp) -> List[Tuple[str, str]]:
+        if isinstance(op, PlanOpPQLTableScan):
+            idx = self.api.holder.index(op.table)
+            out = [(f"{op.alias}._id",
+                    "string" if idx.options.keys else "id")]
+            for c in op.columns:
+                f = idx.field(c)
+                out.append((f"{op.alias}.{c}",
+                            _FIELD_TO_SQL.get((f.options.type,
+                                               f.options.keys),
+                                              f.options.type)))
+            return out
+        if isinstance(op, PlanOpSystemTable):
+            schema, _ = run_system_table(self.api, op.table)
+            return [(f"{op.alias}.{n}", t) for n, t in schema]
+        if isinstance(op, PlanOpPQLDistinctScan):
+            schema, _ = op.run()  # cheap: distinct values only
+            return schema
+        if isinstance(op, PlanOpPQLGroupBy):
+            return [(f"{op.alias}.{g}", "") for g in op.group_cols] + \
+                [(agg_slot_name(a), "int") for a in op.aggs]
+        if isinstance(op, PlanOpPQLAggregate):
+            return [(agg_slot_name(a), "int") for a in op.aggs]
+        if isinstance(op, PlanOpGroupBy):
+            return [(repr_expr(g), "") for g in op.group_exprs] + \
+                [(agg_slot_name(a), "") for a in op.aggs]
+        if isinstance(op, (PlanOpFilter, PlanOpOrderBy, PlanOpTop,
+                           PlanOpDistinct)):
+            return self._schema_of(op.children()[0])
+        if isinstance(op, PlanOpNestedLoops):
+            return self._schema_of(op.left) + self._schema_of(op.right)
+        if isinstance(op, PlanOpProjection):
+            return [(n, t) for n, t, _ in op.items]
+        if isinstance(op, PlanOpStatic):
+            return op.schema
+        if isinstance(op, _QualifyOp):
+            return [(f"{op.alias}.{n.split('.', 1)[1] if '.' in n else n}", t)
+                    for n, t in self._schema_of(op.child)]
+        return []
+
+    def _type_of(self, e: sa.Expr, op: PlanOp) -> str:
+        if isinstance(e, sa.Col):
+            want = f"{e.table}.{e.name}" if e.table else e.name
+            for name, t in self._schema_of(op):
+                bare = name.split(".", 1)[1] if "." in name else name
+                if name == want or bare == want:
+                    return t
+            return ""
+        if isinstance(e, sa.Func) and e.name in sa.AGGREGATES:
+            return "int" if e.name in ("count",) else "decimal" \
+                if e.name == "avg" else "int"
+        if isinstance(e, sa.Lit):
+            if isinstance(e.value, bool):
+                return "bool"
+            if isinstance(e.value, int):
+                return "int"
+            if isinstance(e.value, float):
+                return "decimal"
+            return "string"
+        return ""
+
+    # -- sources -----------------------------------------------------------------
+
+    def _compile_source(self, ref: sa.TableRef, allow_scan_defer=False
+                        ) -> Tuple[Optional[PlanOp], Optional[dict]]:
+        if ref.subquery is not None:
+            inner = SelectCompiler(self.api, self.depth + 1) \
+                .compile(ref.subquery)
+            op = _QualifyOp(inner, ref.alias)
+            return op, None
+        name = ref.name
+        if is_system_table(name):
+            return PlanOpSystemTable(self.api, name, ref.alias), None
+        views = getattr(self.api.holder, "sql_views", {})
+        if name in views:
+            sub = parse_sql(views[name])[0]
+            if not isinstance(sub, sa.Select):
+                raise APIError(f"view {name} is not a SELECT", 400)
+            inner = SelectCompiler(self.api, self.depth + 1).compile(sub)
+            return _QualifyOp(inner, ref.alias), None
+        idx = self.api.holder.index(name)
+        if idx is None:
+            raise APIError(f"table not found: {name}", 404)
+        info = {"table": name, "alias": ref.alias or name}
+        if allow_scan_defer:
+            return None, info
+        return PlanOpPQLTableScan(self.api, name, info["alias"],
+                                  [f.name for f in idx.public_fields()],
+                                  None), None
+
+    def _referenced_columns(self, sel: sa.Select, info: dict) -> List[str]:
+        idx = self.api.holder.index(info["table"])
+        field_names = {f.name for f in idx.public_fields()}
+        alias = info["alias"]
+        refs: set = set()
+        star = [False]
+
+        def walk(e):
+            if e is None:
+                return
+            if isinstance(e, sa.Star):
+                star[0] = True
+            elif isinstance(e, sa.Col):
+                if e.table in (None, alias, info["table"]) and \
+                        e.name in field_names:
+                    refs.add(e.name)
+            elif isinstance(e, sa.BinOp):
+                walk(e.left)
+                walk(e.right)
+            elif isinstance(e, sa.UnOp):
+                walk(e.operand)
+            elif isinstance(e, sa.Func):
+                for a in e.args:
+                    walk(a)
+            elif isinstance(e, sa.Case):
+                walk(e.operand)
+                for c, r in e.whens:
+                    walk(c)
+                    walk(r)
+                walk(e.else_)
+            elif isinstance(e, sa.InList):
+                walk(e.expr)
+                for v in e.values:
+                    walk(v)
+            elif isinstance(e, (sa.Between,)):
+                walk(e.expr)
+                walk(e.lo)
+                walk(e.hi)
+            elif isinstance(e, (sa.IsNull, sa.Like)):
+                walk(e.expr)
+
+        for it in sel.items:
+            walk(it.expr)
+        walk(sel.where)
+        walk(sel.having)
+        for g in sel.group_by:
+            walk(g)
+        for e, _ in sel.order_by:
+            walk(e)
+        for j in sel.joins:
+            walk(j.on)
+        if star[0]:
+            return [f.name for f in idx.public_fields()]
+        return sorted(refs)
+
+    # -- aggregates ---------------------------------------------------------------
+
+    def _collect_aggs(self, sel: sa.Select) -> List[sa.Func]:
+        found: List[sa.Func] = []
+        seen = set()
+
+        def walk(e):
+            if isinstance(e, sa.Func):
+                if e.name in sa.AGGREGATES:
+                    key = agg_slot_name(e)
+                    if key not in seen:
+                        seen.add(key)
+                        found.append(e)
+                    return
+                for a in e.args:
+                    walk(a)
+            elif isinstance(e, sa.BinOp):
+                walk(e.left)
+                walk(e.right)
+            elif isinstance(e, sa.UnOp):
+                walk(e.operand)
+            elif isinstance(e, sa.Case):
+                for c, r in e.whens:
+                    walk(c)
+                    walk(r)
+                if e.else_ is not None:
+                    walk(e.else_)
+
+        for it in sel.items:
+            if not isinstance(it.expr, sa.Star):
+                walk(it.expr)
+        if sel.having is not None:
+            walk(sel.having)
+        for e, _ in sel.order_by:
+            walk(e)
+        return found
+
+    def _agg_pushable(self, table: str, a: sa.Func) -> bool:
+        idx = self.api.holder.index(table)
+        if a.name == "count":
+            if not a.args or isinstance(a.args[0], sa.Star):
+                return not a.distinct
+            col = a.args[0]
+            return isinstance(col, sa.Col) and idx.field(col.name) is not None
+        if a.name in ("sum", "min", "max", "avg", "percentile"):
+            if not a.args or not isinstance(a.args[0], sa.Col):
+                return False
+            if a.distinct:
+                return False
+            f = idx.field(a.args[0].name)
+            return f is not None and f.is_bsi()
+        return False
+
+    def _is_agg_only_item(self, it: sa.SelectItem, aggs) -> bool:
+        """Item evaluable from aggregate slots alone (no raw columns)."""
+        def ok(e):
+            if isinstance(e, sa.Func) and e.name in sa.AGGREGATES:
+                return True
+            if isinstance(e, sa.Lit):
+                return True
+            if isinstance(e, sa.BinOp):
+                return ok(e.left) and ok(e.right)
+            if isinstance(e, sa.UnOp):
+                return ok(e.operand)
+            if isinstance(e, sa.Func):
+                return all(ok(a) for a in e.args)
+            return False
+        return not isinstance(it.expr, sa.Star) and ok(it.expr)
+
+    def _groupby_pushable(self, table: str, sel: sa.Select,
+                          aggs: List[sa.Func]) -> bool:
+        idx = self.api.holder.index(table)
+        for g in sel.group_by:
+            if not isinstance(g, sa.Col):
+                return False
+            f = idx.field(g.name)
+            if f is None or f.options.type not in ("set", "mutex", "bool"):
+                return False
+        sums = 0
+        for a in aggs:
+            if a.name == "count" and (not a.args or
+                                      isinstance(a.args[0], sa.Star)) \
+                    and not a.distinct:
+                continue
+            if a.name in ("sum", "avg") and a.args and \
+                    isinstance(a.args[0], sa.Col) and not a.distinct:
+                f = idx.field(a.args[0].name)
+                if f is not None and f.is_bsi():
+                    sums += 1
+                    continue
+            return False
+        if sums > 1:
+            return False
+        # items must reference only group cols / aggregates
+        group_names = {g.name for g in sel.group_by}
+
+        def ok(e):
+            if isinstance(e, sa.Col):
+                return e.name in group_names
+            if isinstance(e, sa.Func) and e.name in sa.AGGREGATES:
+                return True
+            if isinstance(e, sa.Lit):
+                return True
+            if isinstance(e, sa.BinOp):
+                return ok(e.left) and ok(e.right)
+            return False
+        return all(not isinstance(it.expr, sa.Star) and ok(it.expr)
+                   for it in sel.items)
+
+    # -- IN (SELECT) rewrite --------------------------------------------------------
+
+    def _rewrite_in_selects(self, sel: sa.Select) -> sa.Select:
+        def rw(e):
+            if isinstance(e, sa.InSelect):
+                inner = SelectCompiler(self.api, self.depth + 1) \
+                    .compile(e.select)
+                schema, rows = inner.run()
+                if schema and len(schema) != 1:
+                    raise APIError("IN (SELECT) must return one column", 400)
+                vals = [sa.Lit(r[0]) for r in rows]
+                return sa.InList(e.expr, vals, e.negated)
+            if isinstance(e, sa.BinOp):
+                e.left, e.right = rw(e.left), rw(e.right)
+            elif isinstance(e, sa.UnOp):
+                e.operand = rw(e.operand)
+            elif isinstance(e, sa.InList):
+                e.expr = rw(e.expr)
+            elif isinstance(e, (sa.Between,)):
+                e.expr = rw(e.expr)
+            elif isinstance(e, (sa.IsNull, sa.Like)):
+                e.expr = rw(e.expr)
+            return e
+
+        if sel.where is not None:
+            sel.where = rw(sel.where)
+        if sel.having is not None:
+            sel.having = rw(sel.having)
+        return sel
+
+    # -- WHERE pushdown ----------------------------------------------------------------
+
+    def split_where(self, idx, alias: str, e: sa.Expr
+                    ) -> Tuple[Optional[Call], Optional[sa.Expr]]:
+        """-> (pql_filter, residual_expr); either may be None (reference:
+        planoptimizer.go:501 filter pushdown)."""
+        call = self._to_call(idx, alias, e)
+        if call is not None:
+            return call, None
+        if isinstance(e, sa.BinOp) and e.op == "and":
+            lc, lr = self.split_where(idx, alias, e.left)
+            rc, rr = self.split_where(idx, alias, e.right)
+            calls = [c for c in (lc, rc) if c is not None]
+            call = calls[0] if len(calls) == 1 else \
+                (Call("Intersect", children=calls) if calls else None)
+            if lr is not None and rr is not None:
+                residual: Optional[sa.Expr] = sa.BinOp("and", lr, rr)
+            else:
+                residual = lr if lr is not None else rr
+            return call, residual
+        return None, e
+
+    def _to_call(self, idx, alias: str, e: sa.Expr) -> Optional[Call]:
+        """Full expression -> PQL bitmap call, or None if not pushable."""
+        if isinstance(e, sa.BinOp) and e.op == "and":
+            l = self._to_call(idx, alias, e.left)
+            r = self._to_call(idx, alias, e.right)
+            if l is not None and r is not None:
+                return Call("Intersect", children=[l, r])
+            return None
+        if isinstance(e, sa.BinOp) and e.op == "or":
+            l = self._to_call(idx, alias, e.left)
+            r = self._to_call(idx, alias, e.right)
+            if l is not None and r is not None:
+                return Call("Union", children=[l, r])
+            return None
+        if isinstance(e, sa.UnOp) and e.op == "not":
+            c = self._to_call(idx, alias, e.operand)
+            return Call("Not", children=[c]) if c is not None else None
+        col, lit = _col_lit(e, alias)
+        if col is None:
+            return None
+        if col == "_id":
+            if isinstance(e, sa.BinOp) and e.op == "=":
+                return Call("ConstRow", {"columns": [self._id_of(idx, lit)]})
+            if isinstance(e, sa.BinOp) and e.op == "!=":
+                return Call("Not", children=[
+                    Call("ConstRow", {"columns": [self._id_of(idx, lit)]})])
+            if isinstance(e, sa.InList) and not e.negated:
+                vals = [self._id_of(idx, v.value) for v in e.values
+                        if isinstance(v, sa.Lit)]
+                if len(vals) == len(e.values):
+                    return Call("ConstRow", {"columns": vals})
+            return None
+        f = idx.field(col)
+        if f is None:
+            return None
+        if isinstance(e, sa.BinOp):
+            v = lit
+            if f.is_bsi():
+                op = {"=": "=="}.get(e.op, e.op)
+                return Call("Row", {col: Condition(op, v)})
+            if f.options.type == "bool":
+                v = 1 if v in (True, 1, "true") else 0
+            if isinstance(v, bool):
+                return None
+            if e.op == "=":
+                return Call("Row", {col: v})
+            if e.op == "!=":
+                return Call("Not", children=[Call("Row", {col: v})])
+            return None
+        if isinstance(e, sa.Between) and f.is_bsi() and not e.negated:
+            if isinstance(e.lo, sa.Lit) and isinstance(e.hi, sa.Lit):
+                return Call("Row", {col: Condition("betw",
+                                                   [e.lo.value, e.hi.value])})
+            return None
+        if isinstance(e, sa.InList):
+            vals = [v.value for v in e.values if isinstance(v, sa.Lit)]
+            if len(vals) != len(e.values):
+                return None
+            if f.is_bsi():
+                inner = Call("Union", children=[
+                    Call("Row", {col: Condition("==", v)}) for v in vals])
+            else:
+                if f.options.type == "bool":
+                    vals = [1 if v in (True, 1, "true") else 0 for v in vals]
+                if any(isinstance(v, bool) for v in vals):
+                    return None
+                inner = Call("Union", children=[Call("Row", {col: v})
+                                                for v in vals])
+            return Call("Not", children=[inner]) if e.negated else inner
+        if isinstance(e, sa.IsNull) and f.is_bsi():
+            cond = Condition("!=" if e.negated else "==", None)
+            return Call("Row", {col: cond})
+        return None
+
+    def _id_of(self, idx, v):
+        if isinstance(v, str):
+            # cluster replication keeps every node's store complete, so a
+            # local lookup is authoritative on the coordinator too
+            return idx.translate_store.find_keys([v]).get(v, -1)
+        return int(v)
+
+
+def _col_lit(e: sa.Expr, alias: str):
+    """(col_name, literal) for a leaf predicate whose lhs is a column of this
+    table and rhs a literal; (None, None) otherwise."""
+    def colname(c):
+        if isinstance(c, sa.Col) and c.table in (None, alias):
+            return c.name
+        return None
+    if isinstance(e, sa.BinOp) and e.op in ("=", "!=", "<", "<=", ">", ">="):
+        c = colname(e.left)
+        if c is not None and isinstance(e.right, sa.Lit):
+            return c, e.right.value
+        # literal on the left: normalize to column-on-left in place
+        c = colname(e.right)
+        if c is not None and isinstance(e.left, sa.Lit):
+            flip = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}
+            e.op = flip.get(e.op, e.op)
+            e.left, e.right = e.right, e.left
+            return c, e.right.value
+    if isinstance(e, (sa.Between, sa.InList, sa.IsNull, sa.Like)):
+        c = colname(e.expr)
+        if c is not None:
+            return c, None
+    return None, None
+
+
+class _QualifyOp(PlanOp):
+    """Re-qualifies a subquery/view's output schema under its alias."""
+
+    def __init__(self, child: PlanOp, alias: str):
+        self.child = child
+        self.alias = alias
+
+    def children(self):
+        return [self.child]
+
+    def run(self):
+        schema, rows = self.child.run()
+        out = []
+        for name, t in schema:
+            bare = name.split(".", 1)[1] if "." in name else name
+            out.append((f"{self.alias}.{bare}", t))
+        return out, rows

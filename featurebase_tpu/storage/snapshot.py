@@ -37,6 +37,9 @@ def save(holder: Holder, directory: str, idalloc=None):
     try:
         with open(os.path.join(tmp, "schema.json"), "w") as fh:
             json.dump(holder.schema(), fh)
+        if holder.sql_views:
+            with open(os.path.join(tmp, "views.json"), "w") as fh:
+                json.dump(holder.sql_views, fh)
         tdir = os.path.join(tmp, "translate")
         os.makedirs(tdir, exist_ok=True)
         for iname, idx in holder.indexes.items():
@@ -85,6 +88,10 @@ def load(directory: str, idalloc=None) -> Holder:
         return holder
     with open(schema_path) as fh:
         holder.apply_schema(json.load(fh))
+    views_path = os.path.join(directory, "views.json")
+    if os.path.exists(views_path):
+        with open(views_path) as fh:
+            holder.sql_views = json.load(fh)
     tdir = os.path.join(directory, "translate")
     if os.path.isdir(tdir):
         for fn in os.listdir(tdir):
