@@ -59,6 +59,12 @@ def main(argv=None):
     sp.add_argument("--replicas", type=int,
                     default=int(_env_default("replicas", 1)),
                     help="replication factor (reference: cluster.replicas)")
+    sp.add_argument("--auth-token", default=_env_default("auth_token", None),
+                    help="shared bearer token for API + inter-node auth")
+    sp.add_argument("--long-query-time", type=float,
+                    default=float(_env_default("long_query_time", 0) or 0),
+                    help="log queries slower than this many seconds "
+                         "(reference: long-query-time)")
 
     bp = sub.add_parser("backup", help="tar a data dir snapshot")
     bp.add_argument("--data-dir", required=True)
@@ -126,8 +132,10 @@ def cmd_server(args, cfg):
     from featurebase_tpu.server.api import API
     from featurebase_tpu.server.http_server import Server
     cluster = None
+    auth_token = cfg.get("auth-token", args.auth_token)
     nodes_spec = cfg.get("cluster-nodes", args.cluster_nodes)
     if nodes_spec:
+        from featurebase_tpu.cluster.client import InternalClient
         from featurebase_tpu.cluster.cluster import Cluster
         nodes = []
         for item in nodes_spec.split(","):
@@ -135,8 +143,13 @@ def cmd_server(args, cfg):
             nodes.append({"id": nid, "uri": uri})
         cluster = Cluster(cfg.get("name", args.name) or nodes[0]["id"],
                           nodes,
-                          replicas=int(cfg.get("replicas", args.replicas)))
-    api = API(data_dir=cfg.get("data-dir", args.data_dir), cluster=cluster)
+                          replicas=int(cfg.get("replicas", args.replicas)),
+                          client=InternalClient(auth_token=auth_token))
+    lqt = float(cfg.get("long-query-time", args.long_query_time) or 0)
+    api = API(data_dir=cfg.get("data-dir", args.data_dir), cluster=cluster,
+              long_query_time=lqt or None)
+    if auth_token:
+        api.auth_token = auth_token
     if cluster is not None:
         # liveness + convergence loop (reference: etcd heartbeats +
         # holderSyncer); also performs the initial schema/translate pull

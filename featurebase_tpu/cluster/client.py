@@ -29,8 +29,10 @@ class RemoteError(Exception):
 
 
 class InternalClient:
-    def __init__(self, timeout: float = 30.0):
+    def __init__(self, timeout: float = 30.0,
+                 auth_token: Optional[str] = None):
         self.timeout = timeout
+        self.auth_token = auth_token
 
     # -- transport -----------------------------------------------------------
 
@@ -42,6 +44,8 @@ class InternalClient:
             json.dumps(body).encode() if body is not None else None)
         req = urllib.request.Request(uri + path, data=data, method=method)
         req.add_header("Content-Type", "application/json")
+        if self.auth_token:
+            req.add_header("Authorization", f"Bearer {self.auth_token}")
         for k, v in (headers or {}).items():
             req.add_header(k, v)
         try:
@@ -126,7 +130,7 @@ class InternalClient:
 
     def health(self, uri: str, timeout: float = 2.0) -> bool:
         try:
-            req = urllib.request.Request(uri + "/status")
+            req = urllib.request.Request(uri + "/health")
             with urllib.request.urlopen(req, timeout=timeout):
                 return True
         except Exception:  # noqa: BLE001

@@ -168,6 +168,12 @@ class Executor:
 
     def _execute_call(self, index: Index, call: Call,
                       shards: Optional[List[int]]):
+        from featurebase_tpu.utils.tracing import TRACER
+        with TRACER.start_span(f"executor.execute{call.name}"):
+            return self._execute_call_inner(index, call, shards)
+
+    def _execute_call_inner(self, index: Index, call: Call,
+                            shards: Optional[List[int]]):
         name = call.name
         if name == "Options":
             return self._execute_call(index, call.children[0], shards)

@@ -31,14 +31,23 @@ class API:
 
     def __init__(self, holder: Optional[Holder] = None, mesh=None,
                  path: str = "", data_dir: Optional[str] = None,
-                 cluster=None):
+                 cluster=None, long_query_time: Optional[float] = None,
+                 query_history_length: int = 100):
         from featurebase_tpu.ingest.idalloc import IDAllocator
+        from featurebase_tpu.utils.logger import DEFAULT as default_logger
+        from featurebase_tpu.utils.tracker import (QueryTracker,
+                                                   TransactionStore)
         self.data_dir = data_dir
         self.idalloc = IDAllocator()
         self.wal = None
         self._replaying = False
         self.cluster = cluster
         self.distributed = None
+        self.logger = default_logger
+        self.tracker = QueryTracker(query_history_length, long_query_time,
+                                    self.logger)
+        self.transactions = TransactionStore()
+        self.exec_requests = None  # lazily created by the SQL engine
         if data_dir:
             import os
 
@@ -308,21 +317,57 @@ class API:
 
     def query(self, index: str, pql: str,
               shards: Optional[List[int]] = None) -> List[Any]:
+        return self.query_full(index, pql, shards=shards)["results"]
+
+    def query_full(self, index: str, pql: str,
+                   shards: Optional[List[int]] = None) -> Dict[str, Any]:
+        """Query with tracking, metrics, and optional profiling: the
+        reference returns a tracing.Profile tree when called with
+        Options(profile=true) (reference: executor.go:227-236; api.go:209
+        Query with tracker + long-query logging api.go:2089)."""
         from featurebase_tpu.pql.parser import ParseError
         from featurebase_tpu.pql.parser import parse as _parse
+        from featurebase_tpu.utils.metrics import REGISTRY
+        from featurebase_tpu.utils.tracing import TRACER
         self._index(index)
+        qtext = pql if isinstance(pql, str) else repr(pql)
+        node = self.cluster.node_id if self.cluster is not None else ""
+        qid = self.tracker.start(index, qtext, node)
+        REGISTRY.count("query_total", index=index)
+        err: Optional[str] = None
         try:
-            parsed = _parse(pql) if isinstance(pql, str) else pql
-            if self.distributed is not None:
-                # coordinator path: WAL logging happens on the nodes that
-                # apply the writes (query_remote_local)
-                return self.distributed.execute(index, parsed, shards=shards)
-            self._log_write_calls(index, parsed)
-            return self.executor.execute(index, parsed, shards=shards)
+            with REGISTRY.timer("query_seconds", index=index):
+                parsed = _parse(pql) if isinstance(pql, str) else pql
+                profile = any(c.name == "Options"
+                              and c.args.get("profile") in (True, 1)
+                              for c in parsed.calls)
+                pctx = TRACER.start_profile("query", index=index) \
+                    if profile else None
+                try:
+                    if self.distributed is not None:
+                        # coordinator path: WAL logging happens on the nodes
+                        # that apply the writes (query_remote_local)
+                        results = self.distributed.execute(index, parsed,
+                                                           shards=shards)
+                    else:
+                        self._log_write_calls(index, parsed)
+                        results = self.executor.execute(index, parsed,
+                                                        shards=shards)
+                finally:
+                    if pctx is not None:
+                        pctx.__exit__()
+                out: Dict[str, Any] = {"results": results}
+                if pctx is not None:
+                    out["profile"] = pctx.profile()
+                return out
         except ParseError as e:
-            raise APIError(f"parsing: {e}", 400)
+            err = f"parsing: {e}"
+            raise APIError(err, 400)
         except ExecError as e:
-            raise APIError(str(e), 400)
+            err = str(e)
+            raise APIError(err, 400)
+        finally:
+            self.tracker.finish(qid, err)
 
     def _log_write_calls(self, index: str, parsed):
         from featurebase_tpu.pql.ast import WRITE_CALLS

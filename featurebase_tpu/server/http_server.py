@@ -93,6 +93,15 @@ class Handler(BaseHTTPRequestHandler):
             query = {k: v[0] for k, v in
                      parse_qs(self.path.split("?", 1)[1]).items()}
 
+        # bearer-token auth (reference: authn/ OAuth middleware, simplified
+        # to a shared token; health/version stay open like the reference's
+        # unauthenticated endpoints)
+        token = getattr(self.api, "auth_token", None)
+        if token and path not in ("/health", "/version"):
+            got = self.headers.get("Authorization", "")
+            if got != f"Bearer {token}":
+                return self._err("unauthorized", 401)
+
         m = re.fullmatch(r"/index/([^/]+)/query", path)
         if m and method == "POST":
             body = self._json()
@@ -105,8 +114,79 @@ class Handler(BaseHTTPRequestHandler):
                 return self._send({"partials": partials})
             pql = body.get("query") or body.get("_raw") or ""
             shards = body.get("shards") if isinstance(body, dict) else None
-            results = self.api.query(m.group(1), pql, shards=shards)
-            return self._send(response_to_json(results))
+            full = self.api.query_full(m.group(1), pql, shards=shards)
+            resp = response_to_json(full["results"])
+            if "profile" in full:
+                resp["profile"] = full["profile"]
+            return self._send(resp)
+
+        # -- observability (reference: /queries, /query-history
+        # http_handler.go; tracker.go) ----------------------------------
+        if path == "/queries" and method == "GET":
+            return self._send({"queries": self.api.tracker.active()})
+        if path == "/query-history" and method == "GET":
+            return self._send({"queries": self.api.tracker.past()})
+        if path == "/version" and method == "GET":
+            from featurebase_tpu import __version__
+            return self._send({"version": __version__})
+        if path == "/health" and method == "GET":
+            return self._send({})
+        if path == "/info" and method == "GET":
+            import multiprocessing
+            return self._send({"shardWidth": 1 << 20,
+                               "cpuPhysicalCores": multiprocessing.cpu_count(),
+                               "memory": _total_memory()})
+        if path == "/metrics" and method == "GET":
+            from featurebase_tpu.utils.metrics import REGISTRY
+            text = _prometheus_text(REGISTRY)
+            data = text.encode()
+            self.send_response(200)
+            self.send_header("Content-Type",
+                             "text/plain; version=0.0.4")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+            return
+        if path == "/internal/mem-usage" and method == "GET":
+            return self._send({"totalUsed": _process_rss()})
+        if path == "/internal/disk-usage" and method == "GET":
+            import shutil as _sh
+            d = self.api.data_dir or "."
+            usage = _sh.disk_usage(d)
+            return self._send({"usage": usage.used, "free": usage.free})
+
+        # -- transactions (reference: api.go:2364 StartTransaction;
+        # /transaction(s) routes) -----------------------------------------
+        if path == "/transactions" and method == "GET":
+            return self._send({"transactions": self.api.transactions.list()})
+        m = re.fullmatch(r"/transaction(?:/([^/]+))?", path)
+        if m and method == "POST":
+            b = self._json()
+            tid = m.group(1) or b.get("id") or ""
+            if not tid:
+                import uuid
+                tid = str(uuid.uuid4())
+            try:
+                tx = self.api.transactions.start(
+                    tid, float(b.get("timeout", 60)),
+                    bool(b.get("exclusive", False)))
+            except ValueError as e:
+                return self._err(str(e), 409)
+            return self._send({"transaction": tx.to_json()})
+        m = re.fullmatch(r"/transaction/([^/]+)/finish", path)
+        if m and method == "POST":
+            try:
+                tx = self.api.transactions.finish(m.group(1))
+            except KeyError:
+                return self._err("transaction not found", 404)
+            return self._send({"transaction": tx.to_json()})
+        m = re.fullmatch(r"/transaction/([^/]+)", path)
+        if m and method == "GET":
+            try:
+                tx = self.api.transactions.get(m.group(1))
+            except KeyError:
+                return self._err("transaction not found", 404)
+            return self._send({"transaction": tx.to_json()})
 
         m = re.fullmatch(r"/index/([^/]+)/field/([^/]+)/import", path)
         if m and method == "POST":
@@ -312,6 +392,42 @@ class Handler(BaseHTTPRequestHandler):
             return self._send(self.api.translate_snapshot())
 
         raise APIError(f"no route: {method} {path}", 404)
+
+
+def _prometheus_text(registry) -> str:
+    """Render the registry in Prometheus exposition format (reference:
+    /metrics endpoint, metrics.go Prometheus counters)."""
+    d = registry.to_json()
+    lines = []
+    for k, v in sorted(d["counters"].items()):
+        lines.append(f"featurebase_{k} {v}")
+    for k, v in sorted(d["gauges"].items()):
+        lines.append(f"featurebase_{k} {v}")
+    for k, h in sorted(d["histograms"].items()):
+        base, _, labels = k.partition("{")
+        lb = "{" + labels if labels else ""
+        lines.append(f"featurebase_{base}_count{lb} {h['count']}")
+        lines.append(f"featurebase_{base}_p50{lb} {h['p50']}")
+        lines.append(f"featurebase_{base}_p99{lb} {h['p99']}")
+    lines.append(f"featurebase_uptime_seconds {d['uptime']}")
+    return "\n".join(lines) + "\n"
+
+
+def _total_memory() -> int:
+    try:
+        import os
+        return os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+    except (ValueError, OSError):
+        return 0
+
+
+def _process_rss() -> int:
+    try:
+        with open("/proc/self/statm") as fh:
+            import os
+            return int(fh.read().split()[1]) * os.sysconf("SC_PAGE_SIZE")
+    except (OSError, ValueError, IndexError):
+        return 0
 
 
 class Server:

@@ -1,0 +1,130 @@
+"""Tracing/profiling, query tracker/history, transactions, metrics, auth
+(reference: tracing/tracing.go, tracker.go, transaction.go, metrics.go,
+authn/)."""
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from featurebase_tpu.server.api import API
+from featurebase_tpu.server.http_server import Server
+from featurebase_tpu.utils.tracker import QueryTracker, TransactionStore
+
+
+def _http(url, method="GET", body=None, headers=None, raw=None):
+    data = raw if raw is not None else (
+        json.dumps(body).encode() if body is not None else None)
+    req = urllib.request.Request(url, data=data, method=method)
+    for k, v in (headers or {}).items():
+        req.add_header(k, v)
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        payload = resp.read()
+    return json.loads(payload) if payload else {}
+
+
+@pytest.fixture(scope="module")
+def srv():
+    api = API()
+    api.create_index("i", {})
+    api.create_field("i", "f", {"type": "set"})
+    api.query("i", "Set(1, f=1) Set(2, f=1)")
+    s = Server(api=api).start()
+    yield s
+    s.stop()
+
+
+class TestProfiling:
+    def test_options_profile_returns_tree(self, srv):
+        out = _http(srv.url + "/index/i/query", "POST",
+                    raw=b"Options(Count(Row(f=1)), profile=true)")
+        assert out["results"] == [2]
+        prof = out["profile"]
+        assert prof["name"] == "query"
+        assert prof["duration_us"] >= 0
+        names = [c["name"] for c in prof.get("children", [])]
+        assert any("executeOptions" in n or "executeCount" in n
+                   for n in names)
+
+    def test_no_profile_by_default(self, srv):
+        out = _http(srv.url + "/index/i/query", "POST",
+                    raw=b"Count(Row(f=1))")
+        assert "profile" not in out
+
+
+class TestTracker:
+    def test_query_history(self, srv):
+        _http(srv.url + "/index/i/query", "POST", raw=b"Count(All())")
+        hist = _http(srv.url + "/query-history")["queries"]
+        assert hist and hist[0]["PQL"]
+        assert "runtime" in hist[0]
+        assert _http(srv.url + "/queries")["queries"] == []
+
+    def test_long_query_log(self, capsys):
+        tr = QueryTracker(10, long_query_time=0.0)
+        qid = tr.start("i", "Count(All())")
+        tr.finish(qid)
+        assert tr.past()[0]["runtime"] >= 0
+
+
+class TestTransactions:
+    def test_lifecycle(self, srv):
+        out = _http(srv.url + "/transaction", "POST",
+                    body={"id": "t1", "timeout": 60})
+        assert out["transaction"]["active"] is True
+        out = _http(srv.url + "/transactions")
+        assert "t1" in out["transactions"]
+        out = _http(srv.url + "/transaction/t1")
+        assert out["transaction"]["id"] == "t1"
+        out = _http(srv.url + "/transaction/t1/finish", "POST")
+        assert out["transaction"]["id"] == "t1"
+        assert _http(srv.url + "/transactions")["transactions"] == {}
+
+    def test_exclusive_blocks(self):
+        ts = TransactionStore()
+        t1 = ts.start("a", 60, exclusive=False)
+        assert t1.active
+        t2 = ts.start("b", 60, exclusive=True)
+        assert not t2.active  # waits for t1
+        ts.finish("a")
+        assert ts.get("b").active  # promoted
+
+    def test_duplicate_id_conflict(self, srv):
+        _http(srv.url + "/transaction", "POST", body={"id": "dup"})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _http(srv.url + "/transaction", "POST", body={"id": "dup"})
+        assert ei.value.code == 409
+        _http(srv.url + "/transaction/dup/finish", "POST")
+
+
+class TestMetricsEndpoints:
+    def test_prometheus_text(self, srv):
+        req = urllib.request.Request(srv.url + "/metrics")
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            text = resp.read().decode()
+        assert "featurebase_uptime_seconds" in text
+        assert "query_total" in text
+
+    def test_version_info_health(self, srv):
+        assert _http(srv.url + "/version")["version"]
+        assert _http(srv.url + "/info")["shardWidth"] == 1 << 20
+        assert _http(srv.url + "/health") == {}
+        assert _http(srv.url + "/internal/mem-usage")["totalUsed"] > 0
+
+
+class TestAuth:
+    def test_bearer_token_required(self):
+        api = API()
+        api.auth_token = "sekret"
+        s = Server(api=api).start()
+        try:
+            # health is open
+            assert _http(s.url + "/health") == {}
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                _http(s.url + "/schema")
+            assert ei.value.code == 401
+            out = _http(s.url + "/schema",
+                        headers={"Authorization": "Bearer sekret"})
+            assert "indexes" in out
+        finally:
+            s.stop()
