@@ -59,6 +59,9 @@ def main(argv=None):
     sp.add_argument("--replicas", type=int,
                     default=int(_env_default("replicas", 1)),
                     help="replication factor (reference: cluster.replicas)")
+    sp.add_argument("--grpc-bind", default=_env_default("grpc_bind", None),
+                    help="HOST:PORT for the gRPC listener (reference: "
+                         "grpc-listener config)")
     sp.add_argument("--auth-token", default=_env_default("auth_token", None),
                     help="shared bearer token for API + inter-node auth")
     sp.add_argument("--long-query-time", type=float,
@@ -155,12 +158,22 @@ def cmd_server(args, cfg):
         # holderSyncer); also performs the initial schema/translate pull
         cluster.start_heartbeat(api)
     srv = Server(api=api, host=host or "127.0.0.1", port=int(port or 10101))
+    grpc_bind = cfg.get("grpc-bind", args.grpc_bind)
+    grpc_srv = None
+    if grpc_bind:
+        from featurebase_tpu.server.grpc_server import GRPCServer
+        gh, _, gp = grpc_bind.partition(":")
+        grpc_srv = GRPCServer(api=api, host=gh or "127.0.0.1",
+                              port=int(gp or 20101)).start()
+        print(f"featurebase_tpu gRPC on {grpc_srv.address}", flush=True)
     print(f"featurebase_tpu serving on {srv.url}", flush=True)
     try:
         srv.httpd.serve_forever()
     except KeyboardInterrupt:
         pass
     finally:
+        if grpc_srv is not None:
+            grpc_srv.stop()
         srv.stop()
     return 0
 
