@@ -69,6 +69,18 @@ def main(argv=None):
                     help="log queries slower than this many seconds "
                          "(reference: long-query-time)")
 
+    dx = sub.add_parser("dax", help="run a disaggregated DAX deployment "
+                                    "(controller + computers + queryer) in "
+                                    "one process")
+    dx.add_argument("--bind", default=_env_default("bind", "127.0.0.1:10101"),
+                    help="queryer bind address")
+    dx.add_argument("--computers", type=int,
+                    default=int(_env_default("computers", 2)))
+    dx.add_argument("--data-dir", default=_env_default("data_dir", None))
+    dx.add_argument("--snapshot-interval", type=float,
+                    default=float(_env_default("snapshot_interval", 30)))
+    dx.add_argument("--cpu", action="store_true")
+
     bp = sub.add_parser("backup", help="tar a data dir snapshot")
     bp.add_argument("--data-dir", required=True)
     bp.add_argument("--output", "-o", required=True)
@@ -109,6 +121,8 @@ def main(argv=None):
 
     if args.cmd == "server":
         return cmd_server(args, cfg)
+    if args.cmd == "dax":
+        return cmd_dax(args, cfg)
     if args.cmd == "backup":
         return cmd_backup(args)
     if args.cmd == "restore":
@@ -175,6 +189,37 @@ def cmd_server(args, cfg):
         if grpc_srv is not None:
             grpc_srv.stop()
         srv.stop()
+    return 0
+
+
+def cmd_dax(args, cfg):
+    """Reference: `featurebase dax` (cmd/dax.go) — all services in one
+    process via the service manager."""
+    if getattr(args, "cpu", False):
+        os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + \
+            " --xla_force_host_platform_device_count=8"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    from featurebase_tpu.dax.service import DaxService
+    from featurebase_tpu.server.http_server import Server
+    svc = DaxService(n_computers=int(cfg.get("computers", args.computers)),
+                     data_dir=cfg.get("data-dir", args.data_dir),
+                     snapshot_interval=float(
+                         cfg.get("snapshot-interval",
+                                 args.snapshot_interval)))
+    bind = cfg.get("bind", args.bind)
+    host, _, port = bind.partition(":")
+    front = Server(api=svc.queryer, host=host or "127.0.0.1",
+                   port=int(port or 10101))
+    print(f"featurebase_tpu dax: controller={svc.controller_uri} "
+          f"computers={len(svc.computers)} queryer={front.url}", flush=True)
+    try:
+        front.httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        front.stop()
+        svc.close()
     return 0
 
 

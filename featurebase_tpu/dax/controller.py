@@ -1,0 +1,363 @@
+"""DAX Controller: worker registry, job balancer, directive push, poller,
+snapping turtle, and the cluster-wide key-translation service.
+
+Mirrors the reference controller (reference: dax/controller/controller.go:30
+— registers workers, Balancer assigns jobs per database,
+balancer/balancer.go:63 AddWorker, :222 RemoveWorker, :285 balance;
+poller/poller.go:14 health checks + deregistration; snapping_turtle.go:11
+periodic snapshot loop; schemar/ schema registry).  Differences by design:
+controller state is an in-memory registry persisted as JSON (the reference
+uses an embedded SQL DB), and key translation is centralized here rather
+than spread over computer translate roles — one primary with synchronous
+durability is the single-controller TPU deployment's simplest correct
+topology.
+"""
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+from typing import Dict, List, Optional
+
+from featurebase_tpu.cluster.client import (InternalClient, NodeUnreachable,
+                                            RemoteError)
+from featurebase_tpu.storage.translate import (FieldTranslateStore,
+                                               IndexTranslateStore)
+
+
+class Directive:
+    """Desired state for one computer (reference: dax/directive.go:8)."""
+
+    def __init__(self, worker_id: str, version: int, schema: list,
+                 shards: Dict[str, List[int]], views: dict):
+        self.worker_id = worker_id
+        self.version = version
+        self.schema = schema
+        self.shards = shards  # table -> sorted shard list
+        self.views = views    # sql views
+
+    def to_json(self) -> dict:
+        return {"workerID": self.worker_id, "version": self.version,
+                "schema": self.schema, "shards": self.shards,
+                "views": self.views}
+
+
+class Controller:
+    def __init__(self, data_dir: Optional[str] = None,
+                 client: Optional[InternalClient] = None):
+        self.client = client or InternalClient(timeout=10.0)
+        self._lock = threading.RLock()
+        self.workers: Dict[str, dict] = {}      # id -> {uri, state}
+        self.assignments: Dict[str, Dict[int, str]] = {}  # table->shard->wid
+        self.schema: list = []
+        self.views: Dict[str, str] = {}
+        self.directive_version = 0
+        self.data_dir = data_dir
+        # key translation (see module docstring)
+        self.index_keys: Dict[str, IndexTranslateStore] = {}
+        self.field_keys: Dict[str, FieldTranslateStore] = {}
+        self._threads: List[threading.Thread] = []
+        self._stop = threading.Event()
+        if data_dir:
+            os.makedirs(data_dir, exist_ok=True)
+            self._load_state()
+
+    # -- persistence -----------------------------------------------------------
+
+    def _state_path(self) -> str:
+        return os.path.join(self.data_dir, "controller.json")
+
+    def _persist(self):
+        if not self.data_dir:
+            return
+        state = {
+            "assignments": {t: {str(s): w for s, w in m.items()}
+                            for t, m in self.assignments.items()},
+            "schema": self.schema,
+            "views": self.views,
+            "version": self.directive_version,
+            "indexKeys": {t: st.to_json()
+                          for t, st in self.index_keys.items()},
+            "fieldKeys": {k: st.to_json()
+                          for k, st in self.field_keys.items()},
+        }
+        tmp = self._state_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(state, fh)
+        os.replace(tmp, self._state_path())
+
+    def _load_state(self):
+        path = self._state_path()
+        if not os.path.exists(path):
+            return
+        with open(path) as fh:
+            st = json.load(fh)
+        self.assignments = {t: {int(s): w for s, w in m.items()}
+                            for t, m in st.get("assignments", {}).items()}
+        self.schema = st.get("schema", [])
+        self.views = st.get("views", {})
+        self.directive_version = st.get("version", 0)
+        for t, d in st.get("indexKeys", {}).items():
+            self.index_keys[t] = IndexTranslateStore.from_json(t, d)
+        for k, d in st.get("fieldKeys", {}).items():
+            t, f = k.split("/", 1)
+            self.field_keys[k] = FieldTranslateStore.from_json(t, f, d)
+
+    # -- worker registry (reference: controller.go RegisterNode) ----------------
+
+    def register_worker(self, worker_id: str, uri: str) -> dict:
+        with self._lock:
+            self.workers[worker_id] = {"uri": uri.rstrip("/"),
+                                       "state": "UP",
+                                       "seen": time.time()}
+            self._rebalance_locked()
+        self._push_directives()
+        return {"registered": worker_id}
+
+    def deregister_worker(self, worker_id: str):
+        with self._lock:
+            self.workers.pop(worker_id, None)
+            self._rebalance_locked()
+        self._push_directives()
+
+    def live_workers(self) -> List[str]:
+        with self._lock:
+            return sorted(w for w, m in self.workers.items()
+                          if m["state"] == "UP")
+
+    # -- balancing (reference: balancer/balancer.go:285 balance) ----------------
+
+    def _rebalance_locked(self):
+        """Even spread with minimal movement: keep valid assignments, move
+        orphaned/excess shards to the least-loaded live workers."""
+        live = sorted(w for w, m in self.workers.items()
+                      if m["state"] == "UP")
+        if not live:
+            return
+        loads = {w: 0 for w in live}
+        orphans: List[tuple] = []
+        for table, m in self.assignments.items():
+            for shard, wid in m.items():
+                if wid in loads:
+                    loads[wid] += 1
+                else:
+                    orphans.append((table, shard))
+        # cap per worker for even spread
+        total = sum(loads.values()) + len(orphans)
+        cap = -(-total // len(live)) if live else 0
+        # shed overloaded workers' excess
+        for table, m in self.assignments.items():
+            for shard, wid in list(m.items()):
+                if wid in loads and loads[wid] > cap:
+                    loads[wid] -= 1
+                    orphans.append((table, shard))
+                    del m[shard]
+        for table, shard in orphans:
+            wid = min(loads, key=lambda w: (loads[w], w))
+            self.assignments.setdefault(table, {})[shard] = wid
+            loads[wid] += 1
+        self.directive_version += 1
+        self._persist()
+
+    def assign_shard(self, table: str, shard: int) -> Optional[str]:
+        """Idempotent shard registration; returns the owning worker id."""
+        with self._lock:
+            m = self.assignments.setdefault(table, {})
+            wid = m.get(shard)
+            if wid is not None and \
+                    self.workers.get(wid, {}).get("state") == "UP":
+                return wid
+            live = self.live_workers()
+            if not live:
+                return None
+            loads = {w: 0 for w in live}
+            for mm in self.assignments.values():
+                for w in mm.values():
+                    if w in loads:
+                        loads[w] += 1
+            wid = min(loads, key=lambda w: (loads[w], w))
+            m[shard] = wid
+            self.directive_version += 1
+            self._persist()
+        self._push_directive_to(wid)
+        return wid
+
+    def topology(self) -> dict:
+        with self._lock:
+            return {
+                "version": self.directive_version,
+                "workers": {w: m["uri"] for w, m in self.workers.items()
+                            if m["state"] == "UP"},
+                "assignments": {t: {str(s): w for s, w in m.items()}
+                                for t, m in self.assignments.items()},
+            }
+
+    # -- directives (reference: Director pushes ApplyDirective) ------------------
+
+    def _directive_for(self, worker_id: str) -> Directive:
+        shards = {}
+        for table, m in self.assignments.items():
+            mine = sorted(s for s, w in m.items() if w == worker_id)
+            if mine:
+                shards[table] = mine
+        return Directive(worker_id, self.directive_version, self.schema,
+                         shards, self.views)
+
+    def _push_directive_to(self, worker_id: str):
+        with self._lock:
+            w = self.workers.get(worker_id)
+            d = self._directive_for(worker_id).to_json()
+        if w is None:
+            return
+        try:
+            self.client._call(w["uri"], "POST", "/dax/directive", d)
+        except (NodeUnreachable, RemoteError):
+            with self._lock:
+                w["state"] = "DOWN"
+
+    def _push_directives(self):
+        for wid in list(self.workers):
+            self._push_directive_to(wid)
+
+    # -- schema (reference: schemar/) ---------------------------------------------
+
+    def apply_schema_op(self, msg: dict):
+        """Schema change from a queryer; recorded and fanned out via
+        directives."""
+        with self._lock:
+            t = msg.get("type")
+            if t == "set_schema":
+                self.schema = msg["schema"]
+            elif t == "create_view":
+                self.views[msg["name"]] = msg["sql"]
+            elif t == "delete_view":
+                self.views.pop(msg["name"], None)
+            self.directive_version += 1
+            self._persist()
+        self._push_directives()
+
+    # -- key translation ------------------------------------------------------------
+
+    def translate(self, table: str, op: str, keys=None, ids=None,
+                  field: str = "") -> dict:
+        if field:
+            k = f"{table}/{field}"
+            store = self.field_keys.get(k)
+            if store is None:
+                store = self.field_keys[k] = FieldTranslateStore(table, field)
+        else:
+            store = self.index_keys.get(table)
+            if store is None:
+                store = self.index_keys[table] = IndexTranslateStore(table)
+        if op == "create":
+            out = store.create_keys(keys or [])
+            self._persist()
+            return out
+        if op == "find":
+            return store.find_keys(keys or [])
+        if op == "ids":
+            return {"keys": store.translate_ids(ids or [])}
+        raise ValueError(op)
+
+    # -- poller (reference: poller/poller.go:14) --------------------------------------
+
+    def start_poller(self, interval: float = 2.0):
+        def loop():
+            while not self._stop.is_set():
+                dead = []
+                with self._lock:
+                    workers = list(self.workers.items())
+                for wid, m in workers:
+                    ok = self.client.health(m["uri"])
+                    with self._lock:
+                        w = self.workers.get(wid)
+                        if w is None:
+                            continue
+                        if ok:
+                            w["state"] = "UP"
+                            w["seen"] = time.time()
+                        elif w["state"] == "UP":
+                            w["state"] = "DOWN"
+                            dead.append(wid)
+                if dead:
+                    with self._lock:
+                        self._rebalance_locked()
+                    self._push_directives()
+                self._stop.wait(interval)
+        t = threading.Thread(target=loop, daemon=True)
+        t.start()
+        self._threads.append(t)
+
+    # -- snapping turtle (reference: snapping_turtle.go:11) -----------------------------
+
+    def start_snapping_turtle(self, interval: float = 30.0):
+        def loop():
+            while not self._stop.is_set():
+                self._stop.wait(interval)
+                if self._stop.is_set():
+                    return
+                with self._lock:
+                    workers = [(w, m["uri"]) for w, m in self.workers.items()
+                               if m["state"] == "UP"]
+                for wid, uri in workers:
+                    try:
+                        self.client._call(uri, "POST", "/dax/snapshot", {})
+                    except (NodeUnreachable, RemoteError):
+                        pass
+        t = threading.Thread(target=loop, daemon=True)
+        t.start()
+        self._threads.append(t)
+
+    def stop(self):
+        self._stop.set()
+
+    # -- HTTP surface (mounted on server.Server via extra_route) -----------------------
+
+    def extra_route(self, h, method: str, path: str, query: dict) -> bool:
+        import re
+        if path == "/dax/register" and method == "POST":
+            b = h._json()
+            h._send(self.register_worker(b["id"], b["uri"]))
+            return True
+        if path == "/dax/deregister" and method == "POST":
+            self.deregister_worker(h._json().get("id", ""))
+            h._send({})
+            return True
+        if path == "/dax/topology" and method == "GET":
+            h._send(self.topology())
+            return True
+        if path == "/dax/assign-shard" and method == "POST":
+            b = h._json()
+            wid = self.assign_shard(b["table"], int(b["shard"]))
+            if wid is None:
+                h._err("no live workers", 503)
+                return True
+            with self._lock:
+                h._send({"worker": wid,
+                         "uri": self.workers[wid]["uri"]})
+            return True
+        if path == "/dax/schema" and method == "POST":
+            self.apply_schema_op(h._json())
+            h._send({})
+            return True
+        if path == "/dax/schema" and method == "GET":
+            with self._lock:
+                h._send({"schema": self.schema, "views": self.views})
+            return True
+        m = re.fullmatch(r"/dax/translate/([^/]+)(?:/([^/]+))?/(create|find|ids)",
+                         path)
+        if m and method == "POST":
+            b = h._json()
+            out = self.translate(m.group(1), m.group(3),
+                                 keys=b.get("keys"), ids=b.get("ids"),
+                                 field=m.group(2) or "")
+            h._send(out)
+            return True
+        if path == "/health" and method == "GET":
+            h._send({})
+            return True
+        return False
+
+    # server.Server compatibility shims (the controller is not a data API)
+    auth_token = None

@@ -59,6 +59,16 @@ def payload_from_rows(rows: Dict[int, np.ndarray]) -> bytes:
     return roaring.encode(np.array(keys, dtype=np.uint64), np.stack(conts))
 
 
+def _update_bit_depth(f, view: str, rows) -> None:
+    """BSI payloads can carry more magnitude slices than the field has seen
+    (reference: ImportRoaringBSI fragment.go:2087 tracks bit depth)."""
+    if view.startswith("bsig_") and rows:
+        from featurebase_tpu.core.consts import BSI_OFFSET
+        max_row = max(rows)
+        if max_row >= BSI_OFFSET:
+            f.bit_depth = max(f.bit_depth, max_row - BSI_OFFSET + 1)
+
+
 def import_roaring(index: Index, field_name: str, shard: int, data: bytes,
                    view: str = "standard", clear: bool = False,
                    update_existence: bool = True):
@@ -70,6 +80,7 @@ def import_roaring(index: Index, field_name: str, shard: int, data: bytes,
         raise ValueError(f"field not found: {field_name}")
     rows = rows_from_payload(data)
     frag = f.create_view_if_not_exists(view).create_fragment_if_not_exists(shard)
+    _update_bit_depth(f, view, rows)
     cols_mask = np.zeros(WORDS_PER_ROW, dtype=np.uint32) if update_existence \
         else None
     for row, words in rows.items():
@@ -111,6 +122,7 @@ def import_roaring_shard(index: Index, shard: int,
         rows = rows_from_payload(data)
         frag = f.create_view_if_not_exists(view) \
                 .create_fragment_if_not_exists(shard)
+        _update_bit_depth(f, view, rows)
         cols_mask = np.zeros(WORDS_PER_ROW, dtype=np.uint32)
         for row, words in rows.items():
             if replace:

@@ -93,6 +93,13 @@ class Handler(BaseHTTPRequestHandler):
             query = {k: v[0] for k, v in
                      parse_qs(self.path.split("?", 1)[1]).items()}
 
+        # service-specific routes (DAX controller/computer/queryer mount
+        # extra endpoints on the same mux; reference: dax service_manager
+        # shared mux, dax/service_manager.go:23)
+        extra = getattr(self.api, "extra_route", None)
+        if extra is not None and extra(self, method, path, query):
+            return
+
         # bearer-token auth (reference: authn/ OAuth middleware, simplified
         # to a shared token; health/version stay open like the reference's
         # unauthenticated endpoints)

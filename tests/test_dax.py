@@ -1,0 +1,161 @@
+"""DAX disaggregated-mode tests: directives, balancing, write logging,
+snapshot+replay recovery, elastic failover (reference: dax/ — controller,
+computer ApplyDirective, writelogger, snapshotter, poller; dax/test)."""
+import time
+
+import pytest
+
+from featurebase_tpu.dax.service import DaxService
+from featurebase_tpu.dax.storage import (ResourceManager, Snapshotter,
+                                         Writelogger)
+from featurebase_tpu.sql.engine import execute_sql
+
+
+def wait_until(fn, timeout=10.0, interval=0.05):
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        if fn():
+            return True
+        time.sleep(interval)
+    return False
+
+
+class TestStorage:
+    def test_writelogger_roundtrip(self, tmp_path):
+        wl = Writelogger(str(tmp_path / "wl"))
+        wl.append("t", "shard/0", 0, {"a": 1})
+        wl.append("t", "shard/0", 0, {"a": 2})
+        assert wl.read("t", "shard/0", 0) == [{"a": 1}, {"a": 2}]
+        assert wl.versions("t", "shard/0") == [0]
+
+    def test_snapshotter_versions(self, tmp_path):
+        sn = Snapshotter(str(tmp_path / "sn"))
+        sn.write("t", "shard/0", 1, b"v1")
+        sn.write("t", "shard/0", 2, b"v2")
+        assert sn.latest_version("t", "shard/0") == 2
+        assert sn.read("t", "shard/0", 2) == b"v2"
+
+    def test_resource_manager_snapshot_truncates(self, tmp_path):
+        rm = ResourceManager(Writelogger(str(tmp_path / "wl")),
+                             Snapshotter(str(tmp_path / "sn")))
+        rm.append("t", "shard/0", {"n": 1})
+        rm.append("t", "shard/0", {"n": 2})
+        state = []
+        rm.snapshot("t", "shard/0", lambda: b"SNAP")
+        rm.append("t", "shard/0", {"n": 3})
+        rm.load("t", "shard/0",
+                lambda b: state.append(("snap", b)),
+                lambda e: state.append(("entry", e)))
+        assert state == [("snap", b"SNAP"), ("entry", {"n": 3})]
+
+
+@pytest.fixture(scope="module")
+def dax():
+    with DaxService(n_computers=2) as svc:
+        q = svc.queryer
+        q.create_index("t", {"trackExistence": True})
+        q.create_field("t", "f", {"type": "set"})
+        q.create_field("t", "v", {"type": "int"})
+        cols = [1, 1048577, 2097153, 3145729, 4194305]
+        q.import_bits("t", "f", [1] * 5, cols)
+        q.import_values("t", "v", cols, [10, 20, 30, 40, 50])
+        yield svc
+
+
+class TestDaxBasics:
+    def test_schema_reaches_computers(self, dax):
+        assert wait_until(lambda: all(
+            c.holder.index("t") is not None for c in dax.computers))
+
+    def test_shards_balanced_across_computers(self, dax):
+        owned = [len(c.owned) for c in dax.computers]
+        assert sum(owned) == 5
+        assert max(owned) - min(owned) <= 1
+
+    def test_query_via_queryer(self, dax):
+        assert dax.queryer.query("t", "Count(Row(f=1))") == [5]
+        vc = dax.queryer.query("t", "Sum(field=v)")[0]
+        assert vc.val == 150
+
+    def test_sql_via_queryer(self, dax):
+        out = execute_sql(dax.queryer, "SELECT COUNT(*) FROM t WHERE v > 25")
+        assert out["data"] == [[3]]
+
+    def test_writes_go_through_writelogger(self, dax):
+        wl = dax.resources.wl
+        logged = sum(len(wl.read("t", f"shard/{s}", v))
+                     for s in range(5)
+                     for v in wl.versions("t", f"shard/{s}"))
+        assert logged >= 10  # bits + vals per shard
+
+    def test_pql_write_via_queryer(self, dax):
+        dax.queryer.query("t", "Set(5242881, f=9)")
+        assert dax.queryer.query("t", "Count(Row(f=9))") == [1]
+
+
+class TestDaxRecovery:
+    def test_computer_failure_rebalances_and_recovers(self):
+        with DaxService(n_computers=2, poll_interval=0.2) as svc:
+            q = svc.queryer
+            q.create_index("r", {"trackExistence": True})
+            q.create_field("r", "f", {"type": "set"})
+            cols = [1, 1048577, 2097153, 3145729]
+            q.import_bits("r", "f", [1] * 4, cols)
+            assert q.query("r", "Count(Row(f=1))") == [4]
+            # snapshot half the state, leave the rest in the writelog only
+            svc.computers[0].snapshot_dirty()
+            # kill computer1
+            svc.stop_computer(1)
+            lost = {s for (t, s) in svc.computers[1].owned if t == "r"}
+            assert lost  # it owned something
+            # poller notices, rebalances onto computer0
+            assert wait_until(lambda: all(
+                ("r", s) in svc.computers[0].owned for s in lost),
+                timeout=15)
+            svc.queryer.cluster.clear_down()
+            assert q.query("r", "Count(Row(f=1))") == [4]
+
+    def test_elastic_scale_out(self):
+        with DaxService(n_computers=1, poll_interval=0.2) as svc:
+            q = svc.queryer
+            q.create_index("e", {})
+            q.create_field("e", "f", {"type": "set"})
+            cols = [i * 1048576 + 1 for i in range(6)]
+            q.import_bits("e", "f", [1] * 6, cols)
+            assert len(svc.computers[0].owned) == 6
+            svc.add_computer()
+            # controller rebalances on register; both sides load their share
+            assert wait_until(lambda: len(svc.computers[1].owned) >= 3)
+            assert q.query("e", "Count(Row(f=1))") == [6]
+
+    def test_restart_from_storage(self, tmp_path):
+        data_dir = str(tmp_path / "dax")
+        with DaxService(n_computers=1, data_dir=data_dir) as svc:
+            q = svc.queryer
+            q.create_index("p", {})
+            q.create_field("p", "f", {"type": "set"})
+            q.import_bits("p", "f", [1, 2], [5, 1048581])
+            svc.computers[0].snapshot_dirty()
+            q.import_bits("p", "f", [3], [7])  # post-snapshot, log only
+            assert q.query("p", "Count(Union(Row(f=1), Row(f=2), "
+                              "Row(f=3)))") == [3]
+        # cold restart over the same storage dir
+        with DaxService(n_computers=1, data_dir=data_dir) as svc2:
+            assert wait_until(lambda: len(svc2.computers[0].owned) == 2)
+            got = svc2.queryer.query("p", "Count(Union(Row(f=1), Row(f=2), "
+                                          "Row(f=3)))")
+            assert got == [3]
+
+
+class TestDaxKeyed:
+    def test_keyed_table_via_controller_translation(self):
+        with DaxService(n_computers=2) as svc:
+            q = svc.queryer
+            q.create_index("k", {"keys": True})
+            q.create_field("k", "tag", {"type": "set", "keys": True})
+            q.import_bits("k", "tag", row_keys=["red", "red", "blue"],
+                          rows=None, cols=None,
+                          col_keys=["a", "b", "c"])
+            assert q.query("k", 'Count(Row(tag="red"))') == [2]
+            row = q.query("k", 'Row(tag="red")')[0]
+            assert sorted(row.keys) == ["a", "b"]
