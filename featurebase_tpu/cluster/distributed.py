@@ -223,6 +223,11 @@ class DistributedExecutor:
             post["offset"] = fanout.args.pop("offset", 0)
             post["desc"] = bool(fanout.args.get("sort-desc",
                                                 fanout.args.get("desc", False)))
+        elif name == "Apply":
+            # reduce at the coordinator after gather (reference: IvyReduce,
+            # apply.go:50)
+            fanout = copy.deepcopy(call)
+            post["reduce"] = fanout.args.pop("_ivyReduce", None)
 
         result = self.map_reduce(index, index_name, fanout, shards)
         return self._post_process(index, call, result, post)
@@ -291,6 +296,17 @@ class DistributedExecutor:
             return b
         if b is None:
             return a
+        if call.name == "Apply":
+            # per-shard program outputs concatenate (reference: IvyReduce
+            # happens after gather, apply.go:50)
+            return list(a) + list(b)
+        if call.name == "Arrow":
+            headers = list(dict.fromkeys(a["headers"] + b["headers"]))
+            cols = {}
+            for h in headers:
+                cols[h] = list(a["columns"].get(h, [])) + \
+                    list(b["columns"].get(h, []))
+            return {"headers": headers, "columns": cols}
         if isinstance(a, bool) and isinstance(b, bool):
             return a or b
         if isinstance(a, (int, float)) and isinstance(b, (int, float)):
@@ -398,6 +414,8 @@ class DistributedExecutor:
             if limit is not None:
                 result = result[: int(limit)]
             return result
+        if name == "Apply" and post.get("reduce"):
+            return [self.executor._apply_reduce(post["reduce"], result)]
         return result
 
     # ------------------------------------------------------------- percentile

@@ -221,6 +221,15 @@ class Executor:
             return self._execute_union_rows(index, call, shards)
         if name == "Limit":
             return self._execute_limit(index, call, shards)
+        if name == "Apply":
+            return self._execute_apply(index, call, shards)
+        if name == "Arrow":
+            return self._execute_arrow(index, call, shards)
+        if name == "ExternalLookup":
+            raise ExecError(
+                "ExternalLookup() requires an external SQL engine and is "
+                "not supported (reference executor.go executeExternalLookup "
+                "gated on a configured lookup DB)")
         # bitmap-producing calls
         return self._execute_bitmap_call(index, call, shards)
 
@@ -254,6 +263,90 @@ class Executor:
         if limit is not None:
             cols = cols[: int(limit)]
         return Row.from_columns(cols)
+
+    # ------------------------------------------------------- Apply / Arrow
+
+    def _execute_apply(self, index: Index, call: Call,
+                       shards: Optional[List[int]]) -> List[Any]:
+        """Apply(filter?, "program"[, "reduce"]) — per-record vector program
+        over extracted field values (reference: apply.go:121 executeApply
+        runs an ivy program per shard + IvyReduce at the coordinator; the
+        program language here is the SQL expression grammar over field
+        names, with reduce in sum|mean|count|min|max)."""
+        prog = call.args.get("_ivy")
+        if not prog:
+            raise ExecError('Apply() requires a program string')
+        from featurebase_tpu.sql.ops import eval_expr
+        from featurebase_tpu.sql.parser import Lexer, SQLError, _expr
+        try:
+            expr = _expr(Lexer(prog))
+        except SQLError as e:
+            raise ExecError(f"Apply program: {e}")
+        filt_call = call.children[0] if call.children else Call("All")
+        fields = [f.name for f in index.public_fields()]
+        ext = Call("Extract", children=[filt_call] +
+                   [Call("Rows", {"_field": fn}) for fn in fields])
+        tbl = self._execute_extract(index, ext, shards)
+        values: List[Any] = []
+        for colrec in tbl.columns:
+            env = {"_id": colrec.column}
+            for fi, f in enumerate(tbl.fields):
+                env[f.name] = colrec.rows[fi]
+            try:
+                values.append(eval_expr(expr, env))
+            except Exception as e:  # noqa: BLE001
+                raise ExecError(f"Apply program: {e}")
+        reduce = call.args.get("_ivyReduce")
+        if reduce:
+            return [self._apply_reduce(reduce, values)]
+        return values
+
+    @staticmethod
+    def _apply_reduce(kind: str, values: List[Any]):
+        nums = [v for v in values if isinstance(v, (int, float))
+                and not isinstance(v, bool)]
+        kind = kind.strip().lower()
+        if kind == "count":
+            return len(values)
+        if kind == "sum":
+            return sum(nums)
+        if kind == "mean":
+            return sum(nums) / len(nums) if nums else None
+        if kind == "min":
+            return min(nums) if nums else None
+        if kind == "max":
+            return max(nums) if nums else None
+        raise ExecError(f"Apply reduce must be sum|mean|count|min|max, "
+                        f"got {kind!r}")
+
+    def _execute_arrow(self, index: Index, call: Call,
+                       shards: Optional[List[int]]) -> Dict[str, Any]:
+        """Arrow(filter?) — the per-shard columnar side-store, filtered by a
+        bitmap expression (reference: arrow.go:36 executeArrow, 366
+        executeArrowShard)."""
+        if index._dataframe is None:
+            raise ExecError("index has no dataframe data")
+        filt_call = call.children[0] if call.children else None
+        names = index.dataframe.column_names()
+        out: Dict[str, list] = {n: [] for n in names}
+        for shard in self._shards(index, shards):
+            df = index.dataframe.shard(shard)
+            if df is None:
+                continue
+            ids = None
+            if filt_call is not None:
+                words = np.asarray(
+                    self._bitmap_call_shard(index, filt_call, shard))
+                ids = bw.words_to_cols(words).astype(np.int64) + \
+                    shard * SHARD_WIDTH
+            cols = df.filtered(ids)
+            n = len(cols.get("_id", []))
+            for name in names:
+                v = cols.get(name)
+                out[name].extend(
+                    [x.item() if hasattr(x, "item") else x for x in v]
+                    if v is not None else [None] * n)
+        return {"headers": names, "columns": out}
 
     # -------------------------------------------------------------- writes
 

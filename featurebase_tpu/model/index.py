@@ -41,8 +41,18 @@ class Index:
         self.fields: Dict[str, Field] = {}
         self.translate_store = IndexTranslateStore(name)
         self.field_translate_stores: Dict[str, FieldTranslateStore] = {}
+        # optional per-shard columnar side-store (reference: `_dataframe`
+        # dirs, index.go:111); created lazily on first dataframe ingest
+        self._dataframe = None
         if self.options.track_existence:
             self._create_existence_field()
+
+    @property
+    def dataframe(self):
+        if self._dataframe is None:
+            from featurebase_tpu.model.dataframe import DataframeStore
+            self._dataframe = DataframeStore()
+        return self._dataframe
 
     def _create_existence_field(self):
         if EXISTENCE_FIELD not in self.fields:

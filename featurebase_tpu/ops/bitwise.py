@@ -81,20 +81,36 @@ def popcount_rows(a):
 
 
 @jax.jit
-def count_and(a, b):
-    """Fused popcount(a & b) — reference IntersectionCount
-    (roaring.go:1078 intersectBitmapBitmapInPlace + count paths)."""
+def _count_and_xla(a, b):
     return jnp.sum(
         jax.lax.population_count(jnp.bitwise_and(a, b)).astype(jnp.uint32),
         dtype=jnp.uint32)
 
 
+def count_and(a, b):
+    """Fused popcount(a & b) — reference IntersectionCount
+    (roaring.go:1078 intersectBitmapBitmapInPlace + count paths).
+    Uses the Pallas streaming kernel on TPU (ops/pallas_kernels.py)."""
+    from featurebase_tpu.ops import pallas_kernels as pk
+    if pk.use_pallas():
+        return pk.count_and_pallas(a, b)
+    return _count_and_xla(a, b)
+
+
 @jax.jit
-def count_and_rows(a, b):
-    """Per-row fused intersection count over trailing axis."""
+def _count_and_rows_xla(a, b):
     return jnp.sum(
         jax.lax.population_count(jnp.bitwise_and(a, b)).astype(jnp.uint32),
         axis=-1, dtype=jnp.uint32)
+
+
+def count_and_rows(a, b):
+    """Per-row fused intersection count over trailing axis (Pallas-fused
+    multi-row scan on TPU)."""
+    from featurebase_tpu.ops import pallas_kernels as pk
+    if pk.use_pallas() and a.ndim == 2 and b.ndim == 2 and b.shape[0] == 1:
+        return pk.count_and_rows_pallas(a, b[0])
+    return _count_and_rows_xla(a, b)
 
 
 @jax.jit
