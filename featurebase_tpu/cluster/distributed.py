@@ -30,6 +30,7 @@ Per-call distribution contracts that differ from naive merging:
 from __future__ import annotations
 
 import copy
+from concurrent import futures
 from typing import Any, Dict, List, Optional
 
 from featurebase_tpu.cluster.client import NodeUnreachable, RemoteError
@@ -153,26 +154,29 @@ class DistributedExecutor:
             shard = int(col) // SHARD_WIDTH
             owners = snap.shard_nodes(index_name, shard)
             self.cluster.note_shards(index_name, [shard])
-            result = False
-            sent = 0
-            for node in owners:
-                if node.state == "DOWN":
-                    continue
-                r = self._exec_on_node(node, index_name, call, [shard])
-                result = bool(r) or result
-                sent += 1
-            if sent == 0:
+            live = [n for n in owners if n.state != "DOWN"]
+            if not live:
                 raise ExecError("no live replica owns shard "
                                 f"{shard} of {index_name}")
-            return result
+            # all replicas written concurrently (reference:
+            # internal_client.go:691 importNode fan-out per replica)
+            with futures.ThreadPoolExecutor(max_workers=len(live)) as pool:
+                rs = list(pool.map(
+                    lambda n: self._exec_on_node(n, index_name, call,
+                                                 [shard]), live))
+            return any(bool(r) for r in rs)
         # Store / ClearRow / Delete touch every shard: broadcast with
         # per-node shard lists
         shards = self.cluster.all_shards(self.api, index_name)
         by_node = self._group_shards(index_name, shards)
         result: Any = None
-        for nid, node_shards in by_node.items():
-            node = snap.node(nid)
-            r = self._exec_on_node(node, index_name, call, node_shards)
+        with futures.ThreadPoolExecutor(
+                max_workers=max(1, len(by_node))) as pool:
+            rs = list(pool.map(
+                lambda kv: self._exec_on_node(snap.node(kv[0]), index_name,
+                                              call, kv[1]),
+                by_node.items()))
+        for r in rs:
             result = self._merge(index, call, result, r)
         return result if result is not None else True
 
@@ -234,31 +238,50 @@ class DistributedExecutor:
 
     def map_reduce(self, index: Index, index_name: str, call: Call,
                    shards: Optional[List[int]] = None):
-        """Scatter per-owner, streaming reduce, replica failover
-        (reference: executor.go:6449)."""
+        """Concurrent scatter per-owner, streaming reduce, replica failover.
+
+        All owner nodes are queried in parallel (reference: executor.go:6579
+        mapper launches one goroutine per node) and partial results are
+        merged in completion order as they arrive (reference:
+        executor.go:6487-6533 streaming reduce).  A connection failure marks
+        the node DOWN and resubmits its shards to their next live replicas
+        without cancelling in-flight work.
+        """
         if shards is None:
             shards = self.cluster.all_shards(self.api, index_name)
         pending = self._group_shards(index_name, shards)
-        snap = self.cluster.snapshot
         acc = None
         first = True
-        while pending:
-            nid, node_shards = pending.popitem()
-            node = snap.node(nid)
-            try:
-                partial = self._exec_on_node(node, index_name, call,
-                                             node_shards)
-            except NodeUnreachable:
-                self.cluster.mark_down(nid)
-                # re-map this node's shards onto their next live replicas
-                regroup = self._group_shards(index_name, node_shards)
-                for k, v in regroup.items():
-                    pending.setdefault(k, []).extend(v)
-                continue
-            if first:
-                acc, first = partial, False
-            else:
-                acc = self._merge(index, call, acc, partial)
+        with futures.ThreadPoolExecutor(
+                max_workers=max(4, len(pending))) as pool:
+            inflight: Dict[futures.Future, tuple] = {}
+
+            def submit(nid: str, node_shards: List[int]):
+                node = self.cluster.snapshot.node(nid)
+                fut = pool.submit(self._exec_on_node, node, index_name,
+                                  call, node_shards)
+                inflight[fut] = (nid, node_shards)
+
+            for nid, node_shards in pending.items():
+                submit(nid, node_shards)
+            while inflight:
+                done, _ = futures.wait(
+                    inflight, return_when=futures.FIRST_COMPLETED)
+                for fut in done:
+                    nid, node_shards = inflight.pop(fut)
+                    try:
+                        partial = fut.result()
+                    except NodeUnreachable:
+                        self.cluster.mark_down(nid)
+                        # re-map this node's shards onto next live replicas
+                        regroup = self._group_shards(index_name, node_shards)
+                        for k, v in regroup.items():
+                            submit(k, v)
+                        continue
+                    if first:
+                        acc, first = partial, False
+                    else:
+                        acc = self._merge(index, call, acc, partial)
         if first:
             # no shards: execute locally on nothing for a typed zero value
             acc = self.executor.execute_remote(index.name,

@@ -225,6 +225,40 @@ class TestReplicationFailover:
                 tc.query(0, "i", "Count(Row(f=1))")
 
 
+class TestConcurrentFanout:
+    def test_fanout_runs_nodes_in_parallel(self, monkeypatch):
+        """The scatter phase must query all owner nodes concurrently
+        (reference: executor.go:6579 mapper, one goroutine per node);
+        a 3-node query with a per-node delay D must finish in ~D, not 3D."""
+        import threading
+        import time
+
+        from featurebase_tpu.cluster.distributed import DistributedExecutor
+
+        with TestCluster(3, replicas=1) as tc:
+            seed(tc[0])
+            # warm the jit caches so the timed run measures fan-out only
+            assert tc.query(0, "i", "Count(Row(f=1))") == {"results": [3]}
+            orig = DistributedExecutor._exec_on_node
+            delay = 0.25
+            seen_nodes = set()
+
+            def slow(self, node, index_name, call, shards):
+                seen_nodes.add(node.id)
+                time.sleep(delay)
+                return orig(self, node, index_name, call, shards)
+
+            monkeypatch.setattr(DistributedExecutor, "_exec_on_node", slow)
+            t0 = time.perf_counter()
+            got = tc.query(0, "i", "Count(Row(f=1))")
+            dt = time.perf_counter() - t0
+            assert got == {"results": [3]}
+            assert len(seen_nodes) >= 2  # the query really fanned out
+            # sequential would cost len(seen_nodes) * delay
+            assert dt < len(seen_nodes) * delay, \
+                f"fan-out looks sequential: {dt:.2f}s over {seen_nodes}"
+
+
 class TestClusterStatus:
     def test_status_reports_nodes(self):
         with TestCluster(2) as tc:
