@@ -736,7 +736,7 @@ class Executor:
                 continue
             tile = frag.device_tile()
             counts = np.asarray(bw.popcount_rows(tile))
-            slot_rows = np.array([r for r in frag._row_of_slot[:frag.num_rows]])
+            slot_rows = np.array(frag.slot_rows())
             nz = counts[:len(slot_rows)] > 0
             if not nz.any():
                 continue
@@ -960,37 +960,18 @@ class Executor:
 
         fields = [c.args.get("_field") or c.args.get("field")
                   for c in rows_calls]
+        # precompute candidate rows per dimension with full Rows-arg
+        # filtering (in/like/limit/previous/column/time range) applied
+        # globally — reference precomputes nested Rows children
+        # (executor.go:3987) before the iterator runs
+        dim_rows_global = [self._execute_rows(index, rc, shards)
+                           for rc in rows_calls]
         groups: Dict[tuple, List[int]] = {}  # key -> [count, agg]
 
         for shard in self._shards(index, shards):
-            dims = []  # list of (row_ids, tile)
-            empty = False
-            for rc in rows_calls:
-                fname = rc.args.get("_field") or rc.args.get("field")
-                f = self._field_or_err(index, fname)
-                v = f.view(VIEW_STANDARD)
-                frag = v.fragment(shard) if v else None
-                rows = [int(r) for r in frag.row_ids()] if frag else []
-                # apply Rows args (in/limit/previous) to candidate rows
-                if rc.args.get("in") is not None:
-                    want = {int(x) for x in rc.args["in"]}
-                    rows = [r for r in rows if r in want]
-                if not rows:
-                    empty = True
-                    break
-                tile, _ = frag.device_rows(rows)
-                dims.append((rows, tile))
-            if empty:
-                continue
-            base_filter = None
-            if isinstance(filt_call, Call):
-                base_filter = self._bitmap_call_shard(index, filt_call, shard)
-            agg_data = None
-            if agg_field is not None:
-                agg_data = agg_field.bsi_data(shard)
-
-            self._group_by_shard(dims, base_filter, agg_kind, agg_data,
-                                 groups, [])
+            self._group_by_shard_device(index, shard, rows_calls,
+                                        dim_rows_global, filt_call,
+                                        agg_kind, agg_field, groups)
 
         # assemble, sort by group key, apply having + limit
         out = []
@@ -1009,48 +990,80 @@ class Executor:
             out = out[: int(limit)]
         return out
 
-    def _group_by_shard(self, dims, base_filter, agg_kind, agg_data,
-                        groups: Dict[tuple, List[int]], prefix: List[int],
-                        mask=None):
-        """Recursive cross-product; innermost dimension vectorized
-        (reference groupByIterator.Next executor.go:8651)."""
-        rows, tile = dims[len(prefix)]
-        last = len(prefix) == len(dims) - 1
+    def _group_by_shard_device(self, index: Index, shard: int, rows_calls,
+                               dim_rows_global, filt_call, agg_kind,
+                               agg_field, groups: Dict[tuple, List[int]]):
+        """Batched cross-product on device (replaces the reference's
+        one-combination-at-a-time groupByIterator, executor.go:8617,8651).
+
+        Level-wise frontier expansion: the K-dim cross product is evaluated
+        one dimension at a time.  At each level ONE fused XLA op counts all
+        (frontier x next-dim-rows) intersections (bw.count_and_pairs); only
+        nonzero combinations survive, and one gather materializes their
+        masks for the next level.  Host work is one small (F, R) count
+        matrix per level — no per-combination device round trips."""
+        dim_tiles = []
+        dim_rows: List[List[int]] = []
+        for rc, grows in zip(rows_calls, dim_rows_global):
+            fname = rc.args.get("_field") or rc.args.get("field")
+            f = self._field_or_err(index, fname)
+            v = f.view(VIEW_STANDARD)
+            frag = v.fragment(shard) if v else None
+            if frag is None:
+                return
+            rows = [r for r in grows if frag.has_row(r)]
+            if not rows:
+                return
+            tile, _ = frag.device_rows(rows)
+            dim_tiles.append(tile)
+            dim_rows.append(rows)
+
         jnp = _jnp()
-        if mask is None and base_filter is not None:
-            mask = base_filter
-        if last and agg_kind is None:
-            # vectorized: per-row fused counts against current mask
-            if mask is not None:
-                pc = np.asarray(bw.count_and_rows(tile, mask[None, :]))
-            else:
-                pc = np.asarray(bw.popcount_rows(tile))
-            for r, c in zip(rows, pc):
-                if c:
-                    key = tuple(prefix + [r])
-                    g = groups.setdefault(key, [0, 0])
-                    g[0] += int(c)
+        # level 0: seed frontier from dim 0 (AND with the filter if present)
+        masks = dim_tiles[0]
+        if isinstance(filt_call, Call):
+            base_filter = self._bitmap_call_shard(index, filt_call, shard)
+            masks = bw.b_and(masks, base_filter[None, :])
+        counts = np.asarray(bw.popcount_rows(masks))
+        keep = np.nonzero(counts)[0]
+        if keep.size == 0:
             return
-        for i, r in enumerate(rows):
-            m = tile[i] if mask is None else bw.b_and(tile[i], mask)
-            if not last:
-                if bool(bw.any_set(m)):
-                    self._group_by_shard(dims, base_filter, agg_kind, agg_data,
-                                         groups, prefix + [r], m)
-                continue
-            # leaf with aggregate
-            cnt = int(bw.popcount(m))
-            if cnt == 0:
-                continue
-            key = tuple(prefix + [r])
-            g = groups.setdefault(key, [0, 0])
-            if agg_kind == "Sum" and agg_data is not None:
-                slices, exists, sign, depth = agg_data
-                s, c = bsiops.sum_host(slices, exists, sign, m, depth)
+        prefixes: List[tuple] = [(dim_rows[0][i],) for i in keep]
+        if keep.size < masks.shape[0]:
+            masks = jnp.take(masks, jnp.asarray(keep, dtype=jnp.int32),
+                             axis=0)
+        counts = counts[keep]
+
+        for lvl in range(1, len(dim_tiles)):
+            tile = dim_tiles[lvl]
+            pc = np.asarray(bw.count_and_pairs(masks, tile))  # (F, R)
+            fi, rj = np.nonzero(pc)
+            if fi.size == 0:
+                return
+            counts = pc[fi, rj]
+            prefixes = [prefixes[i] + (dim_rows[lvl][j],)
+                        for i, j in zip(fi, rj)]
+            masks = bw.and_pairs_gather(
+                masks, tile, jnp.asarray(fi, dtype=jnp.int32),
+                jnp.asarray(rj, dtype=jnp.int32))
+
+        if agg_kind == "Sum" and agg_field is not None:
+            agg_data = agg_field.bsi_data(shard)
+            if agg_data is None:
+                return
+            slices, exists, sign, depth = agg_data
+            sums, bsi_counts = bsiops.sum_groups_host(slices, exists, sign,
+                                                      masks, depth)
+            for key, s, c in zip(prefixes, sums, bsi_counts):
+                if c == 0:
+                    continue
+                g = groups.setdefault(key, [0, 0])
                 g[0] += c
                 g[1] += s
-            else:
-                g[0] += cnt
+        else:
+            for key, c in zip(prefixes, counts):
+                g = groups.setdefault(key, [0, 0])
+                g[0] += int(c)
 
     def _apply_having(self, groups: List[GroupCount], having: Call
                       ) -> List[GroupCount]:
@@ -1132,9 +1145,15 @@ class Executor:
             if depth <= 31:
                 vals = np.asarray(bsiops.decode_values(slices, sign, depth))
                 present = np.asarray(bsiops.expand_bits(base)).astype(bool)
-                uniq = np.unique(vals[present])
             else:
-                raise ExecError("Distinct on >31-bit fields not yet supported")
+                # wide fields (reference BSI depth up to 63): vectorized
+                # host decode in int64
+                dense = f.values_dense_host(shard)
+                if dense is None:
+                    continue
+                vals, exists_b = dense
+                present = exists_b & bsiops.expand_bits_host(np.asarray(filt))
+            uniq = np.unique(vals[present])
             for u in uniq:
                 u = int(u) + f.base
                 if u < 0:
@@ -1218,35 +1237,7 @@ class Executor:
                 continue
             col_vals: List[List[Any]] = [[] for _ in cols]
             for fi, f in enumerate(flds):
-                if f.is_bsi():
-                    vals = [f.value(int(c) + shard * SHARD_WIDTH) for c in cols]
-                    for ci, (v, ok) in enumerate(vals):
-                        col_vals[ci].append(
-                            f.decode_value(v) if ok else None)
-                else:
-                    v = f.view(VIEW_STANDARD)
-                    frag = v.fragment(shard) if v else None
-                    rows = [int(r) for r in frag.row_ids()] if frag else []
-                    per_col_rows: List[List[int]] = [[] for _ in cols]
-                    if rows:
-                        tile, _ = frag.device_rows(rows)
-                        word_idx = (cols >> 5).astype(np.int32)
-                        bit_idx = (cols & 31).astype(np.uint32)
-                        sub = np.asarray(tile)[:, word_idx]  # (R, C)
-                        bits = (sub >> bit_idx[None, :]) & 1
-                        for ri, r in enumerate(rows):
-                            for ci in np.nonzero(bits[ri])[0]:
-                                per_col_rows[ci].append(r)
-                    for ci in range(len(cols)):
-                        if f.options.type == TYPE_MUTEX:
-                            col_vals[ci].append(
-                                per_col_rows[ci][0] if per_col_rows[ci] else None)
-                        elif f.options.type == TYPE_BOOL:
-                            col_vals[ci].append(
-                                bool(per_col_rows[ci][0])
-                                if per_col_rows[ci] else None)
-                        else:
-                            col_vals[ci].append(per_col_rows[ci])
+                self._extract_field_shard(f, shard, cols, col_vals)
             for ci, c in enumerate(cols):
                 columns.append(ExtractedTableColumn(
                     column=int(c) + shard * SHARD_WIDTH, rows=col_vals[ci]))
@@ -1267,6 +1258,76 @@ class Executor:
                         c.rows[fi] = store.translate_ids([v])[0]
         return ExtractedTable(tfields, columns)
 
+    def _extract_field_shard(self, f: Field, shard: int, cols: np.ndarray,
+                             col_vals: List[List[Any]]):
+        """Append one field's values for the matched columns of one shard —
+        fully vectorized (reference executeExtractShard executor.go:4758
+        walks per-column; the old path here did a device gather per record).
+
+        BSI fields: one dense decode (device for depth <= 31, host
+        np.unpackbits otherwise) + one fancy-index gather.  Set-like fields:
+        one device gather of the (R, C) bit matrix + np.nonzero grouping."""
+        if f.is_bsi():
+            depth = max(f.bit_depth, 1)
+            if depth <= 31:
+                data = f.bsi_data(shard)
+                if data is None:
+                    for ci in range(len(cols)):
+                        col_vals[ci].append(None)
+                    return
+                slices, exists, sign, _ = data
+                vals_d = np.asarray(bsiops.decode_values(slices, sign, depth)
+                                    ).astype(np.int64)
+                exists_b = np.asarray(bsiops.expand_bits(exists)).astype(bool)
+            else:
+                dense = f.values_dense_host(shard)
+                if dense is None:
+                    for ci in range(len(cols)):
+                        col_vals[ci].append(None)
+                    return
+                vals_d, exists_b = dense
+            sel_ok = exists_b[cols]
+            sel_val = vals_d[cols]
+            for ci in range(len(cols)):
+                col_vals[ci].append(
+                    f.decode_value(int(sel_val[ci]) + f.base)
+                    if sel_ok[ci] else None)
+            return
+        v = f.view(VIEW_STANDARD)
+        frag = v.fragment(shard) if v else None
+        rows = frag.slot_rows() if frag else []
+        if not rows:
+            fill = [] if f.options.type in (TYPE_SET, TYPE_TIME) else None
+            for ci in range(len(cols)):
+                col_vals[ci].append(list(fill) if isinstance(fill, list)
+                                    else fill)
+            return
+        tile = frag.device_tile()
+        word_idx = (cols >> 5).astype(np.int32)
+        bit_idx = (cols & 31).astype(np.uint32)
+        jnp = _jnp()
+        sub = np.asarray(jnp.take(tile, jnp.asarray(word_idx), axis=1))
+        bits = (sub >> bit_idx[None, :]) & 1  # (R, C)
+        rows_arr = np.asarray(rows, dtype=np.int64)
+        if f.options.type == TYPE_MUTEX or f.options.type == TYPE_BOOL:
+            any_set = bits.any(axis=0)
+            first = bits.argmax(axis=0)  # first row slot with the bit
+            for ci in range(len(cols)):
+                if not any_set[ci]:
+                    col_vals[ci].append(None)
+                elif f.options.type == TYPE_BOOL:
+                    col_vals[ci].append(bool(rows_arr[first[ci]]))
+                else:
+                    col_vals[ci].append(int(rows_arr[first[ci]]))
+            return
+        # set/time: per-column sorted row-id lists via one nonzero + split
+        ci_idx, ri_idx = np.nonzero(bits.T)  # sorted by column, then slot
+        per_col: List[List[int]] = [[] for _ in cols]
+        for ci, ri in zip(ci_idx, ri_idx):
+            per_col[ci].append(int(rows_arr[ri]))
+        for ci in range(len(cols)):
+            col_vals[ci].append(sorted(per_col[ci]))
+
     # --------------------------------------------------------------- Sort
 
     def _execute_sort(self, index: Index, call: Call,
@@ -1282,31 +1343,62 @@ class Executor:
         offset = int(call.args.get("offset", 0))
         filt_call = call.children[0] if call.children else None
 
-        cols_all: List[int] = []
-        vals_all: List[int] = []
+        # per-shard device sort (one lax.sort program per shard; reference
+        # executor.go:9321 sorts per shard then k-way merges at the
+        # coordinator) + final host merge across shards
+        take = None
+        if limit is not None:
+            take = offset + int(limit)  # per-shard cut is safe: the global
+            # top-k is a subset of the per-shard top-k prefixes
+        cols_parts: List[np.ndarray] = []
+        vals_parts: List[np.ndarray] = []
         for shard in self._shards(index, shards):
             data = f.bsi_data(shard)
             if data is None:
                 continue
             slices, exists, sign, depth = data
-            filt = self._shard_filter(index, filt_call, shard)
-            base = np.asarray(bw.b_and(exists, filt))
-            cols = bw.words_to_cols(base)
-            if cols.size == 0:
-                continue
-            for c in cols:
-                v, ok = f.value(int(c) + shard * SHARD_WIDTH)
-                if ok:
-                    cols_all.append(int(c) + shard * SHARD_WIDTH)
-                    vals_all.append(v)
-        order = sorted(range(len(cols_all)),
-                       key=lambda i: (-vals_all[i] if desc else vals_all[i],
-                                      cols_all[i]))
-        ordered = [cols_all[i] for i in order]
+            filt = None
+            if filt_call is not None:
+                filt = self._bitmap_call_shard(index, filt_call, shard)
+            if depth <= 31:
+                idx_s, key_s, n_present = bsiops.sort_bsi_kernel(
+                    slices, exists, sign, depth, desc, filt)
+                n = int(n_present)
+                if n == 0:
+                    continue
+                cut = n if take is None else min(n, take)
+                cols = np.asarray(idx_s[:cut]).astype(np.int64)
+                vals = np.asarray(key_s[:cut]).astype(np.int64)
+                if desc:
+                    vals = -vals
+            else:
+                # wide fields: vectorized host decode (int64 magnitudes)
+                dense = f.values_dense_host(shard)
+                if dense is None:
+                    continue
+                vals_d, exists_b = dense
+                base = exists_b
+                if filt is not None:
+                    base = base & bsiops.expand_bits_host(np.asarray(filt))
+                cols = np.nonzero(base)[0].astype(np.int64)
+                if cols.size == 0:
+                    continue
+                vals = vals_d[cols]
+                order = np.lexsort((cols, -vals if desc else vals))
+                if take is not None:
+                    order = order[:take]
+                cols, vals = cols[order], vals[order]
+            cols_parts.append(cols + shard * SHARD_WIDTH)
+            vals_parts.append(vals)
+        if not cols_parts:
+            return {"columns": [], "values": []}
+        cols_all = np.concatenate(cols_parts)
+        vals_all = np.concatenate(vals_parts)
+        order = np.lexsort((cols_all, -vals_all if desc else vals_all))
         if offset:
-            ordered = ordered[offset:]
+            order = order[offset:]
         if limit is not None:
-            ordered = ordered[: int(limit)]
-        return {"columns": ordered,
-                "values": [f.decode_value(vals_all[i]) for i in order][
-                    offset: offset + int(limit) if limit is not None else None]}
+            order = order[: int(limit)]
+        return {"columns": [int(c) for c in cols_all[order]],
+                "values": [f.decode_value(int(v) + f.base)
+                           for v in vals_all[order]]}

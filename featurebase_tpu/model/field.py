@@ -372,6 +372,25 @@ class Field:
         slices = tile[2:]
         return slices, exists, sign, depth
 
+    def values_dense_host(self, shard: int):
+        """Host-decoded dense values for one shard: (values int64
+        (SHARD_WIDTH,) in stored units (no base), exists bool (SHARD_WIDTH,)),
+        or None if no data.  Vectorized np.unpackbits decode — used by
+        Sort/Extract/Distinct when bit_depth > 31 exceeds the 32-bit device
+        decode (reference fragment.go:579 value, one col at a time)."""
+        from featurebase_tpu.ops.bsi import (decode_values_host,
+                                             expand_bits_host)
+        v = self.views.get(view_bsi_group(self.name))
+        frag = v.fragment(shard) if v else None
+        if frag is None or frag.num_rows == 0:
+            return None
+        depth = max(self.bit_depth, 1)
+        slices = np.stack([frag.host_row(BSI_OFFSET + i)
+                           for i in range(depth)])
+        vals = decode_values_host(slices, frag.host_row(BSI_SIGN_ROW), depth)
+        exists = expand_bits_host(frag.host_row(BSI_EXISTS_ROW))
+        return vals, exists
+
     # -- views for a time range --------------------------------------------
 
     def views_for_range(self, from_t, to_t) -> List[str]:

@@ -59,6 +59,10 @@ class Fragment:
     def has_row(self, row: int) -> bool:
         return row in self._slot_of_row
 
+    def slot_rows(self) -> List[int]:
+        """Row ids in slot order — parallel to device_tile()'s leading axis."""
+        return list(self._row_of_slot[: self.num_rows])
+
     def _ensure_slot(self, row: int) -> int:
         slot = self._slot_of_row.get(row)
         if slot is not None:

@@ -120,6 +120,32 @@ def any_set(a):
 
 
 @jax.jit
+def count_and_pairs(masks, tile):
+    """All-pairs fused intersection counts: (F, W) x (R, W) -> (F, R).
+
+    The GroupBy cross-product inner op (reference: groupByIterator
+    executor.go:8617 walks one (row, row) combination at a time; here one
+    fused XLA op counts every combination of a frontier of F partial group
+    masks against the next dimension's R rows — AND+popcount+reduce fuse, so
+    the (F, R, W) intermediate never materializes in HBM)."""
+    return jnp.sum(
+        jax.lax.population_count(
+            jnp.bitwise_and(masks[:, None, :], tile[None, :, :])
+        ).astype(jnp.uint32),
+        axis=-1, dtype=jnp.uint32)
+
+
+@jax.jit
+def and_pairs_gather(masks, tile, fi, rj):
+    """Materialize surviving cross-product masks: masks[fi] & tile[rj].
+
+    fi/rj are parallel (K,) index vectors of the nonzero combinations kept
+    after count pruning; returns (K, W)."""
+    return jnp.bitwise_and(jnp.take(masks, fi, axis=0),
+                           jnp.take(tile, rj, axis=0))
+
+
+@jax.jit
 def or_reduce_rows(tile):
     """OR-reduce a (R, W) tile over rows -> (W,) (n-way union, reference
     roaring.go:1410 unionInPlace bitmap-accumulator strategy)."""

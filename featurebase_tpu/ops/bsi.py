@@ -285,6 +285,91 @@ def expand_bits(words):
     return bits.reshape(*words.shape[:-1], words.shape[-1] * 32).astype(jnp.uint8)
 
 
+def decode_values_host(slices_np, sign_np, depth: int):
+    """Host dense decode for any depth <= 62: (D, W) uint32 numpy slices ->
+    (W*32,) int64 signed values.
+
+    Vectorized bit expansion via np.unpackbits (little-endian word layout:
+    bit c of the shard lives at word c>>5, bit c&31 — matching
+    fragment.go:1306 pos()).  Used where the 32-bit device path can't
+    represent the magnitude (depth > 31): Sort/Extract/Distinct on wide BSI
+    fields."""
+    import numpy as np
+    if depth > 62:
+        raise ValueError("BSI depth > 62 unsupported (int64 magnitude)")
+    d = int(depth)
+    bits = np.unpackbits(
+        np.ascontiguousarray(slices_np[:d]).view(np.uint8).reshape(d, -1),
+        axis=-1, bitorder="little")
+    weights = (np.int64(1) << np.arange(d, dtype=np.int64))[:, None]
+    vals = (bits.astype(np.int64) * weights).sum(axis=0)
+    sign_bits = np.unpackbits(np.ascontiguousarray(sign_np).view(np.uint8),
+                              bitorder="little").astype(bool)
+    np.negative(vals, out=vals, where=sign_bits)
+    return vals
+
+
+def expand_bits_host(words_np):
+    """(W,) uint32 numpy words -> (W*32,) bool presence vector."""
+    import numpy as np
+    return np.unpackbits(np.ascontiguousarray(words_np).view(np.uint8),
+                         bitorder="little").astype(bool)
+
+
+@partial(jax.jit, static_argnums=(4,))
+def sum_groups_kernel(slices, exists, sign, masks, depth: int):
+    """Batched Sum aggregate over G group masks (reference: GroupBy
+    aggregates via BitmapBSICountFilter, executor.go:3176 — one scan per
+    group; here one fused op per bit-plane covers all groups).
+
+    masks: (G, W).  Returns (pos_pops (D, G), neg_pops (D, G), counts (G,))
+    int32 device arrays; host finalizes sum = Σ 2^i (pos_i - neg_i) with
+    exact Python ints."""
+    pos = jnp.bitwise_and(exists, jnp.bitwise_not(sign))
+    neg = jnp.bitwise_and(exists, sign)
+    pos_pops = jnp.stack([
+        _pop(jnp.bitwise_and(masks, jnp.bitwise_and(slices[i], pos)[None, :]))
+        for i in range(depth)])
+    neg_pops = jnp.stack([
+        _pop(jnp.bitwise_and(masks, jnp.bitwise_and(slices[i], neg)[None, :]))
+        for i in range(depth)])
+    counts = _pop(jnp.bitwise_and(masks, exists[None, :]))
+    return pos_pops, neg_pops, counts
+
+
+def sum_groups_host(slices, exists, sign, masks, depth: int):
+    """(sums list[int], counts list[int]) per group mask, finalized host-side."""
+    import numpy as np
+    pos_pops, neg_pops, counts = sum_groups_kernel(slices, exists, sign,
+                                                   masks, depth)
+    pp = np.asarray(pos_pops).astype(np.int64)
+    npp = np.asarray(neg_pops).astype(np.int64)
+    sums = [sum((1 << i) * (int(pp[i, g]) - int(npp[i, g]))
+                for i in range(depth))
+            for g in range(pp.shape[1])]
+    return sums, [int(c) for c in np.asarray(counts)]
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def sort_bsi_kernel(slices, exists, sign, depth: int, desc: bool, filt=None):
+    """Device Sort: full-shard BSI order in one program (reference:
+    executor.go:9321 executeSort sorts per-shard then k-way merges; here the
+    shard sort is one lax.sort over the dense decoded value vector).
+
+    Returns (idx_sorted (C,) int32 column order, key_sorted (C,) int32
+    values in that order (negated when desc), n_present int32).  Matched
+    columns occupy the first n_present positions; ties break by ascending
+    column id (stable lexicographic sort)."""
+    vals = decode_values(slices, sign, depth)
+    base = exists if filt is None else jnp.bitwise_and(exists, filt)
+    present = expand_bits(base).astype(jnp.int32)
+    key = -vals if desc else vals
+    notp = jnp.int32(1) - present
+    iota = jnp.arange(vals.shape[-1], dtype=jnp.int32)
+    _, key_s, idx_s = jax.lax.sort((notp, key, iota), num_keys=2)
+    return idx_s, key_s, jnp.sum(present)
+
+
 def decode_values(slices, sign, depth: int):
     """Per-column signed values as (..., SHARD_WIDTH) int32 dense vector.
 
