@@ -467,6 +467,23 @@ class Executor:
         except PlanError:
             return None
 
+    @property
+    def mesh(self):
+        return self.plan_executor.mesh
+
+    def _mesh_filter(self, index: Index, filt_call: Optional[Call],
+                     shards: List[int]):
+        """Stacked sharded (S_pad, W) filter words for mesh aggregates:
+        all-ones when no filter, plan-compiled otherwise; None if the filter
+        isn't plannable (caller falls back to the per-shard path)."""
+        pe = self.plan_executor
+        if filt_call is None:
+            return pe.stacked_full(index, shards)
+        plan = self._try_compile(index, filt_call)
+        if plan is None:
+            return None
+        return pe.run_words_padded(index, plan, shards)
+
     def _zero(self):
         jnp = _jnp()
         return jnp.zeros(WORDS_PER_ROW, dtype=jnp.uint32)
@@ -686,6 +703,20 @@ class Executor:
                      shards: Optional[List[int]]) -> ValCount:
         f, filt_call = self._agg_inputs(index, call, shards)
         total, count = 0, 0
+        if self.mesh is not None:
+            shard_list = self._shards(index, shards)
+            filt = self._mesh_filter(index, filt_call, shard_list) \
+                if shard_list else None
+            if filt is not None:
+                # one shard_map program: per-plane popcounts psum-merged
+                from featurebase_tpu.parallel import agg
+                pe = self.plan_executor
+                bsi = pe.stacked_bsi(index, f.name, max(f.bit_depth, 1),
+                                     shard_list)
+                pp, nn, cnt = agg.sum_planes(pe.mesh, bsi, filt)
+                count = int(cnt)
+                total = agg.finalize_sum(pp, nn) + f.base * count
+                return self._wrap_valcount(f, total, count)
         for shard in self._shards(index, shards):
             data = f.bsi_data(shard)
             if data is None:
@@ -830,17 +861,25 @@ class Executor:
         # TopK time range support
         from_t, to_t = call.args.get("from"), call.args.get("to")
 
+        if f.options.type == TYPE_TIME and (from_t or to_t):
+            from featurebase_tpu.model.timequantum import parse_time
+            from datetime import datetime
+            lo = parse_time(from_t) if from_t else datetime(1, 1, 1)
+            hi = parse_time(to_t) if to_t else datetime(9999, 1, 1)
+            view_names = f.views_for_range(lo, hi)
+        else:
+            view_names = [VIEW_STANDARD]
+
+        if self.mesh is not None:
+            res = self._topn_mesh(index, f, fld, n, filt_call, view_names,
+                                  self._shards(index, shards))
+            if res is not None:
+                return res
+
         counts: Dict[int, int] = {}
         for shard in self._shards(index, shards):
             tiles = []
-            if f.options.type == TYPE_TIME and (from_t or to_t):
-                from featurebase_tpu.model.timequantum import parse_time
-                from datetime import datetime
-                lo = parse_time(from_t) if from_t else datetime(1, 1, 1)
-                hi = parse_time(to_t) if to_t else datetime(9999, 1, 1)
-                names = f.views_for_range(lo, hi)
-            else:
-                names = [VIEW_STANDARD]
+            names = view_names
             # union rows across selected views per row id
             row_ids: List[int] = sorted({int(r)
                                          for vn in names
@@ -869,6 +908,35 @@ class Executor:
                 if c:
                     counts[rid] = counts.get(rid, 0) + int(c)
         pairs = [Pair(id=rid, count=c) for rid, c in counts.items()]
+        pairs.sort(key=lambda p: (-p.count, p.id))
+        if n:
+            pairs = pairs[: int(n)]
+        return PairsField(pairs, fld)
+
+    def _topn_mesh(self, index: Index, f: Field, fld: str, n, filt_call,
+                   view_names: List[str], shard_list: List[int]
+                   ) -> Optional[PairsField]:
+        """Mesh TopN: one shard_map program counts every candidate row
+        against the filter across all shards, psum-merged over the
+        interconnect (replaces the coordinator Pairs.Add merge,
+        executor.go:2831).  Returns None if the filter isn't plannable."""
+        if not shard_list:
+            return PairsField([], fld)
+        filt = self._mesh_filter(index, filt_call, shard_list)
+        if filt is None:
+            return None
+        row_ids = sorted({int(r) for vn in view_names for s in shard_list
+                          if (vv := f.view(vn)) is not None
+                          and (fr := vv.fragment(s)) is not None
+                          for r in fr.row_ids()})
+        if not row_ids:
+            return PairsField([], fld)
+        from featurebase_tpu.parallel import agg
+        pe = self.plan_executor
+        tiles = pe.stacked_field_rows(index, fld, tuple(view_names),
+                                      tuple(row_ids), shard_list)
+        pc = np.asarray(agg.row_counts(pe.mesh, tiles, filt))
+        pairs = [Pair(id=r, count=int(c)) for r, c in zip(row_ids, pc) if c]
         pairs.sort(key=lambda p: (-p.count, p.id))
         if n:
             pairs = pairs[: int(n)]
@@ -968,10 +1036,17 @@ class Executor:
                            for rc in rows_calls]
         groups: Dict[tuple, List[int]] = {}  # key -> [count, agg]
 
-        for shard in self._shards(index, shards):
-            self._group_by_shard_device(index, shard, rows_calls,
-                                        dim_rows_global, filt_call,
-                                        agg_kind, agg_field, groups)
+        done = False
+        if self.mesh is not None:
+            done = self._group_by_mesh(index, self._shards(index, shards),
+                                       rows_calls, dim_rows_global,
+                                       filt_call, agg_kind, agg_field,
+                                       groups)
+        if not done:
+            for shard in self._shards(index, shards):
+                self._group_by_shard_device(index, shard, rows_calls,
+                                            dim_rows_global, filt_call,
+                                            agg_kind, agg_field, groups)
 
         # assemble, sort by group key, apply having + limit
         out = []
@@ -989,6 +1064,79 @@ class Executor:
         if limit is not None:
             out = out[: int(limit)]
         return out
+
+    def _group_by_mesh(self, index: Index, shard_list: List[int],
+                       rows_calls, dim_rows_global, filt_call, agg_kind,
+                       agg_field, groups: Dict[tuple, List[int]]) -> bool:
+        """Mesh GroupBy: the level-wise frontier expansion of
+        _group_by_shard_device, but each level's cross-product counts are
+        one shard_map program psum-merged across the whole mesh (replaces
+        per-shard goroutines + mergeGroupCounts, executor.go:8617,3728).
+        Returns False to signal fallback (unplannable filter)."""
+        if not shard_list:
+            return True
+        filt = self._mesh_filter(
+            index, filt_call if isinstance(filt_call, Call) else None,
+            shard_list)
+        if filt is None:
+            return False
+        if any(not grows for grows in dim_rows_global):
+            return True  # some dimension has no rows: empty result
+        from featurebase_tpu.parallel import agg
+        pe = self.plan_executor
+        jnp = _jnp()
+        dim_tiles = []
+        dim_rows: List[List[int]] = []
+        for rc, grows in zip(rows_calls, dim_rows_global):
+            fname = rc.args.get("_field") or rc.args.get("field")
+            dim_tiles.append(pe.stacked_field_rows(
+                index, fname, (VIEW_STANDARD,), tuple(grows), shard_list))
+            dim_rows.append([int(r) for r in grows])
+
+        counts = np.asarray(agg.row_counts(pe.mesh, dim_tiles[0], filt))
+        keep = np.nonzero(counts)[0]
+        if keep.size == 0:
+            return True
+        prefixes: List[tuple] = [(dim_rows[0][i],) for i in keep]
+        counts = counts[keep]
+        need_masks = len(dim_tiles) > 1 or agg_kind == "Sum"
+        masks = None
+        if need_masks:
+            masks = agg.take_rows(
+                pe.mesh, agg.mask_filter(pe.mesh, dim_tiles[0], filt),
+                jnp.asarray(keep, dtype=jnp.int32))
+
+        for lvl in range(1, len(dim_tiles)):
+            pc = np.asarray(agg.pair_counts(pe.mesh, masks, dim_tiles[lvl]))
+            fi, rj = np.nonzero(pc)
+            if fi.size == 0:
+                return True
+            counts = pc[fi, rj]
+            prefixes = [prefixes[i] + (dim_rows[lvl][j],)
+                        for i, j in zip(fi, rj)]
+            masks = agg.gather_and(pe.mesh, masks, dim_tiles[lvl],
+                                   jnp.asarray(fi, dtype=jnp.int32),
+                                   jnp.asarray(rj, dtype=jnp.int32))
+
+        if agg_kind == "Sum" and agg_field is not None:
+            bsi = pe.stacked_bsi(index, agg_field.name,
+                                 max(agg_field.bit_depth, 1), shard_list)
+            pp, nn, bsi_counts = agg.group_sums(pe.mesh, masks, bsi)
+            pp = np.asarray(pp)
+            nn = np.asarray(nn)
+            bsi_counts = np.asarray(bsi_counts)
+            for gi, key in enumerate(prefixes):
+                c = int(bsi_counts[gi])
+                if c == 0:
+                    continue
+                g = groups.setdefault(key, [0, 0])
+                g[0] += c
+                g[1] += agg.finalize_sum(pp[gi], nn[gi])
+        else:
+            for key, c in zip(prefixes, counts):
+                g = groups.setdefault(key, [0, 0])
+                g[0] += int(c)
+        return True
 
     def _group_by_shard_device(self, index: Index, shard: int, rows_calls,
                                dim_rows_global, filt_call, agg_kind,
@@ -1115,6 +1263,25 @@ class Executor:
         filt_call = call.children[0] if call.children else None
         if not f.is_bsi():
             # distinct row ids with any column under filter
+            shard_list = self._shards(index, shards)
+            if self.mesh is not None and shard_list:
+                filt = self._mesh_filter(index, filt_call, shard_list)
+                if filt is not None:
+                    row_ids = sorted({
+                        int(r) for s in shard_list
+                        if (vv := f.view(VIEW_STANDARD)) is not None
+                        and (fr := vv.fragment(s)) is not None
+                        for r in fr.row_ids()})
+                    if not row_ids:
+                        return Row.from_columns([])
+                    from featurebase_tpu.parallel import agg
+                    pe = self.plan_executor
+                    tiles = pe.stacked_field_rows(
+                        index, f.name, (VIEW_STANDARD,), tuple(row_ids),
+                        shard_list)
+                    pc = np.asarray(agg.row_counts(pe.mesh, tiles, filt))
+                    return Row.from_columns(
+                        [r for r, c in zip(row_ids, pc) if c])
             out: set = set()
             for shard in self._shards(index, shards):
                 v = f.view(VIEW_STANDARD)

@@ -308,14 +308,10 @@ class PlanExecutor:
             host = np.stack([np.asarray(r) if r is not None
                              else np.zeros(WORDS_PER_ROW, np.uint32)
                              for r in rows])
-            if self.mesh is not None:
-                host = self._pad_for_mesh(host)
-            return jax.device_put(host, self._sharding(host.ndim))
+            return self._put(host)
         if leaf.kind == "full":
             host = ~np.zeros((S, WORDS_PER_ROW), dtype=np.uint32)
-            if self.mesh is not None:
-                host = self._pad_for_mesh(host)
-            return jax.device_put(host, self._sharding(host.ndim))
+            return self._put(host)
         if leaf.kind == "existence":
             ef = index.existence_field()
             if ef is None:
@@ -379,15 +375,21 @@ class PlanExecutor:
         spec = PartitionSpec("shards", *([None] * (ndim - 1)))
         return NamedSharding(self.mesh, spec)
 
-    def _cached_stack(self, key, gen, build):
+    def _put(self, host: np.ndarray):
+        """Upload a stacked host array, shard-sharded over the mesh when one
+        is configured (multi-process safe: see multihost.put_sharded)."""
         import jax
+        if self.mesh is None:
+            return jax.device_put(host)
+        from featurebase_tpu.parallel.multihost import put_sharded
+        host = self._pad_for_mesh(host)
+        return put_sharded(host, self._sharding(host.ndim))
+
+    def _cached_stack(self, key, gen, build):
         hit = self._leaf_cache.get(key)
         if hit is not None and hit[0] == gen:
             return hit[1]
-        host = build()
-        if self.mesh is not None:
-            host = self._pad_for_mesh(host)
-        arr = jax.device_put(host, self._sharding(host.ndim))
+        arr = self._put(build())
         self._leaf_cache[key] = (gen, arr)
         return arr
 
@@ -400,6 +402,45 @@ class PlanExecutor:
                 [host, np.zeros((pad,) + host.shape[1:], host.dtype)])
         return host
 
+    # -- stacked gathers for mesh aggregates --------------------------------
+
+    def stacked_field_rows(self, index: Index, fname: str,
+                           views: Tuple[str, ...], row_ids: Tuple[int, ...],
+                           shards: List[int]):
+        """(S, R, W) stacked tile of the given row ids across shards (views
+        OR-ed, absent rows zero), sharded over the mesh.  Backs the mesh
+        TopN/GroupBy/Distinct paths (reference: each shard's fragment.rows
+        read, executor.go:4077)."""
+        f = index.field(fname)
+        frag_sets = [[self._frag(f, vn, s) for vn in views] for s in shards]
+        gen = tuple(fr.generation if fr else -1
+                    for frs in frag_sets for fr in frs)
+        ck = ("rowset", index.name, fname, views, row_ids, tuple(shards))
+
+        def build():
+            out = np.zeros((len(shards), len(row_ids), WORDS_PER_ROW),
+                           dtype=np.uint32)
+            for si, frs in enumerate(frag_sets):
+                for fr in frs:
+                    if fr is None:
+                        continue
+                    for ri, r in enumerate(row_ids):
+                        if fr.has_row(r):
+                            np.bitwise_or(out[si, ri], fr.host_row(r),
+                                          out=out[si, ri])
+            return out
+        return self._cached_stack(ck, gen, build)
+
+    def stacked_bsi(self, index: Index, fname: str, depth: int,
+                    shards: List[int]):
+        """(S, D+2, W) stacked BSI group, sharded over the mesh."""
+        return self._gather_leaf(index, _Leaf("bsi", field=fname,
+                                              depth=depth), shards)
+
+    def stacked_full(self, index: Index, shards: List[int]):
+        """(S, W) all-ones filter, sharded over the mesh."""
+        return self._gather_leaf(index, _Leaf("full"), shards)
+
     # -- plan execution -----------------------------------------------------
 
     def run_bitmap(self, index: Index, plan: BitmapPlan, shards: List[int]):
@@ -407,10 +448,21 @@ class PlanExecutor:
         out = self._run(index, plan, shards, reduce=None)
         return out[: len(shards)]
 
+    def run_words_padded(self, index: Index, plan: BitmapPlan,
+                         shards: List[int]):
+        """Mesh-padded (S_pad, W) sharded result words (for mesh
+        aggregates; padded shards are all-zero)."""
+        return self._run(index, plan, shards, reduce=None)
+
     def run_count(self, index: Index, plan: BitmapPlan, shards: List[int]
                   ) -> int:
         """Fused popcount reduction — one XLA program: bitmap expr + count,
-        never materializing the intermediate in HBM."""
+        never materializing the intermediate in HBM.  On a mesh the
+        reduction is a shard_map psum riding the interconnect."""
+        if self.mesh is not None:
+            from featurebase_tpu.parallel import agg
+            words = self._run(index, plan, shards, reduce=None)
+            return agg.total_count(self.mesh, words)
         per_shard = self._run(index, plan, shards, reduce="count")
         return int(np.asarray(per_shard)[: len(shards)].sum())
 
