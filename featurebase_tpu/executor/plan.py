@@ -386,11 +386,20 @@ class PlanExecutor:
         return put_sharded(host, self._sharding(host.ndim))
 
     def _cached_stack(self, key, gen, build):
+        """Generation-keyed stacked-leaf cache; entries are device-resident
+        and managed by the global DeviceResidency LRU (evicted under HBM
+        pressure, rebuilt from host masters on next use)."""
+        from featurebase_tpu.storage.residency import residency
         hit = self._leaf_cache.get(key)
         if hit is not None and hit[0] == gen:
+            residency().touch(("leaf", id(self), key))
             return hit[1]
-        arr = self._put(build())
+        host = build()
+        arr = self._put(host)
         self._leaf_cache[key] = (gen, arr)
+        rkey = ("leaf", id(self), key)
+        residency().add(rkey, int(host.nbytes),
+                        lambda: self._leaf_cache.pop(key, None))
         return arr
 
     def _pad_for_mesh(self, host: np.ndarray) -> np.ndarray:

@@ -193,33 +193,57 @@ class Fragment:
             self.generation += 1
 
     # -- device mirror ------------------------------------------------------
+    # The mirror is a cache entry in the global DeviceResidency LRU (the RBF
+    # page-cache role, reference rbf/db.go:45): uploads register their byte
+    # size and may be evicted under HBM pressure; the host master is
+    # authoritative so eviction just drops the reference.
+
+    def _residency_key(self):
+        return ("frag", self.index, self.field, self.view, self.shard,
+                id(self))
+
+    def _evict_device(self):
+        """Drop the device mirror (called by DeviceResidency under memory
+        pressure; in-flight queries keep their local references alive)."""
+        self._dev = None
+        self._dev_rows = -1
+        self._all_dirty = True
 
     def _flush_to_device(self):
         import jax
         import jax.numpy as jnp
+        from featurebase_tpu.storage.residency import residency
         n = self.num_rows
         if n == 0:
             self._dev = jnp.zeros((1, WORDS_PER_ROW), dtype=jnp.uint32)
             self._dev_rows = 0
             self._dirty.clear()
             self._all_dirty = False
-            return
+            return self._dev
         if self._all_dirty or self._dev is None or self._dev.shape[0] < n:
             self._dev = jax.device_put(self._words[:n])
+            residency().add(self._residency_key(), int(n) * WORDS_PER_ROW * 4,
+                            self._evict_device)
         elif self._dirty:
             slots = np.array(sorted(self._dirty), dtype=np.int32)
             self._dev = self._dev.at[slots].set(jax.device_put(self._words[slots]))
+            residency().touch(self._residency_key())
         self._dev_rows = n
         self._dirty.clear()
         self._all_dirty = False
+        return self._dev
 
     def device_tile(self):
         """(num_rows, W) uint32 device array of all rows (slot order)."""
+        from featurebase_tpu.storage.residency import residency
         with self._lock:
             if self._all_dirty or self._dirty or self._dev is None or \
                     self._dev_rows != self.num_rows:
-                self._flush_to_device()
-            return self._dev[: max(self.num_rows, 1)] if self.num_rows else self._dev[:0]
+                dev = self._flush_to_device()
+            else:
+                dev = self._dev
+                residency().touch(self._residency_key())
+            return dev[: max(self.num_rows, 1)] if self.num_rows else dev[:0]
 
     def device_row(self, row: int):
         """(W,) uint32 device words for one row (zeros if absent)."""

@@ -1,0 +1,95 @@
+"""HBM residency manager: every PQL call stays correct when the dataset is
+several times larger than the device budget, with LRU eviction + rebuild
+from host masters (reference: rbf/db.go:45 page cache role; SURVEY §7
+hard-part 1 — dense-tile memory economics)."""
+import numpy as np
+import pytest
+
+from featurebase_tpu.core.consts import SHARD_WIDTH, WORDS_PER_ROW
+from featurebase_tpu.executor.executor import Executor
+from featurebase_tpu.model.field import FieldOptions
+from featurebase_tpu.model.index import Holder
+from featurebase_tpu.storage import residency as res
+
+
+@pytest.fixture()
+def capped():
+    """Dataset ~4x the device budget: 8 shards x (set rows + BSI planes)."""
+    # one fragment row = WORDS_PER_ROW * 4 bytes = 128KB; data below is
+    # 8 shards x (5 set rows + ~13 BSI rows + 1 existence) ~= 19MB.
+    mgr = res.reset(budget=4 << 20)  # 4MB cap
+    rng = np.random.default_rng(3)
+    n = 40_000
+    cols = np.sort(rng.choice(8 * SHARD_WIDTH, size=n, replace=False))
+    f_rows = rng.integers(0, 5, size=n)
+    vals = rng.integers(-100, 1000, size=n)
+
+    holder = Holder()
+    idx = holder.create_index("cap")
+    idx.create_field("f")
+    idx.create_field("v", FieldOptions(type="int", min=-100, max=1000))
+    idx.field("f").import_bits(f_rows, cols)
+    idx.field("v").import_values(cols, vals)
+    idx.mark_exists(cols)
+    yield Executor(holder), dict(cols=cols, f=f_rows, v=vals), mgr
+    res.reset()  # restore default budget for other tests
+
+
+class TestResidencyCap:
+    def test_all_calls_correct_under_cap_with_evictions(self, capped):
+        e, d, mgr = capped
+        (count,) = e.execute("cap", "Count(Row(f=1))")
+        assert count == int((d["f"] == 1).sum())
+        (sum_vc,) = e.execute("cap", "Sum(field=v)")
+        assert sum_vc.val == int(d["v"].sum())
+        (topn,) = e.execute("cap", "TopN(f, n=3)")
+        want = sorted(((int((d["f"] == r).sum()), int(r)) for r in range(5)),
+                      key=lambda t: (-t[0], t[1]))[:3]
+        assert [(p.count, p.id) for p in topn.pairs] == want
+        (groups,) = e.execute("cap", "GroupBy(Rows(f))")
+        got = {gc.group[0].row_id: gc.count for gc in groups}
+        assert got == {int(r): int((d["f"] == r).sum()) for r in range(5)}
+        (row,) = e.execute("cap", "Row(v > 500)")
+        assert list(row.columns()) == [int(c) for c in
+                                       d["cols"][d["v"] > 500]]
+        (srt,) = e.execute("cap", "Sort(All(), field=v, limit=5)")
+        order = np.lexsort((d["cols"], d["v"]))
+        assert srt["columns"] == [int(c) for c in d["cols"][order][:5]]
+        st = mgr.stats()
+        assert st["evictions"] > 0, "dataset 4x budget must evict"
+        assert st["bytes"] <= st["budget"] * 2  # one oversized entry allowed
+
+    def test_budget_is_enforced_between_queries(self, capped):
+        e, d, mgr = capped
+        for _ in range(3):
+            e.execute("cap", "Count(Row(f=0))")
+            e.execute("cap", "Sum(field=v)")
+        assert mgr.stats()["bytes"] <= mgr.budget * 2
+
+    def test_eviction_then_write_then_reread(self, capped):
+        """Evicted fragments rebuild from host masters and still see writes
+        (read-your-writes across eviction)."""
+        e, d, mgr = capped
+        (before,) = e.execute("cap", "Count(Row(f=1))")
+        e.execute("cap", "Sum(field=v)")  # pressure -> likely evicts f tiles
+        free_col = int(d["cols"][-1]) + 1
+        e.execute("cap", f"Set({free_col}, f=1)")
+        (after,) = e.execute("cap", "Count(Row(f=1))")
+        assert after == before + 1
+
+
+class TestResidencyUnit:
+    def test_lru_order_and_protection(self):
+        mgr = res.DeviceResidency(budget=100)
+        dropped = []
+        mgr.add("a", 60, lambda: dropped.append("a"))
+        mgr.add("b", 30, lambda: dropped.append("b"))
+        mgr.touch("a")  # b becomes LRU
+        mgr.add("c", 50, lambda: dropped.append("c"))
+        assert dropped == ["b", "a"]  # evict b (LRU) then a; c protected
+        assert mgr.stats()["entries"] == 1
+
+    def test_oversized_entry_allowed(self):
+        mgr = res.DeviceResidency(budget=10)
+        mgr.add("big", 100, lambda: None)
+        assert mgr.stats()["bytes"] == 100  # runs anyway; nothing to evict
