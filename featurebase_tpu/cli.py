@@ -81,13 +81,17 @@ def main(argv=None):
                     default=float(_env_default("snapshot_interval", 30)))
     dx.add_argument("--cpu", action="store_true")
 
-    bp = sub.add_parser("backup", help="tar a data dir snapshot")
-    bp.add_argument("--data-dir", required=True)
+    bp = sub.add_parser("backup", help="back up a live cluster over HTTP "
+                                       "(--host) or tar a local data dir")
+    bp.add_argument("--data-dir")
+    bp.add_argument("--host", help="live-cluster backup: any node's URL")
     bp.add_argument("--output", "-o", required=True)
 
-    rp = sub.add_parser("restore", help="restore a backup tar into a data dir")
+    rp = sub.add_parser("restore", help="restore a backup tar into a live "
+                                        "cluster (--host) or a data dir")
     rp.add_argument("--source", required=True)
-    rp.add_argument("--data-dir", required=True)
+    rp.add_argument("--data-dir")
+    rp.add_argument("--host", help="live-cluster restore: any node's URL")
 
     ip = sub.add_parser("import", help="import a CSV file")
     ip.add_argument("--host", default=_env_default("host",
@@ -224,10 +228,13 @@ def cmd_dax(args, cfg):
 
 
 def cmd_backup(args):
-    """Tar the snapshot + wal (reference ctl/backup.go:87: schema + translate
-    + shard snapshots + idalloc, here unified in the snapshot layout)."""
+    """Back up a live cluster over HTTP (reference ctl/backup.go:87: schema
+    + per-partition translate data + per-shard snapshots), or tar a local
+    data dir when --host is not given."""
+    if getattr(args, "host", None):
+        return _live_backup(args.host, args.output)
     data_dir = args.data_dir
-    if not os.path.isdir(data_dir):
+    if not data_dir or not os.path.isdir(data_dir):
         print(f"no such data dir: {data_dir}", file=sys.stderr)
         return 1
     with tarfile.open(args.output, "w:gz") as tf:
@@ -236,11 +243,78 @@ def cmd_backup(args):
     return 0
 
 
+def _live_backup(host: str, output: str) -> int:
+    """GET /schema + translate snapshot + every shard's snapshot bundle
+    from the shard's first live owner (reference: ctl/backup.go:342 fetches
+    /internal/index/{i}/shard/{s}/snapshot from a node owning the shard)."""
+    import io
+    schema = _http(host, "GET", "/schema")
+    translate = _http(host, "GET", "/internal/translate/snapshot")
+    with tarfile.open(output, "w:gz") as tf:
+        def put(name, data: bytes):
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+        put("schema.json", json.dumps(schema).encode())
+        put("translate.json", json.dumps(translate).encode())
+        n_shards = 0
+        for idx in schema.get("indexes", []):
+            name = idx["name"]
+            shards = _http(host, "GET",
+                           f"/shards?index={name}&cluster=1")["shards"]
+            for s in shards:
+                data = _http(host, "GET",
+                             f"/internal/index/{name}/shard/{s}/snapshot",
+                             raw=True)
+                put(f"shards/{name}/{s}.npz", data)
+                n_shards += 1
+    print(f"backed up {host} ({n_shards} shards) -> {output}")
+    return 0
+
+
 def cmd_restore(args):
+    if getattr(args, "host", None):
+        return _live_restore(args.host, args.source)
+    if not args.data_dir:
+        print("restore requires --data-dir or --host", file=sys.stderr)
+        return 1
     os.makedirs(args.data_dir, exist_ok=True)
     with tarfile.open(args.source, "r:*") as tf:
         tf.extractall(args.data_dir, filter="data")
     print(f"restored {args.source} -> {args.data_dir}")
+    return 0
+
+
+def _live_restore(host: str, source: str) -> int:
+    """Recreate schema, translate state, and every shard on a live cluster
+    (reference: ctl/restore.go POST /internal/restore/{index}/{shard}; the
+    receiving node fans the bundle out to all owners of the shard)."""
+    with tarfile.open(source, "r:*") as tf:
+        members = {m.name: m for m in tf.getmembers()}
+        schema = json.loads(tf.extractfile(members["schema.json"]).read())
+        for idx in schema.get("indexes", []):
+            _http(host, "POST", f"/index/{idx['name']}",
+                  {"options": idx.get("options", {})})
+            for f in idx.get("fields", []):
+                if f["name"].startswith("_"):
+                    continue
+                _http(host, "POST",
+                      f"/index/{idx['name']}/field/{f['name']}",
+                      {"options": f.get("options", {})})
+        translate = json.loads(
+            tf.extractfile(members["translate.json"]).read())
+        _http(host, "POST", "/internal/translate/restore",
+              {"snap": translate})
+        n_shards = 0
+        for name, m in members.items():
+            if not name.startswith("shards/"):
+                continue
+            _, index, fname = name.split("/", 2)
+            shard = int(fname.removesuffix(".npz"))
+            _http(host, "POST", f"/internal/restore/{index}/{shard}",
+                  tf.extractfile(m).read())
+            n_shards += 1
+    print(f"restored {source} ({n_shards} shards) -> {host}")
     return 0
 
 

@@ -118,6 +118,46 @@ class InternalClient:
             path = f"/internal/translate/index/{index}/replicate"
         self._call(uri, "POST", path, {"entries": entries})
 
+    # -- shard snapshots / resync (reference: internal_client.go:1012
+    # fragment data streams; ctl/backup.go:342 shard snapshot fetch) ----------
+
+    def _call_raw(self, uri: str, method: str, path: str,
+                  raw_body: Optional[bytes] = None,
+                  forwarded: bool = False) -> bytes:
+        req = urllib.request.Request(uri + path, data=raw_body, method=method)
+        req.add_header("Content-Type", "application/octet-stream")
+        if forwarded:
+            req.add_header("X-Featurebase-Forwarded", "1")
+        if self.auth_token:
+            req.add_header("Authorization", f"Bearer {self.auth_token}")
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                return resp.read()
+        except urllib.error.HTTPError as e:
+            raise RemoteError(str(e), e.code) from e
+        except (urllib.error.URLError, ConnectionError, OSError) as e:
+            raise NodeUnreachable(f"{uri}{path}: {e}") from e
+
+    def shard_checksums(self, uri: str, index: str, shard: int) -> dict:
+        return self._call(uri, "GET",
+                          f"/internal/index/{index}/shard/{shard}/fragments")
+
+    def shard_snapshot(self, uri: str, index: str, shard: int) -> bytes:
+        # forwarded: node-to-node fetches are local-only (no proxy chains)
+        return self._call_raw(
+            uri, "GET", f"/internal/index/{index}/shard/{shard}/snapshot",
+            forwarded=True)
+
+    def restore_shard(self, uri: str, index: str, shard: int, data: bytes,
+                      forward: bool = False):
+        """forward=False marks the request forwarded so the receiving node
+        applies locally without re-fanning out (loop prevention)."""
+        self._call_raw(uri, "POST", f"/internal/restore/{index}/{shard}",
+                       raw_body=data, forwarded=not forward)
+
+    def restore_translate(self, uri: str, snap: dict):
+        self._call(uri, "POST", "/internal/translate/restore", {"snap": snap})
+
     # -- control plane ---------------------------------------------------------
 
     def cluster_message(self, uri: str, msg: dict):

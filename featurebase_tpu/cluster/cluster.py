@@ -79,12 +79,15 @@ class Cluster:
                        else STATE_DOWN)
         return self.snapshot.state()
 
-    def start_heartbeat(self, api, interval: float = 2.0):
-        """Background liveness loop: probes peers, and when a peer recovers
-        (DOWN -> up) re-pulls schema/translate state so a node that missed
-        broadcasts converges (reference: etcd heartbeat leases +
-        holderSyncer)."""
+    def start_heartbeat(self, api, interval: float = 2.0,
+                        resync_every: int = 5):
+        """Background liveness loop: probes peers; when a peer recovers
+        (DOWN -> up) re-pulls schema/translate state, and every
+        `resync_every`-th cycle runs the shard anti-entropy pass so a node
+        that was down (or missed replica writes) converges without a restart
+        (reference: etcd heartbeat leases + holderSyncer holder.go:1303)."""
         def loop():
+            cycle = 0
             while not self._stop_heartbeat.is_set():
                 before = {n.id: n.state for n in self.peers()}
                 self.probe()
@@ -94,6 +97,12 @@ class Cluster:
                 if came_up or not self._synced_once:
                     if self.sync_from_peers(api, retries=1):
                         self._synced_once = True
+                cycle += 1
+                if came_up or cycle % resync_every == 0:
+                    try:
+                        api.resync_shards()
+                    except Exception:  # noqa: BLE001 — retried next cycle
+                        pass
                 self._stop_heartbeat.wait(interval)
 
         self._stop_heartbeat = threading.Event()

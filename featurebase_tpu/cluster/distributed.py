@@ -158,13 +158,24 @@ class DistributedExecutor:
             if not live:
                 raise ExecError("no live replica owns shard "
                                 f"{shard} of {index_name}")
-            # all replicas written concurrently (reference:
-            # internal_client.go:691 importNode fan-out per replica)
+
+            # all replicas written concurrently; an unreachable replica is
+            # marked DOWN and the write succeeds on the rest — resync
+            # reconciles it on rejoin (reference: internal_client.go:691
+            # importNode fan-out; holderSyncer holder.go:1303)
+            def write_one(n):
+                try:
+                    return self._exec_on_node(n, index_name, call, [shard])
+                except NodeUnreachable:
+                    self.cluster.mark_down(n.id)
+                    return None
             with futures.ThreadPoolExecutor(max_workers=len(live)) as pool:
-                rs = list(pool.map(
-                    lambda n: self._exec_on_node(n, index_name, call,
-                                                 [shard]), live))
-            return any(bool(r) for r in rs)
+                rs = list(pool.map(write_one, live))
+            succeeded = [r for r in rs if r is not None]
+            if not succeeded:
+                raise ExecError("no live replica accepted the write for "
+                                f"shard {shard} of {index_name}")
+            return any(bool(r) for r in succeeded)
         # Store / ClearRow / Delete touch every shard: broadcast with
         # per-node shard lists
         shards = self.cluster.all_shards(self.api, index_name)

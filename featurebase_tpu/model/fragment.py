@@ -271,6 +271,26 @@ class Fragment:
         mask = jnp.asarray(present)[:, None]
         return jnp.where(mask, gathered, jnp.uint32(0)), present
 
+    # -- anti-entropy -------------------------------------------------------
+
+    def checksum(self) -> int:
+        """Content checksum over (row ids, words) — the per-fragment block
+        checksum of the reference's holderSyncer (reference: holder.go:1303;
+        fragment checksum blocks fragment.go Blocks/BlockData).  Cached by
+        generation."""
+        import zlib
+        with self._lock:
+            cached = getattr(self, "_cksum", None)
+            if cached is not None and cached[0] == self.generation:
+                return cached[1]
+            n = self.num_rows
+            crc = zlib.crc32(
+                np.array(self._row_of_slot[:n], dtype=np.int64).tobytes())
+            crc = zlib.crc32(np.ascontiguousarray(self._words[:n]).tobytes(),
+                             crc)
+            self._cksum = (self.generation, crc)
+            return crc
+
     # -- persistence --------------------------------------------------------
 
     def to_npz_dict(self) -> dict:

@@ -656,6 +656,160 @@ class API:
         except ValueError as e:
             raise APIError(str(e), 409)
 
+    # -- shard snapshots / resync (reference: api.go:1265 IndexShardSnapshot,
+    # holder.go:1303 holderSyncer anti-entropy) -----------------------------
+
+    def shard_fragment_checksums(self, index: str, shard: int) -> dict:
+        """Per-fragment content checksums + a total mutation counter for one
+        shard — the anti-entropy comparison unit."""
+        idx = self._index(index)
+        frags = []
+        total_gen = 0
+        for f in idx.fields.values():
+            for vname, v in f.views.items():
+                frag = v.fragment(shard)
+                if frag is None or frag.num_rows == 0:
+                    continue
+                frags.append({"field": f.name, "view": vname,
+                              "checksum": frag.checksum(),
+                              "rows": frag.num_rows})
+                total_gen += frag.generation
+        frags.sort(key=lambda d: (d["field"], d["view"]))
+        return {"fragments": frags, "total_generation": total_gen}
+
+    def shard_snapshot_bytes(self, index: str, shard: int,
+                             allow_proxy: bool = False) -> bytes:
+        """One shard's full fragment set as a compressed npz bundle
+        (reference: api.go:1265 IndexShardSnapshot streams the RBF shard
+        file; here the unit is dense fragment tiles).  With allow_proxy
+        (client-facing backup), a node without local data fetches the bundle
+        from a live owner of the shard (reference: ctl/backup.go:342 picks
+        an owning node)."""
+        import io
+        idx = self._index(index)
+        arrays = {}
+        for f in idx.fields.values():
+            for vname, v in f.views.items():
+                frag = v.fragment(shard)
+                if frag is None or frag.num_rows == 0:
+                    continue
+                d = frag.to_npz_dict()
+                arrays[f"{f.name}|{vname}|rows"] = d["rows"]
+                arrays[f"{f.name}|{vname}|words"] = d["words"]
+        if not arrays and allow_proxy and self.cluster is not None:
+            for n in self.cluster.snapshot.shard_nodes(index, shard):
+                if self.cluster.is_self(n) or n.state == "DOWN":
+                    continue
+                try:
+                    return self.cluster.client.shard_snapshot(
+                        n.uri, index, shard)
+                except Exception:  # noqa: BLE001
+                    self.cluster.mark_down(n.id)
+        buf = io.BytesIO()
+        np.savez_compressed(buf, **arrays)
+        return buf.getvalue()
+
+    def restore_shard(self, index: str, shard: int, data: bytes,
+                      forward: bool = False):
+        """Replace one shard's fragments from a snapshot bundle (reference:
+        http_handler.go:588 POST /internal/restore/{index}/{shard}).  With
+        forward=True (client-facing restore) the bundle is also pushed to
+        every other live owner of the shard."""
+        import io
+
+        from featurebase_tpu.core.consts import BSI_OFFSET
+        from featurebase_tpu.model.fragment import Fragment
+        from featurebase_tpu.model.view import view_bsi_group
+        idx = self._index(index)
+        owners = (self.cluster.snapshot.shard_nodes(index, shard)
+                  if self.cluster is not None else [])
+        if forward and self.cluster is not None:
+            for n in owners:
+                if self.cluster.is_self(n) or n.state == "DOWN":
+                    continue
+                try:
+                    self.cluster.client.restore_shard(n.uri, index, shard,
+                                                      data)
+                except Exception:  # noqa: BLE001 — best effort
+                    self.cluster.mark_down(n.id)
+            if not any(self.cluster.is_self(n) for n in owners):
+                return  # this node is not an owner: fan-out only
+        z = np.load(io.BytesIO(data))
+        # drop existing fragments of this shard, then rebuild from bundle
+        for f in idx.fields.values():
+            for v in f.views.values():
+                v.fragments.pop(shard, None)
+        for name in z.files:
+            if not name.endswith("|rows"):
+                continue
+            fname, vname, _ = name.split("|", 2)
+            f = idx.field(fname)
+            if f is None:
+                continue
+            frag = Fragment.from_npz_dict(
+                index, fname, vname, shard,
+                {"rows": z[name], "words": z[f"{fname}|{vname}|words"]})
+            f.create_view_if_not_exists(vname).fragments[shard] = frag
+            if vname == view_bsi_group(fname) and len(z[name]):
+                depth = int(max(int(r) for r in z[name]) - BSI_OFFSET + 1)
+                f.bit_depth = max(f.bit_depth, depth, 1)
+        if self.cluster is not None:
+            self.cluster.note_shards(index, [shard])
+
+    def resync_shards(self) -> int:
+        """Anti-entropy pass: for every shard this node owns, compare
+        fragment checksums with the other live owners and pull the shard
+        snapshot from the most-written owner when they diverge (reference:
+        holderSyncer holder.go:1303 block-checksum sync).  Convergence is
+        bidirectional: every node runs this periodically from its heartbeat
+        loop, so whichever side is behind pulls.  Returns shards pulled."""
+        if self.cluster is None:
+            return 0
+        pulled = 0
+        snap = self.cluster.snapshot
+        for index in list(self.holder.indexes):
+            try:
+                shards = self.cluster.all_shards(self, index)
+            except Exception:  # noqa: BLE001
+                continue
+            for shard in shards:
+                owners = snap.shard_nodes(index, shard)
+                if not any(self.cluster.is_self(n) for n in owners):
+                    continue
+                mine = self.shard_fragment_checksums(index, shard)
+                my_key = [(d["field"], d["view"], d["checksum"])
+                          for d in mine["fragments"]]
+                best = None  # (total_gen, node, their_key)
+                for n in owners:
+                    if self.cluster.is_self(n) or n.state == "DOWN":
+                        continue
+                    try:
+                        theirs = self.cluster.client.shard_checksums(
+                            n.uri, index, shard)
+                    except Exception:  # noqa: BLE001
+                        self.cluster.mark_down(n.id)
+                        continue
+                    tk = [(d["field"], d["view"], d["checksum"])
+                          for d in theirs["fragments"]]
+                    if tk == my_key:
+                        continue
+                    tg = theirs["total_generation"]
+                    if best is None or tg > best[0]:
+                        best = (tg, n, tk)
+                if best is None:
+                    continue
+                # pull only when the peer has seen at least as many writes
+                # (a behind peer pulls from us on its own pass)
+                if best[0] >= mine["total_generation"]:
+                    try:
+                        data = self.cluster.client.shard_snapshot(
+                            best[1].uri, index, shard)
+                        self.restore_shard(index, shard, data)
+                        pulled += 1
+                    except Exception:  # noqa: BLE001
+                        self.cluster.mark_down(best[1].id)
+        return pulled
+
     # -- info ---------------------------------------------------------------
 
     def available_shards(self, index: str) -> List[int]:

@@ -257,6 +257,9 @@ class Handler(BaseHTTPRequestHandler):
 
         if path == "/shards" and method == "GET":
             idx = query.get("index", "")
+            if query.get("cluster") and self.api.cluster is not None:
+                return self._send({"shards":
+                                   self.api.cluster.all_shards(self.api, idx)})
             return self._send({"shards": self.api.available_shards(idx)})
 
         if path == "/metrics.json" and method == "GET":
@@ -413,6 +416,41 @@ class Handler(BaseHTTPRequestHandler):
 
         if path == "/internal/translate/snapshot" and method == "GET":
             return self._send(self.api.translate_snapshot())
+
+        if path == "/internal/translate/restore" and method == "POST":
+            self.api.apply_translate_snapshot(self._json().get("snap", {}))
+            return self._send({})
+
+        # shard snapshot / restore / checksums (reference: api.go:1265
+        # IndexShardSnapshot; http_handler.go:588 POST /internal/restore)
+        m = re.fullmatch(r"/internal/index/([^/]+)/shard/(\d+)/fragments",
+                         path)
+        if m and method == "GET":
+            return self._send(self.api.shard_fragment_checksums(
+                m.group(1), int(m.group(2))))
+
+        m = re.fullmatch(r"/internal/index/([^/]+)/shard/(\d+)/snapshot",
+                         path)
+        if m and method == "GET":
+            proxy = self.headers.get("X-Featurebase-Forwarded") != "1"
+            data = self.api.shard_snapshot_bytes(m.group(1), int(m.group(2)),
+                                                 allow_proxy=proxy)
+            self.send_response(200)
+            self.send_header("Content-Type", "application/octet-stream")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+            return None
+
+        m = re.fullmatch(r"/internal/restore/([^/]+)/(\d+)", path)
+        if m and method == "POST":
+            fwd = self.headers.get("X-Featurebase-Forwarded") != "1"
+            self.api.restore_shard(m.group(1), int(m.group(2)), self._body(),
+                                   forward=fwd)
+            return self._send({})
+
+        if path == "/internal/resync" and method == "POST":
+            return self._send({"pulled": self.api.resync_shards()})
 
         raise APIError(f"no route: {method} {path}", 404)
 

@@ -54,6 +54,30 @@ class TestCluster:
         injection, internal/clustertests pause_node_test.go:46)."""
         self.servers[i].stop()
 
+    def restart_node(self, i: int, data_dir: Optional[str] = None):
+        """Bring a stopped node back on the SAME port with a fresh (or
+        durably-restored) API, pull schema/translate from peers, and run the
+        shard anti-entropy pass (reference: node restart -> holder.Open +
+        holderSyncer resync, holder.go:432,1303)."""
+        old = self.servers[i]
+        srv = Server(defer_api=True, port=old.port)
+        node_list = [{"id": f"node{j}", "uri": s.url if j != i else srv.url}
+                     for j, s in enumerate(self.servers)]
+        cluster = Cluster(f"node{i}", node_list,
+                          replicas=self.apis[i].cluster.snapshot.replicas)
+        api = API(cluster=cluster, data_dir=data_dir)
+        srv.set_api(api)
+        srv.start()
+        self.servers[i] = srv
+        self.apis[i] = api
+        cluster.sync_from_peers(api, retries=3)
+        api.resync_shards()
+        # let peers notice it is back
+        for j, a in enumerate(self.apis):
+            if j != i and a.cluster is not None:
+                a.cluster.mark_up(f"node{i}")
+        return api
+
     def close(self):
         for s in self.servers:
             try:

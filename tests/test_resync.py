@@ -1,0 +1,106 @@
+"""Replica resync (anti-entropy) + live cluster backup/restore.
+
+Reference: holderSyncer (holder.go:1303) reconciles fragment content
+between replicas via block checksums; ctl/backup.go:87,342 backs up a live
+cluster per-shard over HTTP.  The kill-node -> write -> restart-node ->
+read-parity flow mirrors internal/clustertests pause_node_test.go."""
+import os
+import tarfile
+
+import numpy as np
+import pytest
+
+from featurebase_tpu.cli import main as cli_main
+from featurebase_tpu.core.consts import SHARD_WIDTH
+from featurebase_tpu.testing import TestCluster
+
+
+def _seed(tc):
+    tc.http(0, "POST", "/index/i", {"options": {"trackExistence": True}})
+    tc.http(0, "POST", "/index/i/field/f", {"options": {"type": "set"}})
+    tc.http(0, "POST", "/index/i/field/v", {"options": {"type": "int"}})
+    cols = [1, SHARD_WIDTH + 3, 2 * SHARD_WIDTH + 7, 5 * SHARD_WIDTH + 2]
+    for c in cols:
+        tc.query(0, "i", f"Set({c}, f=1)")
+        tc.query(0, "i", f"Set({c}, v={c % 97})")
+    return cols
+
+
+class TestResync:
+    def test_kill_write_restart_read_parity(self):
+        with TestCluster(3, replicas=2) as tc:
+            cols = _seed(tc)
+            assert tc.query(0, "i", "Count(Row(f=1))") == {"results": [4]}
+
+            tc.stop_node(2)
+            # writes made while node2 is down land on surviving replicas
+            new_cols = [7, 3 * SHARD_WIDTH + 11, 6 * SHARD_WIDTH + 5]
+            for c in new_cols:
+                tc.query(0, "i", f"Set({c}, f=1)")
+                tc.query(0, "i", f"Set({c}, v={c % 97})")
+            assert tc.query(0, "i", "Count(Row(f=1))") == {"results": [7]}
+            assert tc.query(1, "i", "Count(Row(f=1))") == {"results": [7]}
+
+            # restart node2 empty: it must pull schema + shard data
+            api2 = tc.restart_node(2)
+            assert tc.query(2, "i", "Count(Row(f=1))") == {"results": [7]}
+            want_sum = sum(c % 97 for c in cols + new_cols)
+            got = tc.query(2, "i", "Sum(field=v)")
+            assert got["results"][0]["value"] == want_sum
+
+            # node2's own holder really holds the missed writes for the
+            # shards it owns (not just proxied reads)
+            snap = api2.cluster.snapshot
+            owned = [s for s in range(8)
+                     if any(n.id == "node2"
+                            for n in snap.shard_nodes("i", s))]
+            local = api2.holder.index("i").available_shards()
+            written = {c // SHARD_WIDTH for c in cols + new_cols}
+            assert set(local) >= (written & set(owned))
+
+    def test_resync_is_idempotent_and_checksum_gated(self):
+        with TestCluster(2, replicas=2) as tc:
+            _seed(tc)
+            # in-sync cluster: resync pulls nothing
+            assert tc.apis[0].resync_shards() == 0
+            assert tc.apis[1].resync_shards() == 0
+
+    def test_diverged_replica_pulls_from_most_written(self):
+        with TestCluster(2, replicas=2) as tc:
+            _seed(tc)
+            # fabricate divergence: drop node1's copy of a shard
+            idx1 = tc.apis[1].holder.index("i")
+            f1 = idx1.field("f")
+            victim = next(s for s in idx1.available_shards())
+            for v in f1.views.values():
+                v.fragments.pop(victim, None)
+            pulled = tc.apis[1].resync_shards()
+            assert pulled >= 1
+            assert tc.query(0, "i", "Count(Row(f=1))") == \
+                tc.query(1, "i", "Count(Row(f=1))")
+
+
+class TestLiveBackupRestore:
+    def test_backup_restore_roundtrip_over_http(self, tmp_path):
+        tar = str(tmp_path / "backup.tgz")
+        with TestCluster(2, replicas=1) as tc:
+            _seed(tc)
+            tc.query(0, "i", 'Set(9, f=2)')
+            want_count = tc.query(0, "i", "Count(Row(f=1))")
+            want_sum = tc.query(0, "i", "Sum(field=v)")
+            rc = cli_main(["backup", "--host", tc.url(0), "--output", tar])
+            assert rc == 0
+            assert os.path.exists(tar)
+            with tarfile.open(tar) as tf:
+                names = tf.getnames()
+            assert "schema.json" in names
+            assert any(n.startswith("shards/i/") for n in names)
+
+        # restore into a brand-new cluster
+        with TestCluster(2, replicas=1) as tc2:
+            rc = cli_main(["restore", "--host", tc2.url(0),
+                           "--source", tar])
+            assert rc == 0
+            assert tc2.query(0, "i", "Count(Row(f=1))") == want_count
+            assert tc2.query(1, "i", "Sum(field=v)") == want_sum
+            assert tc2.query(0, "i", "Count(Row(f=2))") == {"results": [1]}
