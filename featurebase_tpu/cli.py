@@ -68,6 +68,18 @@ def main(argv=None):
                     default=float(_env_default("long_query_time", 0) or 0),
                     help="log queries slower than this many seconds "
                          "(reference: long-query-time)")
+    sp.add_argument("--max-query-memory", type=int,
+                    default=int(_env_default("max_query_memory", 0) or 0),
+                    help="reject queries whose device working set exceeds "
+                         "this many bytes (reference: max-query-memory)")
+    sp.add_argument("--query-timeout", type=float,
+                    default=float(_env_default("query_timeout", 0) or 0),
+                    help="cooperative per-query deadline in seconds")
+    sp.add_argument("--views-removal-interval", type=float,
+                    default=float(_env_default("views_removal_interval",
+                                               3600) or 0),
+                    help="seconds between TTL time-view removal passes "
+                         "(reference: server.go:920 ViewsRemoval); 0 off")
 
     dx = sub.add_parser("dax", help="run a disaggregated DAX deployment "
                                     "(controller + computers + queryer) in "
@@ -167,14 +179,21 @@ def cmd_server(args, cfg):
                           replicas=int(cfg.get("replicas", args.replicas)),
                           client=InternalClient(auth_token=auth_token))
     lqt = float(cfg.get("long-query-time", args.long_query_time) or 0)
+    mqm = int(cfg.get("max-query-memory", args.max_query_memory) or 0)
+    qto = float(cfg.get("query-timeout", args.query_timeout) or 0)
     api = API(data_dir=cfg.get("data-dir", args.data_dir), cluster=cluster,
-              long_query_time=lqt or None)
+              long_query_time=lqt or None, max_query_memory=mqm or None,
+              query_timeout=qto or None)
     if auth_token:
         api.auth_token = auth_token
     if cluster is not None:
         # liveness + convergence loop (reference: etcd heartbeats +
         # holderSyncer); also performs the initial schema/translate pull
         cluster.start_heartbeat(api)
+    vri = float(cfg.get("views-removal-interval",
+                        args.views_removal_interval) or 0)
+    if vri > 0:
+        api.start_views_removal(vri)
     srv = Server(api=api, host=host or "127.0.0.1", port=int(port or 10101))
     grpc_bind = cfg.get("grpc-bind", args.grpc_bind)
     grpc_srv = None

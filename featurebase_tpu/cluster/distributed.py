@@ -107,6 +107,19 @@ class DistributedExecutor:
                     store = index.row_translation(k)
                     v_id = store.find_keys([v]).get(v, -1)
                 call.args[k] = v_id
+            elif isinstance(v, str) and f.options.foreign_index:
+                # string values are record keys of the foreign index
+                # (reference: field.go foreign index)
+                fidx = self.api.holder.index(f.options.foreign_index)
+                if fidx is None:
+                    raise ExecError(
+                        f"foreign index not found: {f.options.foreign_index}")
+                if is_write:
+                    v_id = self.cluster.route_create_index_keys(
+                        self.api, fidx.name, [v])[v]
+                else:
+                    v_id = fidx.translate_store.find_keys([v]).get(v, -1)
+                call.args[k] = v_id
             elif isinstance(v, bool) and f.options.type == TYPE_BOOL:
                 call.args[k] = 1 if v else 0
         for i, ch in enumerate(call.children):

@@ -131,6 +131,19 @@ class Executor:
                 else:
                     v_id = store.find_keys([v]).get(v, -1)
                 call.args[k] = v_id
+            elif isinstance(v, str) and f.options.foreign_index:
+                # foreign-index field: string values are record keys of the
+                # referenced index (reference: field.go foreign index;
+                # translationStrategy executor.go:7548)
+                fidx = self.holder.index(f.options.foreign_index)
+                if fidx is None:
+                    raise ExecError(
+                        f"foreign index not found: {f.options.foreign_index}")
+                if is_write:
+                    v_id = fidx.translate_store.create_keys([v])[v]
+                else:
+                    v_id = fidx.translate_store.find_keys([v]).get(v, -1)
+                call.args[k] = v_id
             elif isinstance(v, bool) and f.options.type == TYPE_BOOL:
                 call.args[k] = 1 if v else 0
         for i, ch in enumerate(call.children):
@@ -168,9 +181,106 @@ class Executor:
 
     def _execute_call(self, index: Index, call: Call,
                       shards: Optional[List[int]]):
+        from featurebase_tpu.executor.qcontext import check_interrupt
         from featurebase_tpu.utils.tracing import TRACER
+        check_interrupt()
         with TRACER.start_span(f"executor.execute{call.name}"):
             return self._execute_call_inner(index, call, shards)
+
+    # -- query memory accounting (reference: server/config.go:153
+    # MaxQueryMemory; executor.go:6665 calcResultMemory) --------------------
+
+    def enforce_memory_limit(self, index_name: str, parsed, shards,
+                             limit: int):
+        """Reject queries whose device working set would exceed the
+        configured max-query-memory.  The estimate covers the stacked tiles
+        a call must materialize (bitmap leaves, BSI planes, candidate row
+        tiles); it is deliberately conservative-simple, like the
+        reference's result-memory cap."""
+        index = self.holder.index(index_name)
+        if index is None:
+            return
+        S = max(len(self._shards(index, shards)), 1)
+        for call in parsed.calls:
+            est = self._estimate_call_memory(index, call, S)
+            if est > limit:
+                raise ExecError(
+                    f"query needs ~{est} bytes of device memory, over "
+                    f"max-query-memory={limit}")
+
+    def _estimate_call_memory(self, index: Index, call: Call, S: int) -> int:
+        row_bytes = WORDS_PER_ROW * 4
+        name = call.name
+
+        def field_rows(fname) -> int:
+            # candidate-row tiles stack the UNION of row ids across shards
+            f = index.field(fname)
+            if f is None:
+                return 0
+            v = f.view(VIEW_STANDARD)
+            if v is None:
+                return 0
+            union: set = set()
+            for fr in v.fragments.values():
+                union.update(fr.slot_rows())
+            return len(union)
+
+        def field_planes(fname) -> int:
+            f = index.field(fname)
+            return (max(f.bit_depth, 1) + 2) if f is not None else 0
+
+        total = 0
+        if name in ("Row", "Range"):
+            fld, val = call.field_arg()
+            f = index.field(fld) if fld else None
+            if f is not None and (f.is_bsi() or isinstance(val, Condition)):
+                total += field_planes(fld) * S * row_bytes
+            else:
+                total += S * row_bytes
+        elif name in ("TopN", "TopK", "Distinct", "Rows"):
+            fld = call.args.get("_field") or call.args.get("field")
+            f = index.field(fld) if fld else None
+            if f is not None and f.is_bsi():
+                total += field_planes(fld) * S * row_bytes
+            else:
+                total += field_rows(fld) * S * row_bytes
+        elif name == "GroupBy":
+            for rc in call.children:
+                if rc.name == "Rows":
+                    fld = rc.args.get("_field") or rc.args.get("field")
+                    total += field_rows(fld) * S * row_bytes
+            agg = call.args.get("aggregate")
+            if isinstance(agg, Call):
+                afld = agg.args.get("_field") or agg.args.get("field")
+                if afld:
+                    total += field_planes(afld) * S * row_bytes
+        elif name in ("Sum", "Min", "Max", "Sort", "Percentile"):
+            fld = call.args.get("_field") or call.args.get("field")
+            if fld:
+                total += field_planes(fld) * S * row_bytes
+        elif name == "Extract":
+            for rc in call.children[1:]:
+                fld = rc.args.get("_field") or rc.args.get("field")
+                f = index.field(fld) if fld else None
+                if f is None:
+                    continue
+                if f.is_bsi():
+                    total += field_planes(fld) * S * row_bytes
+                else:
+                    total += field_rows(fld) * S * row_bytes
+        # recurse into children/args not already accounted above
+        skip_children = set()
+        if name in ("GroupBy", "Extract"):
+            skip_children = {id(c) for c in call.children
+                             if c.name == "Rows"}
+        for ch in call.children:
+            if id(ch) not in skip_children:
+                total += self._estimate_call_memory(index, ch, S)
+        for k, v in call.args.items():
+            if isinstance(v, Call) and not (name == "GroupBy"
+                                            and k == "aggregate"):
+                total += self._estimate_call_memory(index, v, S)
+        return total
 
     def _execute_call_inner(self, index: Index, call: Call,
                             shards: Optional[List[int]]):
@@ -491,6 +601,8 @@ class Executor:
     def _bitmap_call_shard(self, index: Index, call: Call, shard: int):
         """Evaluate a bitmap-producing call for one shard -> (W,) device
         words (reference executeBitmapCallShard executor.go:1782)."""
+        from featurebase_tpu.executor.qcontext import check_interrupt
+        check_interrupt()
         name = call.name
         if name == "Row" or name == "Range":
             return self._row_shard(index, call, shard)
@@ -876,8 +988,10 @@ class Executor:
             if res is not None:
                 return res
 
+        from featurebase_tpu.executor.qcontext import check_interrupt
         counts: Dict[int, int] = {}
         for shard in self._shards(index, shards):
+            check_interrupt()
             tiles = []
             names = view_names
             # union rows across selected views per row id
@@ -993,12 +1107,10 @@ class Executor:
             want = {int(x) for x in in_list}
             rows_sorted = [r for r in rows_sorted if r in want]
         if like is not None and f.options.keys:
-            store = index.row_translation(fld)
-            rx = re.compile("^" + re.escape(like).replace("%", ".*")
-                            .replace("_", ".") + "$")
-            rows_sorted = [r for r in rows_sorted
-                           if (k := store.translate_ids([r])[0]) is not None
-                           and rx.match(k)]
+            # LIKE pushdown: one pass over the translate store instead of a
+            # per-row key lookup (reference: like.go:13 planLike)
+            matched = set(index.row_translation(fld).match_like(like))
+            rows_sorted = [r for r in rows_sorted if r in matched]
         if limit is not None:
             rows_sorted = rows_sorted[: int(limit)]
         return rows_sorted

@@ -397,6 +397,26 @@ class Field:
         return views_by_time_range(VIEW_STANDARD, parse_time(from_t),
                                    parse_time(to_t), self.options.time_quantum)
 
+    def remove_expired_views(self, now: Optional[datetime] = None
+                             ) -> List[str]:
+        """Delete time-quantum views whose period ended more than `ttl`
+        seconds ago (reference: server.go:920 ViewsRemoval background task;
+        field option ttl).  Returns the removed view names."""
+        from featurebase_tpu.model.timequantum import view_time_range
+        if self.options.type != TYPE_TIME or self.options.ttl <= 0:
+            return []
+        now = now or datetime.utcnow()
+        removed = []
+        for vn in list(self.views):
+            rng = view_time_range(vn)
+            if rng is None:
+                continue
+            _, end = rng
+            if (now - end).total_seconds() > self.options.ttl:
+                self.delete_view(vn)
+                removed.append(vn)
+        return removed
+
     def to_info(self):
         return {"name": self.name, "options": self.options.to_json(),
                 "views": sorted(self.views)}

@@ -61,6 +61,23 @@ def _next(t: datetime, unit: str) -> datetime:
     return t + timedelta(hours=1)
 
 
+def view_time_range(view_name: str):
+    """Parse a time view name (e.g. 'standard_2022', 'standard_20220314')
+    into its (start, end) datetimes, or None for non-time views (reference:
+    server.go:920 ViewsRemoval parses view names the same way)."""
+    _, _, suffix = view_name.rpartition("_")
+    if not suffix.isdigit():
+        return None
+    unit = {4: "Y", 6: "M", 8: "D", 10: "H"}.get(len(suffix))
+    if unit is None:
+        return None
+    try:
+        start = datetime.strptime(suffix, _FMT[unit])
+    except ValueError:
+        return None
+    return start, _next(start, unit)
+
+
 def views_by_time_range(name: str, from_t: datetime, to_t: datetime,
                         q: str) -> List[str]:
     """Minimal set of views covering [from_t, to_t) (reference field.go:1063).

@@ -32,7 +32,9 @@ class API:
     def __init__(self, holder: Optional[Holder] = None, mesh=None,
                  path: str = "", data_dir: Optional[str] = None,
                  cluster=None, long_query_time: Optional[float] = None,
-                 query_history_length: int = 100):
+                 query_history_length: int = 100,
+                 max_query_memory: Optional[int] = None,
+                 query_timeout: Optional[float] = None):
         from featurebase_tpu.ingest.idalloc import IDAllocator
         from featurebase_tpu.utils.logger import DEFAULT as default_logger
         from featurebase_tpu.utils.tracker import (QueryTracker,
@@ -46,6 +48,8 @@ class API:
         self.logger = default_logger
         self.tracker = QueryTracker(query_history_length, long_query_time,
                                     self.logger)
+        self.max_query_memory = max_query_memory
+        self.query_timeout = query_timeout
         self.transactions = TransactionStore()
         self.exec_requests = None  # lazily created by the SQL engine
         if data_dir:
@@ -260,10 +264,14 @@ class API:
                      options: Optional[dict] = None,
                      if_not_exists: bool = False):
         idx = self._index(index)
+        opts = FieldOptions.from_json(options or {})
+        if opts.foreign_index and self.holder.index(opts.foreign_index) \
+                is None:
+            # reference: field.go foreign-index validation at create time
+            raise APIError(
+                f"foreign index not found: {opts.foreign_index}", 400)
         try:
-            f = idx.create_field(field,
-                                 FieldOptions.from_json(options or {}),
-                                 if_not_exists=if_not_exists)
+            f = idx.create_field(field, opts, if_not_exists=if_not_exists)
         except ValueError as e:
             raise APIError(str(e), 409)
         self._log({"op": "create_field", "i": index, "f": field,
@@ -335,6 +343,9 @@ class API:
         qid = self.tracker.start(index, qtext, node)
         REGISTRY.count("query_total", index=index)
         err: Optional[str] = None
+        from featurebase_tpu.executor.qcontext import (QueryCanceled,
+                                                       QueryContext,
+                                                       QueryTimeout)
         try:
             with REGISTRY.timer("query_seconds", index=index):
                 parsed = _parse(pql) if isinstance(pql, str) else pql
@@ -343,16 +354,23 @@ class API:
                               for c in parsed.calls)
                 pctx = TRACER.start_profile("query", index=index) \
                     if profile else None
+                qctx = QueryContext(timeout=self.query_timeout,
+                                    cancel_ev=self.tracker.cancel_event(qid))
                 try:
-                    if self.distributed is not None:
-                        # coordinator path: WAL logging happens on the nodes
-                        # that apply the writes (query_remote_local)
-                        results = self.distributed.execute(index, parsed,
-                                                           shards=shards)
-                    else:
-                        self._log_write_calls(index, parsed)
-                        results = self.executor.execute(index, parsed,
-                                                        shards=shards)
+                    with qctx:
+                        if self.max_query_memory:
+                            self.executor.enforce_memory_limit(
+                                index, parsed, shards,
+                                self.max_query_memory)
+                        if self.distributed is not None:
+                            # coordinator path: WAL logging happens on the
+                            # nodes applying the writes (query_remote_local)
+                            results = self.distributed.execute(
+                                index, parsed, shards=shards)
+                        else:
+                            self._log_write_calls(index, parsed)
+                            results = self.executor.execute(index, parsed,
+                                                            shards=shards)
                 finally:
                     if pctx is not None:
                         pctx.__exit__()
@@ -363,6 +381,12 @@ class API:
         except ParseError as e:
             err = f"parsing: {e}"
             raise APIError(err, 400)
+        except QueryCanceled as e:
+            err = str(e)
+            raise APIError(err, 499)
+        except QueryTimeout as e:
+            err = str(e)
+            raise APIError(err, 408)
         except ExecError as e:
             err = str(e)
             raise APIError(err, 400)
@@ -809,6 +833,38 @@ class API:
                     except Exception:  # noqa: BLE001
                         self.cluster.mark_down(best[1].id)
         return pulled
+
+    # -- TTL view removal (reference: server.go:920 ViewsRemoval) -----------
+
+    def views_removal(self, now=None) -> Dict[str, List[str]]:
+        """One pass of expired-time-view deletion across all fields with a
+        ttl; returns {index/field: [removed views]}."""
+        removed: Dict[str, List[str]] = {}
+        for iname in list(self.holder.indexes):
+            idx = self.holder.index(iname)
+            if idx is None:
+                continue
+            for f in list(idx.fields.values()):
+                got = f.remove_expired_views(now)
+                if got:
+                    removed[f"{iname}/{f.name}"] = got
+        return removed
+
+    def start_views_removal(self, interval: float = 3600.0):
+        """Background ticker (reference: server.go:902 monitorViewsRemoval)."""
+        import threading
+        stop = threading.Event()
+
+        def loop():
+            while not stop.wait(interval):
+                try:
+                    self.views_removal()
+                except Exception:  # noqa: BLE001
+                    pass
+        t = threading.Thread(target=loop, daemon=True)
+        t.start()
+        self._views_removal_stop = stop
+        return stop
 
     # -- info ---------------------------------------------------------------
 

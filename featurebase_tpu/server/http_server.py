@@ -131,6 +131,12 @@ class Handler(BaseHTTPRequestHandler):
         # http_handler.go; tracker.go) ----------------------------------
         if path == "/queries" and method == "GET":
             return self._send({"queries": self.api.tracker.active()})
+        m = re.fullmatch(r"/queries/(\d+)", path)
+        if m and method == "DELETE":
+            ok = self.api.tracker.cancel(int(m.group(1)))
+            if not ok:
+                raise APIError("no such active query", 404)
+            return self._send({"canceled": True})
         if path == "/query-history" and method == "GET":
             return self._send({"queries": self.api.tracker.past()})
         if path == "/version" and method == "GET":

@@ -191,6 +191,16 @@ class FieldTranslateStore:
         with self._lock:
             return [self.id_to_key.get(int(i)) for i in ids]
 
+    def match_like(self, pattern: str) -> List[int]:
+        """LIKE pushdown: one pass over the key store returning the ids of
+        matching keys (reference: like.go:13 planLike — the match plan runs
+        against the translate store, not per-row)."""
+        import re as _re
+        rx = _re.compile("^" + _re.escape(pattern).replace("%", ".*")
+                         .replace("_", ".") + "$")
+        with self._lock:
+            return [id_ for k, id_ in self.key_to_id.items() if rx.match(k)]
+
     def apply_entries(self, entries: Dict[str, int]):
         with self._lock:
             for k, id_ in entries.items():

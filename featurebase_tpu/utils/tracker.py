@@ -27,14 +27,31 @@ class QueryTracker:
             self._next_id += 1
             qid = self._next_id
             self._active[qid] = {"index": index, "PQL": query,
-                                 "node": node_id, "start": time.time()}
+                                 "node": node_id, "start": time.time(),
+                                 "cancel": threading.Event()}
             return qid
+
+    def cancel(self, qid: int) -> bool:
+        """Request cooperative cancellation of an active query (reference:
+        api.go ActiveQueries + ctx cancellation)."""
+        with self._lock:
+            rec = self._active.get(qid)
+        if rec is None:
+            return False
+        rec["cancel"].set()
+        return True
+
+    def cancel_event(self, qid: int):
+        with self._lock:
+            rec = self._active.get(qid)
+        return rec["cancel"] if rec is not None else None
 
     def finish(self, qid: int, error: Optional[str] = None):
         with self._lock:
             rec = self._active.pop(qid, None)
         if rec is None:
             return
+        rec.pop("cancel", None)
         rec["runtime"] = time.time() - rec["start"]
         rec["error"] = error
         with self._lock:
@@ -48,9 +65,9 @@ class QueryTracker:
     def active(self) -> List[dict]:
         now = time.time()
         with self._lock:
-            return [{"index": r["index"], "PQL": r["PQL"],
+            return [{"id": qid, "index": r["index"], "PQL": r["PQL"],
                      "node": r["node"], "age": now - r["start"]}
-                    for r in self._active.values()]
+                    for qid, r in self._active.items()]
 
     def past(self) -> List[dict]:
         with self._lock:

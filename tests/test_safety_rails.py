@@ -1,0 +1,156 @@
+"""Query safety rails + formerly-dead schema options.
+
+Reference: server/config.go:153 MaxQueryMemory, api.go:2089 long-query
+logging, context cancellation through the executor; server.go:920 TTL
+ViewsRemoval; like.go:13 LIKE pushdown; field.go foreign-index."""
+import threading
+import time
+from datetime import datetime
+
+import numpy as np
+import pytest
+
+from featurebase_tpu.core.consts import SHARD_WIDTH
+from featurebase_tpu.executor.executor import Executor
+from featurebase_tpu.executor.qcontext import (QueryCanceled, QueryContext,
+                                               QueryTimeout)
+from featurebase_tpu.model.field import FieldOptions
+from featurebase_tpu.model.index import Holder
+from featurebase_tpu.server.api import API, APIError
+
+
+class TestMaxQueryMemory:
+    def test_over_limit_rejected_under_limit_allowed(self):
+        api = API(max_query_memory=1 << 20)  # 1MB: one shard row is 128KB
+        api.create_index("i")
+        api.create_field("i", "f", {"type": "set"})
+        for s in range(4):
+            api.query("i", f"Set({s * SHARD_WIDTH + 1}, f={s})")
+        # 4 shards x 4 rows x 128KB = 2MB stacked TopN tile > 1MB
+        with pytest.raises(APIError, match="max-query-memory"):
+            api.query("i", "TopN(f)")
+        # a single-row read stays under the cap
+        assert api.query("i", "Count(Row(f=0))") == [1]
+
+    def test_no_limit_no_rejection(self):
+        api = API()
+        api.create_index("i")
+        api.create_field("i", "f", {"type": "set"})
+        api.query("i", "Set(1, f=1)")
+        assert api.query("i", "TopN(f)")
+
+
+class TestCancellation:
+    def test_cancel_event_interrupts_execution(self):
+        holder = Holder()
+        idx = holder.create_index("i")
+        idx.create_field("f")
+        e = Executor(holder)
+        for s in range(6):
+            e.execute("i", f"Set({s * SHARD_WIDTH + 1}, f=1)")
+        ev = threading.Event()
+        ev.set()  # pre-canceled
+        with QueryContext(cancel_ev=ev):
+            with pytest.raises(QueryCanceled):
+                e.execute("i", "Count(Row(f=1))")
+
+    def test_deadline_interrupts_execution(self):
+        holder = Holder()
+        idx = holder.create_index("i")
+        idx.create_field("f")
+        e = Executor(holder)
+        e.execute("i", "Set(1, f=1)")
+        with QueryContext(timeout=-1.0):  # already expired
+            with pytest.raises(QueryTimeout):
+                e.execute("i", "Count(Row(f=1))")
+
+    def test_http_cancel_route(self):
+        from featurebase_tpu.testing import TestCluster
+        with TestCluster(1) as tc:
+            tc.http(0, "POST", "/index/i", {"options": {}})
+            qs = tc.http(0, "GET", "/queries")
+            assert qs["queries"] == []
+            import urllib.error
+            with pytest.raises(urllib.error.HTTPError):
+                tc.http(0, "DELETE", "/queries/999")
+
+    def test_tracker_cancel_api(self):
+        api = API()
+        api.create_index("i")
+        qid = api.tracker.start("i", "Count(All())")
+        assert api.tracker.cancel(qid)
+        assert api.tracker.cancel_event(qid).is_set()
+        api.tracker.finish(qid)
+        assert not api.tracker.cancel(qid)
+
+
+class TestTTLViewRemoval:
+    def test_expired_views_removed(self):
+        api = API()
+        api.create_index("i")
+        api.create_field("i", "t", {"type": "time", "timeQuantum": "YMD",
+                                    "ttl": 3600})
+        idx = api.holder.index("i")
+        f = idx.field("t")
+        f.set_bit(1, 5, timestamp="2001-03-02T00:00")
+        f.set_bit(1, 6, timestamp="2099-01-01T00:00")
+        views_before = set(f.views)
+        assert any("2001" in v for v in views_before)
+        removed = api.views_removal(now=datetime(2099, 1, 1, 2))
+        assert removed, "old views must be removed"
+        assert all("2001" not in v for v in f.views)
+        # the not-yet-expired 2099 views survive (ttl=1h after period end)
+        assert any("2099" in v for v in f.views)
+        # standard view untouched: plain Row still sees both bits
+        e = Executor(api.holder)
+        (cnt,) = e.execute("i", "Count(Row(t=1))")
+        assert cnt == 2
+
+    def test_no_ttl_means_no_removal(self):
+        api = API()
+        api.create_index("i")
+        api.create_field("i", "t", {"type": "time", "timeQuantum": "YMD"})
+        f = api.holder.index("i").field("t")
+        f.set_bit(1, 5, timestamp="2001-03-02T00:00")
+        assert api.views_removal(now=datetime(2099, 1, 1)) == {}
+
+
+class TestLikePushdown:
+    def test_rows_like_uses_store_scan(self):
+        api = API()
+        api.create_index("i")
+        api.create_field("i", "f", {"type": "set", "keys": True})
+        for k in ("apple", "apricot", "banana", "grape"):
+            api.query("i", f'Set(1, f="{k}")')
+        e = api.executor
+        rows = e.execute("i", 'Rows(f, like="ap%")')[0]
+        store = api.holder.index("i").row_translation("f")
+        keys = sorted(store.translate_ids(rows))
+        assert keys == ["apple", "apricot"]
+        # '_' wildcard matches exactly one char
+        rows = e.execute("i", 'Rows(f, like="gr_pe")')[0]
+        assert store.translate_ids(rows) == ["grape"]
+
+
+class TestForeignIndex:
+    def test_predicates_translate_via_foreign_index(self):
+        api = API()
+        api.create_index("parent", {"keys": True})
+        api.create_index("child")
+        api.create_field("child", "parent_id",
+                         {"type": "int", "min": 0, "max": 1 << 40,
+                          "foreignIndex": "parent"})
+        # create two parent records by key
+        pid = api.holder.index("parent").translate_store.create_keys(
+            ["alice", "bob"])
+        api.query("child", f"Set(10, parent_id={pid['alice']})")
+        api.query("child", f"Set(11, parent_id={pid['bob']})")
+        (row,) = api.query("child", 'Row(parent_id="alice")')
+        assert list(row.columns()) == [10]
+
+    def test_unknown_foreign_index_rejected(self):
+        api = API()
+        api.create_index("i")
+        with pytest.raises(APIError, match="foreign index"):
+            api.create_field("i", "fk", {"type": "int",
+                                         "foreignIndex": "nope"})
