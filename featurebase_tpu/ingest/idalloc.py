@@ -40,17 +40,20 @@ class IDAllocator:
 
     def reserve(self, index: str, key: str, session: bytes, offset: int,
                 count: int) -> List[IDRange]:
-        """Reserve `count` ids.  Replaying an (session, offset) pair returns
-        the previously granted range (reference idalloc.go reserveIDs)."""
+        """Reserve `count` ids.  Replaying an offset returns the previously
+        granted range — even from a NEW session (a restarted ingester), so
+        a crash anywhere between import and offset-commit replays with the
+        SAME ids instead of duplicating records (reference idalloc.go
+        reserveIDs; the session-adoption strengthening covers the
+        crash-before-commit window)."""
         with self._lock:
             st = self._keys.setdefault((index, key), _KeyState())
-            if st.session != session:
-                # new session takes over the key
-                st.session = session
-                st.last_offset = -1
-                st.last_range = None
-            if offset == st.last_offset and st.last_range is not None:
+            if offset == st.last_offset and st.last_range is not None \
+                    and (st.last_range.end - st.last_range.start) == count:
+                st.session = session  # restarted ingester adopts the key
                 return [st.last_range]
+            if st.session != session:
+                st.session = session
             if st.last_offset >= 0 and offset < st.last_offset:
                 raise ValueError(
                     f"offset {offset} precedes committed offset "
@@ -75,10 +78,15 @@ class IDAllocator:
 
     def to_json(self) -> dict:
         with self._lock:
-            return {
-                f"{i}\x00{k}": {"next": st.next_id, "offset": st.offset}
-                for (i, k), st in self._keys.items()
-            }
+            out = {}
+            for (i, k), st in self._keys.items():
+                d = {"next": st.next_id, "offset": st.offset,
+                     "last_offset": st.last_offset}
+                if st.last_range is not None:
+                    d["last_start"] = st.last_range.start
+                    d["last_end"] = st.last_range.end
+                out[f"{i}\x00{k}"] = d
+            return out
 
     def restore_json(self, d: dict):
         with self._lock:
@@ -87,4 +95,7 @@ class IDAllocator:
                 st = _KeyState()
                 st.next_id = v["next"]
                 st.offset = v["offset"]
+                st.last_offset = v.get("last_offset", -1)
+                if "last_start" in v:
+                    st.last_range = IDRange(v["last_start"], v["last_end"])
                 self._keys[(i, k)] = st
