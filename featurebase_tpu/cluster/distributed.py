@@ -69,6 +69,7 @@ class DistributedExecutor:
             query = pql_parse(query)
         results = []
         for call in query.calls:
+            self.executor._validate_call(index, call)
             call = self._pre_translate(index, call)
             self._handle_pre_calls(index, index_name, call, top=True)
             if call.name in WRITE_CALLS:

@@ -82,10 +82,31 @@ class Executor:
             query = pql_parse(query)
         results = []
         for call in query.calls:
+            self._validate_call(index, call)
             call = self._pre_translate(index, call)
             result = self._execute_call(index, call, shards)
             results.append(self._translate_result(index, call, result))
         return results
+
+    def _validate_call(self, index: Index, call: Call):
+        """Unknown field names error regardless of data presence
+        (reference: executor validates against the schema before fan-out,
+        TestExecutor_Execute_Query_Error)."""
+        if call.name in ("Row", "Range", "Rows", "Sum", "Min", "Max",
+                         "MinRow", "MaxRow", "Distinct", "TopN", "TopK",
+                         "Percentile", "Sort", "FieldValue", "Set", "Clear",
+                         "Store", "ClearRow"):
+            fld = call.args.get("_field") or call.args.get("field")
+            if fld is None and call.name in ("Row", "Range", "Set", "Clear",
+                                             "Store", "ClearRow"):
+                fld, _ = call.field_arg()
+            if fld is not None:
+                self._field_or_err(index, fld)
+        for ch in call.children:
+            self._validate_call(index, ch)
+        for v in call.args.values():
+            if isinstance(v, Call):
+                self._validate_call(index, v)
 
     def execute_remote(self, index_name: str, query,
                        shards: Optional[List[int]]) -> List[Any]:
@@ -175,6 +196,16 @@ class Executor:
                     if f is not None and f.options.keys and fr.value is None:
                         store = index.row_translation(fr.field)
                         fr.row_key = store.translate_ids([fr.row_id])[0]
+        if isinstance(result, list) and call.name == "Rows":
+            # keyed fields return row keys (reference RowIdentifiers.Keys,
+            # executor.go translateResults)
+            fld = call.args.get("_field") or call.args.get("field")
+            f = index.field(fld) if fld else None
+            if f is not None and f.options.keys:
+                store = index.row_translation(fld)
+                keys = store.translate_ids([int(r) for r in result])
+                return [k if k is not None else int(r)
+                        for k, r in zip(keys, result)]
         return result
 
     # ------------------------------------------------------- call dispatch

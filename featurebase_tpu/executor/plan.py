@@ -104,6 +104,9 @@ class PlanCompiler:
         if name in ("Row", "Range"):
             return self._row_node(call)
         if name == "Union":
+            if not call.children:  # Union() is the empty row
+                return ("leaf", self._add_leaf(
+                    _Leaf("const", const_row=Row())))
             return ("or",) + tuple(self._node(c) for c in call.children)
         if name == "Intersect":
             if not call.children:
@@ -112,6 +115,9 @@ class PlanCompiler:
         if name == "Difference":
             return ("andnot",) + tuple(self._node(c) for c in call.children)
         if name == "Xor":
+            if not call.children:
+                return ("leaf", self._add_leaf(
+                    _Leaf("const", const_row=Row())))
             return ("xor",) + tuple(self._node(c) for c in call.children)
         if name == "Not":
             ex = ("leaf", self._add_leaf(_Leaf("existence")))

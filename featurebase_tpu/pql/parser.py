@@ -109,8 +109,8 @@ class Parser:
         call = Call(name)
         if name in _COL_CALLS:
             self._col(call)
-            self._expect(",")
-            self._args(call)
+            if self._try(","):
+                self._args(call)
         elif name == "Store":
             call.children.append(self.call())
             self._expect(",")

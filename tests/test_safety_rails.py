@@ -123,13 +123,11 @@ class TestLikePushdown:
         for k in ("apple", "apricot", "banana", "grape"):
             api.query("i", f'Set(1, f="{k}")')
         e = api.executor
-        rows = e.execute("i", 'Rows(f, like="ap%")')[0]
-        store = api.holder.index("i").row_translation("f")
-        keys = sorted(store.translate_ids(rows))
+        # keyed Rows results translate to row keys (RowIdentifiers.Keys)
+        keys = sorted(e.execute("i", 'Rows(f, like="ap%")')[0])
         assert keys == ["apple", "apricot"]
         # '_' wildcard matches exactly one char
-        rows = e.execute("i", 'Rows(f, like="gr_pe")')[0]
-        assert store.translate_ids(rows) == ["grape"]
+        assert e.execute("i", 'Rows(f, like="gr_pe")')[0] == ["grape"]
 
 
 class TestForeignIndex:
