@@ -15,7 +15,14 @@ transfer.  Each measurement includes a constant dispatch + tunnel-RTT
 overhead (~25 ms on the axon tunnel), so the per-iteration kernel time is
 recovered from a two-point fit: t = (T(K2) - T(K1)) / (K2 - K1).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Alongside the headline kernel metric, the BASELINE.json latency targets
+are measured through the real engine: p50 of Count / TopN / GroupBy /
+Sort / BSI-range over a synthetic dataset (reference harness:
+cmd/pilosa-bench latency counters, executor_test BenchmarkGroupBy), and a
+mesh rows/s figure from the shard_map Count path.  These land in the
+"extras" key of the single output line.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extras"}.
 """
 import json
 import time
@@ -42,7 +49,18 @@ def _roofline(device) -> float:
 
 
 def main():
+    import os
+
     import jax
+    # persistent compile cache: tunnel-side XLA compiles are slow and
+    # highly variable (25-200s); cache them across bench runs
+    try:
+        cache_dir = os.path.expanduser("~/.cache/jax_featurebase")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001
+        pass
     import jax.numpy as jnp
     from jax import lax
 
@@ -105,12 +123,81 @@ def main():
     bytes_touched = 2 * nbytes  # two input streams per iteration
     gbps = bytes_touched / t_iter / 1e9
     roof = _roofline(dev)
+    extras = {}
+    try:
+        extras = engine_latencies(on_tpu)
+    except Exception as e:  # noqa: BLE001 — extras must not sink the bench
+        extras = {"error": str(e)[:200]}
     print(json.dumps({
         "metric": "bitmap_and_popcount_throughput",
         "value": round(gbps, 2),
         "unit": "GB/s",
         "vs_baseline": round(gbps / roof, 4),
+        "extras": extras,
     }))
+
+
+def engine_latencies(on_tpu: bool) -> dict:
+    """p50 latencies of the BASELINE query mix through the real engine
+    (Count / TopN / GroupBy+Sum / Sort / BSI range), plus rows/s for the
+    fused Count.  Dataset: 4 shards, 200K records, 8-row set field + int
+    field — small enough that the host->device upload over a tunnelled
+    link stays in seconds, big enough that kernels dominate a chip-local
+    run."""
+    from featurebase_tpu.core.consts import SHARD_WIDTH
+    from featurebase_tpu.executor.executor import Executor
+    from featurebase_tpu.model.field import FieldOptions
+    from featurebase_tpu.model.index import Holder
+
+    rng = np.random.default_rng(0)
+    n = 200_000
+    n_shards = 2
+    cols = np.sort(rng.choice(n_shards * SHARD_WIDTH, size=n,
+                              replace=False))
+    f_rows = rng.integers(0, 8, size=n)
+    g_rows = rng.integers(0, 4, size=n)
+    vals = rng.integers(-1000, 10000, size=n)
+
+    holder = Holder()
+    idx = holder.create_index("bench")
+    idx.create_field("f")
+    idx.create_field("g")
+    idx.create_field("v", FieldOptions(type="int", min=-1000, max=10000))
+    idx.field("f").import_bits(f_rows, cols)
+    idx.field("g").import_bits(g_rows, cols)
+    idx.field("v").import_values(cols, vals)
+    idx.mark_exists(cols)
+    e = Executor(holder)
+
+    queries = {
+        "count_p50_ms": "Count(Intersect(Row(f=1), Row(g=2)))",
+        "bsi_range_p50_ms": "Count(Row(v > 5000))",
+        "topn_p50_ms": "TopN(f, n=5)",
+        "groupby_sum_p50_ms": "GroupBy(Rows(f), Rows(g), "
+                              "aggregate=Sum(field=v))",
+        "sort_p50_ms": "Sort(All(), field=v, limit=10)",
+    }
+    reps = 9 if on_tpu else 5
+    budget_s = float(__import__("os").environ.get(
+        "FEATUREBASE_TPU_BENCH_EXTRAS_BUDGET", "240"))
+    start = time.perf_counter()
+    out = {}
+    for name, pql in queries.items():
+        if time.perf_counter() - start > budget_s:
+            out["truncated"] = True  # tunnel compile variance; never bust
+            break                    # the driver's bench timeout
+        e.execute("bench", pql)  # warm: compile + upload tiles
+        samples = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            e.execute("bench", pql)
+            samples.append((time.perf_counter() - t0) * 1e3)
+        out[name] = round(sorted(samples)[len(samples) // 2], 2)
+    # rows/s through the fused Count path (records scanned per second)
+    if out.get("count_p50_ms"):
+        out["count_rows_per_sec"] = round(
+            n / (out["count_p50_ms"] / 1e3))
+    return out
 
 
 def _cols() -> int:
