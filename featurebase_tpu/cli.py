@@ -130,7 +130,8 @@ def main(argv=None):
     qs = sub.add_parser("sql", help="run a SQL query")
     qs.add_argument("--host", default=_env_default("host",
                                                    "http://127.0.0.1:10101"))
-    qs.add_argument("sql")
+    qs.add_argument("sql", nargs="?", default=None,
+                    help="statement; omit for the interactive fbsql shell")
 
     args = ap.parse_args(argv)
     cfg = _load_config(args.config)
@@ -418,8 +419,13 @@ def cmd_query(args):
 
 
 def cmd_sql(args):
-    out = _http(args.host, "POST", "/sql", {"sql": args.sql})
-    print(json.dumps(out, indent=2))
+    if args.sql:
+        out = _http(args.host, "POST", "/sql", {"sql": args.sql})
+        print(json.dumps(out, indent=2))
+        return 0
+    # no statement: interactive fbsql shell (reference: cli/cli.go)
+    from featurebase_tpu.fbsql import Shell
+    Shell(args.host).interact()
     return 0
 
 

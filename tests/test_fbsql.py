@@ -1,0 +1,63 @@
+"""fbsql interactive shell (reference: cli/cli.go psql-style REPL)."""
+import io
+
+import pytest
+
+from featurebase_tpu.fbsql import Shell, render_table, split_statements
+from featurebase_tpu.server.api import API
+from featurebase_tpu.server.http_server import Server
+
+
+@pytest.fixture(scope="module")
+def server():
+    api = API()
+    srv = Server(api=api).start()
+    yield srv
+    srv.stop()
+
+
+def run_shell(server, text: str) -> str:
+    out = io.StringIO()
+    sh = Shell(server.url, out=out)
+    sh.interact(in_stream=io.StringIO(text))
+    return out.getvalue()
+
+
+class TestShell:
+    def test_ddl_insert_select_roundtrip(self, server):
+        out = run_shell(server, """
+CREATE TABLE sh (_id ID, name STRING, n INT MIN 0 MAX 100);
+INSERT INTO sh (_id, name, n) VALUES (1, 'x', 7), (2, 'y', 9);
+SELECT _id, name, n FROM sh ORDER BY n DESC;
+""")
+        assert "x" in out and "y" in out
+        # psql-style aligned output with row count
+        assert "(2 rows)" in out
+        # desc order: y (9) before x (7)
+        assert out.index("y") < out.index("x")
+
+    def test_multiline_statement(self, server):
+        out = run_shell(server, "SELECT\n1\n;\n")
+        assert "(1 row)" in out
+
+    def test_meta_commands(self, server):
+        out = run_shell(server, "\\dt\n\\d sh\n\\timing on\nSELECT 1;\n\\q\n")
+        assert "sh" in out            # \dt lists the table
+        assert "name" in out          # \d sh lists columns
+        assert "Timing is on." in out
+        assert "Time:" in out
+
+    def test_error_keeps_going(self, server):
+        out = run_shell(server, "SELECT FROM nope;\nSELECT 2;\n")
+        assert "ERROR" in out
+        assert "(1 row)" in out       # the second statement still ran
+
+    def test_split_statements_respects_quotes(self):
+        stmts = split_statements(
+            "INSERT INTO t VALUES ('a;b');SELECT 1;  ")
+        assert stmts == ["INSERT INTO t VALUES ('a;b')", "SELECT 1"]
+
+    def test_render_table_nulls_and_bools(self):
+        out = render_table({"schema": [{"name": "a"}, {"name": "b"}],
+                            "data": [[None, True], [1, False]]})
+        assert "NULL" in out and "true" in out and "false" in out
