@@ -49,7 +49,14 @@ class Controller:
         self.client = client or InternalClient(timeout=10.0)
         self._lock = threading.RLock()
         self.workers: Dict[str, dict] = {}      # id -> {uri, state}
-        self.assignments: Dict[str, Dict[int, str]] = {}  # table->shard->wid
+        # table -> shard -> worker id, or None while the job is PENDING
+        # (its database's min-workers requirement is unsatisfied;
+        # reference: balancer jobs wait for WorkersMin, balancer.go:63)
+        self.assignments: Dict[str, Dict[int, Optional[str]]] = {}
+        # database registry (reference: dax databases with options incl.
+        # workers-min; tables belong to a database)
+        self.databases: Dict[str, dict] = {"default": {"min_workers": 0}}
+        self.table_dbs: Dict[str, str] = {}
         self.schema: list = []
         self.views: Dict[str, str] = {}
         self.directive_version = 0
@@ -74,6 +81,8 @@ class Controller:
         state = {
             "assignments": {t: {str(s): w for s, w in m.items()}
                             for t, m in self.assignments.items()},
+            "databases": self.databases,
+            "tableDbs": self.table_dbs,
             "schema": self.schema,
             "views": self.views,
             "version": self.directive_version,
@@ -95,6 +104,8 @@ class Controller:
             st = json.load(fh)
         self.assignments = {t: {int(s): w for s, w in m.items()}
                             for t, m in st.get("assignments", {}).items()}
+        self.databases = st.get("databases", {"default": {"min_workers": 0}})
+        self.table_dbs = st.get("tableDbs", {})
         self.schema = st.get("schema", [])
         self.views = st.get("views", {})
         self.directive_version = st.get("version", 0)
@@ -126,42 +137,84 @@ class Controller:
             return sorted(w for w, m in self.workers.items()
                           if m["state"] == "UP")
 
+    # -- databases (reference: dax databases w/ workers-min option) -------------
+
+    def create_database(self, name: str, options: Optional[dict] = None):
+        with self._lock:
+            opts = options or {}
+            self.databases[name] = {
+                "min_workers": int(opts.get("minWorkers",
+                                            opts.get("min_workers", 0)))}
+            self._rebalance_locked()
+        self._push_directives()
+
+    def set_table_database(self, table: str, database: str):
+        with self._lock:
+            self.table_dbs[table] = database
+            self.databases.setdefault(database, {"min_workers": 0})
+            self._rebalance_locked()
+        self._push_directives()
+
+    def db_of(self, table: str) -> str:
+        db = self.table_dbs.get(table)
+        if db:
+            return db
+        for entry in self.schema:
+            if entry.get("name") == table:
+                db = (entry.get("options") or {}).get("database")
+                if db:
+                    return db
+        return "default"
+
+    def _db_satisfied(self, table: str, live: List[str]) -> bool:
+        opts = self.databases.get(self.db_of(table), {})
+        return len(live) >= int(opts.get("min_workers", 0)) and bool(live)
+
     # -- balancing (reference: balancer/balancer.go:285 balance) ----------------
 
     def _rebalance_locked(self):
-        """Even spread with minimal movement: keep valid assignments, move
-        orphaned/excess shards to the least-loaded live workers."""
+        """Even spread with minimal movement per database: keep valid
+        assignments, move orphaned/excess shards to the least-loaded live
+        workers; tables whose database lacks its min-workers quota have
+        every job parked as PENDING (worker None) until enough workers
+        register (reference: balancer.go:63 WorkersMin gating)."""
         live = sorted(w for w, m in self.workers.items()
                       if m["state"] == "UP")
-        if not live:
-            return
         loads = {w: 0 for w in live}
         orphans: List[tuple] = []
         for table, m in self.assignments.items():
-            for shard, wid in m.items():
+            ok = self._db_satisfied(table, live)
+            for shard, wid in list(m.items()):
+                if not ok:
+                    m[shard] = None
+                    continue
                 if wid in loads:
                     loads[wid] += 1
                 else:
                     orphans.append((table, shard))
-        # cap per worker for even spread
-        total = sum(loads.values()) + len(orphans)
-        cap = -(-total // len(live)) if live else 0
-        # shed overloaded workers' excess
-        for table, m in self.assignments.items():
-            for shard, wid in list(m.items()):
-                if wid in loads and loads[wid] > cap:
-                    loads[wid] -= 1
-                    orphans.append((table, shard))
-                    del m[shard]
-        for table, shard in orphans:
-            wid = min(loads, key=lambda w: (loads[w], w))
-            self.assignments.setdefault(table, {})[shard] = wid
-            loads[wid] += 1
+                    m[shard] = None
+        if live:
+            # cap per worker for even spread
+            total = sum(loads.values()) + len(orphans)
+            cap = -(-total // len(live))
+            for table, m in self.assignments.items():
+                for shard, wid in list(m.items()):
+                    if wid in loads and loads[wid] > cap:
+                        loads[wid] -= 1
+                        orphans.append((table, shard))
+                        m[shard] = None
+            for table, shard in orphans:
+                if not self._db_satisfied(table, live):
+                    continue
+                wid = min(loads, key=lambda w: (loads[w], w))
+                self.assignments.setdefault(table, {})[shard] = wid
+                loads[wid] += 1
         self.directive_version += 1
         self._persist()
 
     def assign_shard(self, table: str, shard: int) -> Optional[str]:
-        """Idempotent shard registration; returns the owning worker id."""
+        """Idempotent shard registration; returns the owning worker id, or
+        None while the job is pending (no workers / min-workers unmet)."""
         with self._lock:
             m = self.assignments.setdefault(table, {})
             wid = m.get(shard)
@@ -169,7 +222,9 @@ class Controller:
                     self.workers.get(wid, {}).get("state") == "UP":
                 return wid
             live = self.live_workers()
-            if not live:
+            if not self._db_satisfied(table, live):
+                m[shard] = None  # pending: assigned on next rebalance
+                self._persist()
                 return None
             loads = {w: 0 for w in live}
             for mm in self.assignments.values():
@@ -183,13 +238,20 @@ class Controller:
         self._push_directive_to(wid)
         return wid
 
+    def pending_jobs(self) -> Dict[str, List[int]]:
+        with self._lock:
+            return {t: sorted(s for s, w in m.items() if w is None)
+                    for t, m in self.assignments.items()
+                    if any(w is None for w in m.values())}
+
     def topology(self) -> dict:
         with self._lock:
             return {
                 "version": self.directive_version,
                 "workers": {w: m["uri"] for w, m in self.workers.items()
                             if m["state"] == "UP"},
-                "assignments": {t: {str(s): w for s, w in m.items()}
+                "assignments": {t: {str(s): w for s, w in m.items()
+                                    if w is not None}
                                 for t, m in self.assignments.items()},
             }
 
@@ -344,6 +406,23 @@ class Controller:
         if path == "/dax/schema" and method == "GET":
             with self._lock:
                 h._send({"schema": self.schema, "views": self.views})
+            return True
+        if path == "/dax/database" and method == "POST":
+            b = h._json()
+            self.create_database(b["name"], b.get("options"))
+            h._send({})
+            return True
+        if path == "/dax/databases" and method == "GET":
+            with self._lock:
+                h._send({"databases": self.databases,
+                         "tables": self.table_dbs,
+                         "pending": {t: s for t, s in
+                                     self.pending_jobs().items()}})
+            return True
+        if path == "/dax/table-database" and method == "POST":
+            b = h._json()
+            self.set_table_database(b["table"], b["database"])
+            h._send({})
             return True
         m = re.fullmatch(r"/dax/translate/([^/]+)(?:/([^/]+))?/(create|find|ids)",
                          path)

@@ -1020,11 +1020,25 @@ class Executor:
                 return res
 
         from featurebase_tpu.executor.qcontext import check_interrupt
+        from featurebase_tpu.model.field import CACHE_NONE
+        # unfiltered TopN serves per-shard counts from the field's rank
+        # cache when fragment generations match (reference: cache.go:25
+        # rankCache; exactness kept by only caching complete count sets)
+        use_cache = filt_call is None and f.options.cache_type != CACHE_NONE
         counts: Dict[int, int] = {}
         for shard in self._shards(index, shards):
             check_interrupt()
             tiles = []
             names = view_names
+            if use_cache:
+                gens = tuple(fr.generation for vn in names
+                             if (vv := f.view(vn)) is not None
+                             and (fr := vv.fragment(shard)) is not None)
+                hit = f._topn_cache.get((shard, tuple(names)))
+                if hit is not None and hit[0] == gens:
+                    for rid, c in hit[1].items():
+                        counts[rid] = counts.get(rid, 0) + c
+                    continue
             # union rows across selected views per row id
             row_ids: List[int] = sorted({int(r)
                                          for vn in names
@@ -1049,9 +1063,12 @@ class Executor:
                 pc = np.asarray(bw.count_and_rows(acc, filt[None, :]))
             else:
                 pc = np.asarray(bw.popcount_rows(acc))
-            for rid, c in zip(row_ids, pc):
-                if c:
-                    counts[rid] = counts.get(rid, 0) + int(c)
+            shard_counts = {rid: int(c) for rid, c in zip(row_ids, pc) if c}
+            for rid, c in shard_counts.items():
+                counts[rid] = counts.get(rid, 0) + c
+            if use_cache and len(shard_counts) <= f.options.cache_size:
+                # only complete count sets are cached — exactness holds
+                f._topn_cache[(shard, tuple(names))] = (gens, shard_counts)
         pairs = [Pair(id=rid, count=c) for rid, c in counts.items()]
         pairs.sort(key=lambda p: (-p.count, p.id))
         if n:

@@ -103,6 +103,11 @@ class Field:
         self.options = options
         self._lock = threading.RLock()
         self.views: Dict[str, View] = {}
+        # TopN rank cache: (shard, views) -> (generations, {row: count})
+        # (reference: cache.go:25 rankCache per fragment; here exact counts
+        # cached per shard keyed by fragment generation, honoring
+        # cache_type/cache_size)
+        self._topn_cache: Dict = {}
         # dynamic bit depth for BSI fields (grows with observed magnitudes,
         # reference fragment.go importValue bitDepth growth)
         self.bit_depth = 0

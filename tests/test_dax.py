@@ -159,3 +159,68 @@ class TestDaxKeyed:
             assert q.query("k", 'Count(Row(tag="red"))') == [2]
             row = q.query("k", 'Row(tag="red")')[0]
             assert sorted(row.keys) == ["a", "b"]
+
+
+class TestDatabasesMinWorkers:
+    """Per-database job model with workers-min gating (reference:
+    dax/controller/balancer/balancer.go:63 WorkersMin — a database's jobs
+    stay pending until enough workers are registered)."""
+
+    def test_min_workers_gates_assignment(self):
+        from featurebase_tpu.dax.service import DaxService
+        svc = DaxService(n_computers=1, poll_interval=60)
+        try:
+            c = svc.controller
+            c.create_database("gold", {"minWorkers": 2})
+            c.set_table_database("t", "gold")
+            # one worker < minWorkers=2: job parks as pending
+            assert c.assign_shard("t", 0) is None
+            assert c.pending_jobs() == {"t": [0]}
+            # the default database is unaffected
+            assert c.assign_shard("other", 3) is not None
+            # second worker satisfies the quota; rebalance assigns pending
+            svc.add_computer()
+            assert "t" not in c.pending_jobs()
+            assert c.assign_shard("t", 0) is not None
+        finally:
+            svc.close()
+
+    def test_worker_loss_parks_jobs_again(self):
+        from featurebase_tpu.dax.service import DaxService
+        svc = DaxService(n_computers=2, poll_interval=0.2)
+        try:
+            c = svc.controller
+            c.create_database("gold", {"minWorkers": 2})
+            c.set_table_database("t", "gold")
+            wid = c.assign_shard("t", 5)
+            assert wid is not None
+            svc.stop_computer(0)
+            deadline = time.time() + 10
+            while time.time() < deadline:
+                if c.pending_jobs().get("t") == [5]:
+                    break
+                time.sleep(0.1)
+            assert c.pending_jobs().get("t") == [5]
+            # topology no longer advertises an owner for the pending job
+            topo = c.topology()
+            assert "5" not in topo["assignments"].get("t", {})
+        finally:
+            svc.close()
+
+    def test_databases_endpoint(self):
+        from featurebase_tpu.dax.service import DaxService
+        import urllib.request, json as _json
+        svc = DaxService(n_computers=1, poll_interval=60)
+        try:
+            req = urllib.request.Request(
+                svc.controller_uri + "/dax/database",
+                data=_json.dumps({"name": "gold",
+                                  "options": {"minWorkers": 3}}).encode(),
+                method="POST")
+            urllib.request.urlopen(req, timeout=10).read()
+            with urllib.request.urlopen(
+                    svc.controller_uri + "/dax/databases", timeout=10) as r:
+                out = _json.loads(r.read())
+            assert out["databases"]["gold"]["min_workers"] == 3
+        finally:
+            svc.close()

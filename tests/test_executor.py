@@ -410,3 +410,40 @@ class TestDeleteExtract:
             q(e, f"Set({c}, f=1)")
         (row,) = q(e, "Limit(Row(f=1), limit=2, offset=1)")
         np.testing.assert_array_equal(row.columns(), [2, 3])
+
+
+class TestTopNRankCache:
+    """cache_type/cache_size drive a real per-shard rank cache
+    (reference: cache.go:25 rankCache; fragment.go:201 openCache)."""
+
+    def test_cache_hit_and_invalidation(self, env):
+        holder, idx, e = env
+        idx.create_field("f")
+        for c, r in ((1, 1), (2, 1), (3, 2)):
+            q(e, f"Set({c}, f={r})")
+        f = idx.field("f")
+        (first,) = q(e, "TopN(f)")
+        assert f._topn_cache, "unfiltered TopN must populate the cache"
+        # served from cache: same result
+        (second,) = q(e, "TopN(f)")
+        assert [(p.id, p.count) for p in second.pairs] == \
+            [(p.id, p.count) for p in first.pairs]
+        # a write bumps the generation -> cache entry ignored + refreshed
+        q(e, "Set(9, f=2)")
+        (third,) = q(e, "TopN(f)")
+        assert [(p.id, p.count) for p in third.pairs] == [(1, 2), (2, 2)]
+
+    def test_cache_none_disables(self, env):
+        holder, idx, e = env
+        from featurebase_tpu.model.field import FieldOptions
+        idx.create_field("nc", FieldOptions(cache_type="none"))
+        q(e, "Set(1, nc=1)")
+        q(e, "TopN(nc)")
+        assert not idx.field("nc")._topn_cache
+
+    def test_filtered_topn_not_cached(self, env):
+        holder, idx, e = env
+        idx.create_field("ff")
+        q(e, "Set(1, ff=1)")
+        q(e, "TopN(ff, Row(ff=1))")
+        assert not idx.field("ff")._topn_cache
