@@ -127,6 +127,12 @@ class Holder:
         # SQL views: name -> SELECT statement text (reference: sql3 CREATE
         # VIEW; persisted in snapshots, replayed from the WAL)
         self.sql_views: Dict[str, str] = {}
+        # SQL databases: name -> options (reference: sql3 CREATE DATABASE —
+        # namespaces; in DAX mode they gate worker quotas)
+        self.sql_databases: Dict[str, dict] = {}
+        # SQL user functions: name -> {"params": [...], "returns", "body"}
+        # (reference: sql3 CREATE FUNCTION)
+        self.sql_functions: Dict[str, dict] = {}
 
     def create_index(self, name: str, options: Optional[IndexOptions] = None,
                      if_not_exists: bool = False) -> Index:

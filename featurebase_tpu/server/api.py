@@ -138,6 +138,14 @@ class API:
             self.holder.sql_views[e["name"]] = e["sql"]
         elif op == "delete_view":
             self.holder.sql_views.pop(e["name"], None)
+        elif op == "create_database":
+            self.holder.sql_databases[e["name"]] = e.get("options", {})
+        elif op == "drop_database":
+            self.holder.sql_databases.pop(e["name"], None)
+        elif op == "create_function":
+            self.holder.sql_functions[e["name"]] = e["def"]
+        elif op == "drop_function":
+            self.holder.sql_functions.pop(e["name"], None)
 
     # -- cluster control plane ------------------------------------------------
 

@@ -278,6 +278,14 @@ class Handler(BaseHTTPRequestHandler):
             from featurebase_tpu.sql.engine import execute_sql
             return self._send(execute_sql(self.api, sql))
 
+        if path == "/sql-exec-graph" and method == "POST":
+            # plan-operator tree without executing (reference:
+            # http_handler.go:538 handlePostPlanSQL)
+            b = self._json()
+            from featurebase_tpu.sql.planner import plan_graph
+            return self._send(plan_graph(self.api,
+                                         b.get("sql") or b.get("_raw") or ""))
+
         # roaring-payload imports (reference http_handler.go:520
         # /index/{i}/shard/{s}/import-roaring; api.go:618)
         m = re.fullmatch(r"/index/([^/]+)/field/([^/]+)/import-roaring/(\d+)",

@@ -252,3 +252,55 @@ class Show:
     def __init__(self, what, table=None):
         self.what = what
         self.table = table
+
+
+class CreateDatabase:
+    """CREATE DATABASE name [WITH option value ...] (reference: sql3
+    CREATE DATABASE, sql3/parser dialect)."""
+    __slots__ = ("name", "options", "if_not_exists")
+
+    def __init__(self, name, options=None, if_not_exists=False):
+        self.name = name
+        self.options = options or {}
+        self.if_not_exists = if_not_exists
+
+
+class DropDatabase:
+    __slots__ = ("name", "if_exists")
+
+    def __init__(self, name, if_exists=False):
+        self.name = name
+        self.if_exists = if_exists
+
+
+class CreateFunction:
+    """CREATE FUNCTION name(@p type, ...) RETURNS type AS (expr)
+    (reference: sql3 CREATE FUNCTION)."""
+    __slots__ = ("name", "params", "returns", "body_src", "if_not_exists")
+
+    def __init__(self, name, params, returns, body_src,
+                 if_not_exists=False):
+        self.name = name
+        self.params = params      # [(name, type), ...]
+        self.returns = returns
+        self.body_src = body_src
+        self.if_not_exists = if_not_exists
+
+
+class DropFunction:
+    __slots__ = ("name", "if_exists")
+
+    def __init__(self, name, if_exists=False):
+        self.name = name
+        self.if_exists = if_exists
+
+
+class Copy:
+    """COPY table TO 'file.csv' | COPY table FROM 'file.csv'
+    (reference: sql3 COPY)."""
+    __slots__ = ("table", "direction", "path")
+
+    def __init__(self, table, direction, path):
+        self.table = table
+        self.direction = direction  # "to" | "from"
+        self.path = path

@@ -25,6 +25,27 @@ class SQLRuntimeError(Exception):
     pass
 
 
+# user-defined functions (reference: sql3 CREATE FUNCTION): the planner
+# registers the holder's function table for the executing thread; bodies
+# parse once per source text
+import threading as _threading
+
+_USER_FUNCS = _threading.local()
+_UFUNC_AST_CACHE: Dict[str, Expr] = {}
+
+
+def set_user_functions(funcs: Optional[Dict[str, dict]]):
+    _USER_FUNCS.funcs = funcs
+
+
+def _user_func_ast(src: str) -> Expr:
+    ast = _UFUNC_AST_CACHE.get(src)
+    if ast is None:
+        from featurebase_tpu.sql.parser import Lexer, _expr
+        ast = _UFUNC_AST_CACHE[src] = _expr(Lexer(src))
+    return ast
+
+
 # -- expression evaluation -----------------------------------------------------
 
 
@@ -61,6 +82,18 @@ def eval_expr(e: Expr, env: Dict[str, Any]):
                 return env[key]
             raise SQLRuntimeError(
                 f"aggregate {e.name}() outside GROUP BY context")
+        ufuncs = getattr(_USER_FUNCS, "funcs", None)
+        if ufuncs and e.name.lower() in ufuncs:
+            # user-defined SQL function (reference: sql3 CREATE FUNCTION):
+            # evaluate the stored body expression with params bound
+            fd = ufuncs[e.name.lower()]
+            body = _user_func_ast(fd["body"])
+            if len(e.args) != len(fd["params"]):
+                raise SQLRuntimeError(
+                    f"{e.name}() takes {len(fd['params'])} arguments")
+            fenv = {p: eval_expr(a, env)
+                    for p, a in zip(fd["params"], e.args)}
+            return eval_expr(body, fenv)
         return call_function(e.name,
                              [eval_expr(a, env) for a in e.args])
     if isinstance(e, Case):

@@ -17,8 +17,10 @@ import re
 from typing import Any, List, Optional, Tuple
 
 from featurebase_tpu.sql.ast import (AlterTable, Between, BinOp, BulkInsert,
-                                     Case, Col, CreateTable, CreateView,
-                                     Delete, DropTable, DropView, Expr, Func,
+                                     Case, Col, Copy, CreateDatabase,
+                                     CreateFunction, CreateTable, CreateView,
+                                     Delete, DropDatabase, DropFunction,
+                                     DropTable, DropView, Expr, Func,
                                      InList, InSelect, Insert, IsNull, Like,
                                      Lit, Select, SelectItem, Show, Star,
                                      TableRef, Join, UnOp, AGGREGATES)
@@ -28,7 +30,7 @@ _TOKEN_RX = re.compile(r"""
       (?P<num>\d+\.\d+|\d+)
     | (?P<str>'(?:[^']|'')*')
     | (?P<qident>"(?:[^"]|"")*")
-    | (?P<op><=|>=|<>|!=|\|\||=|<|>|\(|\)|,|\*|/|%|\+|-|;|\.|\[|\])
+    | (?P<op><=|>=|<>|!=|\|\||=|<|>|\(|\)|,|\*|/|%|\+|-|;|\.|\[|\]|@)
     | (?P<word>[A-Za-z_][A-Za-z0-9_\-]*)
     )""", re.VERBOSE)
 
@@ -159,9 +161,27 @@ def _statement(lx: Lexer):
         if lx.try_kw("view"):
             ife = lx.try_kw("if", "exists")
             return DropView(lx.ident(), ife)
+        if lx.try_kw("database"):
+            ife = lx.try_kw("if", "exists")
+            return DropDatabase(lx.ident(), ife)
+        if lx.try_kw("function"):
+            ife = lx.try_kw("if", "exists")
+            return DropFunction(lx.ident(), ife)
         lx.expect_kw("table")
         ife = lx.try_kw("if", "exists")
         return DropTable(lx.ident(), ife)
+    if w == "copy":
+        lx.next()
+        table = lx.ident()
+        if lx.try_kw("to"):
+            direction = "to"
+        else:
+            lx.expect_kw("from")
+            direction = "from"
+        k, v = lx.next()
+        if k != "str":
+            raise SQLError("COPY requires a quoted file path")
+        return Copy(table, direction, v)
     if w == "bulk":
         return _bulk_insert(lx)
     if w in ("insert", "replace"):
@@ -180,6 +200,8 @@ def _statement(lx: Lexer):
             return Show("databases")
         if lx.try_kw("views"):
             return Show("views")
+        if lx.try_kw("functions"):
+            return Show("functions")
         if lx.try_kw("create", "table"):
             return Show("create_table", lx.ident())
         if lx.try_kw("columns") or lx.try_kw("fields"):
@@ -329,6 +351,41 @@ def _create(lx: Lexer):
         mark = lx.pos
         _select(lx)  # validate
         return CreateView(name, lx.span_from(mark), ine)
+    if lx.try_kw("database"):
+        ine = lx.try_kw("if", "not", "exists")
+        name = lx.ident()
+        options = {}
+        while lx.try_kw("with"):
+            oname = lx.ident()
+            _, v = lx.next()
+            options[oname.lower()] = v
+        return CreateDatabase(name, options, ine)
+    if lx.try_kw("function"):
+        ine = lx.try_kw("if", "not", "exists")
+        name = lx.ident()
+        lx.expect_op("(")
+        params = []
+        if not lx.try_op(")"):
+            while True:
+                k, v = lx.peek()
+                if k == "op" and v == "@":  # sql3 @param style
+                    lx.next()
+                pname = lx.ident()
+                ptype = lx.ident()
+                params.append((pname.lstrip("@"), ptype.lower()))
+                if not lx.try_op(","):
+                    break
+            lx.expect_op(")")
+        returns = "any"
+        if lx.try_kw("returns"):
+            returns = lx.ident().lower()
+        lx.expect_kw("as")
+        lx.expect_op("(")
+        mark = lx.pos
+        _expr(lx)  # validate
+        body = lx.span_from(mark)
+        lx.expect_op(")")
+        return CreateFunction(name, params, returns, body, ine)
     lx.expect_kw("table")
     ine = lx.try_kw("if", "not", "exists")
     name = lx.ident()

@@ -66,6 +66,8 @@ def plan_and_execute(api: API, sql: str) -> dict:
         stmts = parse_sql(sql)
     except SQLError as e:
         raise APIError(f"SQL parse error: {e}", 400)
+    from featurebase_tpu.sql import ops as _ops
+    _ops.set_user_functions(api.holder.sql_functions)
     out = None
     for stmt in stmts:
         try:
@@ -73,6 +75,45 @@ def plan_and_execute(api: API, sql: str) -> dict:
         except (SQLRuntimeError, ValueError) as e:
             raise APIError(str(e), 400)
     return out if out is not None else _ok()
+
+
+def plan_graph(api: API, sql: str) -> dict:
+    """Compile (don't run) a SELECT and return its plan-operator tree
+    (reference: /sql-exec-graph endpoint, http_handler.go:538)."""
+    try:
+        stmts = parse_sql(sql)
+    except SQLError as e:
+        raise APIError(f"SQL parse error: {e}", 400)
+    graphs = []
+    for stmt in stmts:
+        if isinstance(stmt, sa.Select):
+            op = SelectCompiler(api).compile(stmt)
+            graphs.append(op.plan_json())
+        else:
+            graphs.append({"op": type(stmt).__name__, "children": []})
+    return {"plans": graphs}
+
+
+def _copy(api: API, stmt: sa.Copy) -> dict:
+    """COPY table TO/FROM 'file.csv' (reference: sql3 COPY)."""
+    import csv as _csv
+    if stmt.direction == "to":
+        sel = parse_sql(f'SELECT * FROM "{stmt.table}"')[0]
+        out = _execute_stmt(api, sel)
+        with open(stmt.path, "w", newline="") as fh:
+            w = _csv.writer(fh)
+            w.writerow([f["name"] for f in out["schema"]["fields"]])
+            for row in out["data"]:
+                w.writerow(["" if v is None else
+                            (";".join(str(x) for x in v)
+                             if isinstance(v, list) else v)
+                            for v in row])
+        n = len(out["data"])
+    else:
+        from featurebase_tpu.ingest.batch import csv_ingest
+        n = csv_ingest(api, stmt.table, stmt.path, id_column="_id")
+    return {"schema": {"fields": [{"name": "rows", "type": "int"}]},
+            "data": [[n]]}
 
 
 def _execute_stmt(api: API, stmt) -> dict:
@@ -92,6 +133,46 @@ def _execute_stmt(api: API, stmt) -> dict:
     if isinstance(stmt, sa.DropView):
         api.delete_sql_view(stmt.name, if_exists=stmt.if_exists)
         return _ok()
+    if isinstance(stmt, sa.CreateDatabase):
+        h = api.holder
+        if stmt.name in h.sql_databases and not stmt.if_not_exists:
+            raise APIError(f"database already exists: {stmt.name}", 409)
+        h.sql_databases[stmt.name] = dict(stmt.options)
+        api._log({"op": "create_database", "name": stmt.name,
+                  "options": dict(stmt.options)})
+        return _ok()
+    if isinstance(stmt, sa.DropDatabase):
+        h = api.holder
+        if stmt.name not in h.sql_databases:
+            if stmt.if_exists:
+                return _ok()
+            raise APIError(f"database not found: {stmt.name}", 404)
+        del h.sql_databases[stmt.name]
+        api._log({"op": "drop_database", "name": stmt.name})
+        return _ok()
+    if isinstance(stmt, sa.CreateFunction):
+        h = api.holder
+        name = stmt.name.lower()
+        if name in h.sql_functions and not stmt.if_not_exists:
+            raise APIError(f"function already exists: {stmt.name}", 409)
+        h.sql_functions[name] = {
+            "params": [p for p, _ in stmt.params],
+            "returns": stmt.returns, "body": stmt.body_src}
+        api._log({"op": "create_function", "name": name,
+                  "def": h.sql_functions[name]})
+        return _ok()
+    if isinstance(stmt, sa.DropFunction):
+        h = api.holder
+        name = stmt.name.lower()
+        if name not in h.sql_functions:
+            if stmt.if_exists:
+                return _ok()
+            raise APIError(f"function not found: {stmt.name}", 404)
+        del h.sql_functions[name]
+        api._log({"op": "drop_function", "name": name})
+        return _ok()
+    if isinstance(stmt, sa.Copy):
+        return _copy(api, stmt)
     if isinstance(stmt, sa.Show):
         return _show(api, stmt)
     if isinstance(stmt, sa.Insert):
@@ -169,9 +250,17 @@ def _show(api: API, stmt: sa.Show) -> dict:
             "data": [[n] for n in sorted(api.holder.indexes)],
         }
     if stmt.what == "databases":
+        names = sorted(api.holder.sql_databases) or ["featurebase_tpu"]
         return {
             "schema": {"fields": [{"name": "name", "type": "string"}]},
-            "data": [["featurebase_tpu"]],
+            "data": [[n] for n in names],
+        }
+    if stmt.what == "functions":
+        return {
+            "schema": {"fields": [{"name": "name", "type": "string"},
+                                  {"name": "body", "type": "string"}]},
+            "data": [[n, d["body"]] for n, d in
+                     sorted(api.holder.sql_functions.items())],
         }
     if stmt.what == "views":
         return {

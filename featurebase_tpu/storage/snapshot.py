@@ -40,6 +40,10 @@ def save(holder: Holder, directory: str, idalloc=None):
         if holder.sql_views:
             with open(os.path.join(tmp, "views.json"), "w") as fh:
                 json.dump(holder.sql_views, fh)
+        if holder.sql_databases or holder.sql_functions:
+            with open(os.path.join(tmp, "sqlmeta.json"), "w") as fh:
+                json.dump({"databases": holder.sql_databases,
+                           "functions": holder.sql_functions}, fh)
         tdir = os.path.join(tmp, "translate")
         os.makedirs(tdir, exist_ok=True)
         for iname, idx in holder.indexes.items():
@@ -92,6 +96,12 @@ def load(directory: str, idalloc=None) -> Holder:
     if os.path.exists(views_path):
         with open(views_path) as fh:
             holder.sql_views = json.load(fh)
+    meta_path = os.path.join(directory, "sqlmeta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        holder.sql_databases = meta.get("databases", {})
+        holder.sql_functions = meta.get("functions", {})
     tdir = os.path.join(directory, "translate")
     if os.path.isdir(tdir):
         for fn in os.listdir(tdir):
