@@ -80,6 +80,21 @@ def main(argv=None):
                                                3600) or 0),
                     help="seconds between TTL time-view removal passes "
                          "(reference: server.go:920 ViewsRemoval); 0 off")
+    sp.add_argument("--tls-cert", default=_env_default("tls_cert", None),
+                    help="certificate PEM for HTTPS (reference: tls.* "
+                         "config, server/config.go)")
+    sp.add_argument("--tls-key", default=_env_default("tls_key", None))
+    sp.add_argument("--mesh", action="store_true",
+                    help="shard query aggregates over all local devices "
+                         "via a jax Mesh (shard_map + psum)")
+    sp.add_argument("--mesh-coordinator",
+                    default=_env_default("mesh_coordinator", None),
+                    help="HOST:PORT of the jax.distributed coordinator — "
+                         "joins a multi-host mesh over DCN")
+    sp.add_argument("--mesh-processes", type=int,
+                    default=int(_env_default("mesh_processes", 0) or 0))
+    sp.add_argument("--mesh-process-id", type=int,
+                    default=int(_env_default("mesh_process_id", 0) or 0))
 
     dx = sub.add_parser("dax", help="run a disaggregated DAX deployment "
                                     "(controller + computers + queryer) in "
@@ -182,9 +197,25 @@ def cmd_server(args, cfg):
     lqt = float(cfg.get("long-query-time", args.long_query_time) or 0)
     mqm = int(cfg.get("max-query-memory", args.max_query_memory) or 0)
     qto = float(cfg.get("query-timeout", args.query_timeout) or 0)
+    # compute-plane mesh: single-host over local chips (--mesh) or
+    # multi-host over DCN (--mesh-coordinator joins jax.distributed);
+    # the HTTP cluster stays the control plane (SURVEY §7)
+    mesh = None
+    coord = cfg.get("mesh-coordinator", args.mesh_coordinator)
+    if coord:
+        from featurebase_tpu.parallel import multihost
+        import jax
+        multihost.initialize(
+            coord, int(cfg.get("mesh-processes", args.mesh_processes)),
+            int(cfg.get("mesh-process-id", args.mesh_process_id)),
+            cpu_collectives="gloo" if getattr(args, "cpu", False) else None)
+        mesh = multihost.global_mesh()
+    elif cfg.get("mesh", None) or args.mesh:
+        from featurebase_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh()
     api = API(data_dir=cfg.get("data-dir", args.data_dir), cluster=cluster,
-              long_query_time=lqt or None, max_query_memory=mqm or None,
-              query_timeout=qto or None)
+              mesh=mesh, long_query_time=lqt or None,
+              max_query_memory=mqm or None, query_timeout=qto or None)
     if auth_token:
         api.auth_token = auth_token
     if cluster is not None:
@@ -195,7 +226,9 @@ def cmd_server(args, cfg):
                         args.views_removal_interval) or 0)
     if vri > 0:
         api.start_views_removal(vri)
-    srv = Server(api=api, host=host or "127.0.0.1", port=int(port or 10101))
+    srv = Server(api=api, host=host or "127.0.0.1", port=int(port or 10101),
+                 tls_cert=cfg.get("tls-cert", args.tls_cert),
+                 tls_key=cfg.get("tls-key", args.tls_key))
     grpc_bind = cfg.get("grpc-bind", args.grpc_bind)
     grpc_srv = None
     if grpc_bind:

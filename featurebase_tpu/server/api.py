@@ -688,6 +688,51 @@ class API:
         except ValueError as e:
             raise APIError(str(e), 409)
 
+    def import_atomic_record(self, index: str, records: List[dict]):
+        """Import whole records across many fields in one request
+        (reference: http_handler.go /import-atomic-record -> api.go
+        ImportAtomicRecord bundles per-field imports under one commit).
+        Everything is validated before anything is applied, so a bad
+        record rejects the whole request."""
+        idx = self._index(index)
+        plan = []
+        for rec in records:
+            col = rec.get("col")
+            if col is None:
+                raise APIError("atomic record requires 'col'", 400)
+            sets = rec.get("sets") or {}
+            values = rec.get("values") or {}
+            for fname in list(sets) + list(values):
+                f = idx.field(fname)
+                if f is None:
+                    raise APIError(f"field not found: {fname}", 404)
+                if fname in values and not f.is_bsi():
+                    raise APIError(f"field {fname} is not int-like", 400)
+                if fname in sets and f.is_bsi():
+                    raise APIError(f"field {fname} is int-like; use "
+                                   "'values'", 400)
+            plan.append((col, sets, values, rec.get("timestamp")))
+        for col, sets, values, ts in plan:
+            for fname, rows in sets.items():
+                rows = rows if isinstance(rows, list) else [rows]
+                row_keys = [r for r in rows if isinstance(r, str)] or None
+                row_ids = None if row_keys else rows
+                self.import_bits(index, fname,
+                                 rows=row_ids or [0] * len(rows),
+                                 cols=[col] * len(rows)
+                                 if not isinstance(col, str) else [0],
+                                 timestamps=[ts] * len(rows) if ts else None,
+                                 row_keys=row_keys,
+                                 col_keys=[col] * len(rows)
+                                 if isinstance(col, str) else None)
+            for fname, v in values.items():
+                self.import_values(index, fname,
+                                   cols=[col] if not isinstance(col, str)
+                                   else [0],
+                                   values=[v],
+                                   col_keys=[col]
+                                   if isinstance(col, str) else None)
+
     # -- shard snapshots / resync (reference: api.go:1265 IndexShardSnapshot,
     # holder.go:1303 holderSyncer anti-entropy) -----------------------------
 

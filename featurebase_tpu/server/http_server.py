@@ -278,6 +278,14 @@ class Handler(BaseHTTPRequestHandler):
             from featurebase_tpu.sql.engine import execute_sql
             return self._send(execute_sql(self.api, sql))
 
+        m = re.fullmatch(r"/index/([^/]+)/import-atomic-record", path)
+        if m and method == "POST":
+            b = self._json()
+            recs = b.get("records") or ([b] if b.get("col") is not None
+                                        else [])
+            self.api.import_atomic_record(m.group(1), recs)
+            return self._send({"success": True})
+
         if path == "/sql-exec-graph" and method == "POST":
             # plan-operator tree without executing (reference:
             # http_handler.go:538 handlePostPlanSQL)
@@ -510,15 +518,27 @@ class Server:
     minus etcd — single-controller for now)."""
 
     def __init__(self, api: Optional[API] = None, host: str = "127.0.0.1",
-                 port: int = 0, defer_api: bool = False):
+                 port: int = 0, defer_api: bool = False,
+                 tls_cert: Optional[str] = None,
+                 tls_key: Optional[str] = None):
         """With defer_api=True the listening socket is bound (so the port is
         known for cluster config) but the API is attached later via
         set_api() — used by the multi-node harness where node URIs must
-        exist before each node's Cluster/API can be built."""
+        exist before each node's Cluster/API can be built.
+
+        tls_cert/tls_key enable HTTPS (reference: server/config.go TLS
+        section — certificate path + key path)."""
         self.api = api if defer_api else (api or API())
         self._handler_cls = type("BoundHandler", (Handler,),
                                  {"api": self.api})
         self.httpd = ThreadingHTTPServer((host, port), self._handler_cls)
+        self.tls = bool(tls_cert)
+        if tls_cert:
+            import ssl
+            ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+            ctx.load_cert_chain(tls_cert, tls_key)
+            self.httpd.socket = ctx.wrap_socket(self.httpd.socket,
+                                                server_side=True)
         self.port = self.httpd.server_address[1]
         self._thread: Optional[threading.Thread] = None
 
@@ -540,4 +560,5 @@ class Server:
 
     @property
     def url(self) -> str:
-        return f"http://127.0.0.1:{self.port}"
+        scheme = "https" if getattr(self, "tls", False) else "http"
+        return f"{scheme}://127.0.0.1:{self.port}"

@@ -1,0 +1,83 @@
+"""TLS listener, atomic-record import, mesh server flag (reference:
+server/config.go TLS section; http_handler.go /import-atomic-record ->
+api.go ImportAtomicRecord)."""
+import json
+import ssl
+import subprocess
+import urllib.request
+
+import pytest
+
+from featurebase_tpu.server.api import API, APIError
+from featurebase_tpu.server.http_server import Server
+
+
+class TestAtomicRecordImport:
+    def test_multi_field_record(self):
+        api = API()
+        api.create_index("i")
+        api.create_field("i", "tags", {"type": "set"})
+        api.create_field("i", "v", {"type": "int", "min": 0, "max": 100})
+        api.import_atomic_record("i", [
+            {"col": 5, "sets": {"tags": [1, 2]}, "values": {"v": 42}},
+            {"col": 6, "sets": {"tags": 2}, "values": {"v": 7}},
+        ])
+        assert api.query("i", "Count(Row(tags=2))") == [2]
+        assert api.query("i", "Sum(field=v)")[0].val == 49
+        (vc,) = api.query("i", "FieldValue(field=v, column=5)")
+        assert vc.val == 42
+
+    def test_validation_rejects_whole_request(self):
+        api = API()
+        api.create_index("i")
+        api.create_field("i", "tags", {"type": "set"})
+        with pytest.raises(APIError):
+            api.import_atomic_record("i", [
+                {"col": 1, "sets": {"tags": 1}},
+                {"col": 2, "sets": {"nope": 1}},   # bad field
+            ])
+        # nothing applied: the first record must not have landed
+        assert api.query("i", "Count(Row(tags=1))") == [0]
+
+    def test_http_route_and_keys(self):
+        api = API()
+        api.create_index("k", {"keys": True})
+        api.create_field("k", "f", {"type": "set", "keys": True})
+        srv = Server(api=api).start()
+        try:
+            body = {"records": [{"col": "rec-a", "sets": {"f": "red"}}]}
+            req = urllib.request.Request(
+                srv.url + "/index/k/import-atomic-record",
+                data=json.dumps(body).encode(), method="POST")
+            urllib.request.urlopen(req, timeout=30).read()
+            out = api.query("k", 'Count(Row(f="red"))')
+            assert out == [1]
+        finally:
+            srv.stop()
+
+
+class TestTLS:
+    def test_https_round_trip(self, tmp_path):
+        cert = str(tmp_path / "cert.pem")
+        key = str(tmp_path / "key.pem")
+        p = subprocess.run(
+            ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+             "-keyout", key, "-out", cert, "-days", "1",
+             "-subj", "/CN=localhost"],
+            capture_output=True)
+        if p.returncode != 0:
+            pytest.skip("openssl unavailable")
+        api = API()
+        api.create_index("t")
+        srv = Server(api=api, tls_cert=cert, tls_key=key).start()
+        try:
+            assert srv.url.startswith("https://")
+            ctx = ssl.create_default_context()
+            ctx.check_hostname = False
+            ctx.verify_mode = ssl.CERT_NONE
+            with urllib.request.urlopen(srv.url + "/status", context=ctx,
+                                        timeout=30) as r:
+                out = json.loads(r.read())
+            assert out["indexes"] == ["t"]
+        finally:
+            srv.stop()
