@@ -218,9 +218,15 @@ def words_to_cols(words, base: int = 0):
     """Decode a dense word vector into a sorted numpy array of set columns.
 
     Host-side finalization (variable-shape output can't live under jit).
-    """
+    Uses the C++ ctz decode when available (native/bitops.cpp — the host
+    analog of roaring.Bitmap.Slice, roaring/roaring.go:573); numpy bit
+    tricks otherwise."""
     import numpy as np
     w = np.asarray(words, dtype=np.uint32)
+    from featurebase_tpu.native import bitops
+    native = bitops.words_to_cols(w, base)
+    if native is not None:
+        return native
     flat = w.reshape(-1)
     # unpack via numpy bit tricks
     nz = np.nonzero(flat)[0]
@@ -239,10 +245,15 @@ def words_to_cols(words, base: int = 0):
 
 
 def cols_to_words(cols, width: int = SHARD_WIDTH):
-    """Encode sorted column ids (< width) into a dense uint32 word vector."""
+    """Encode sorted column ids (< width) into a dense uint32 word vector
+    (C++ scatter when available, numpy otherwise)."""
     import numpy as np
-    out = np.zeros(width // WORD_BITS, dtype=np.uint32)
     c = np.asarray(cols, dtype=np.int64)
+    from featurebase_tpu.native import bitops
+    native = bitops.cols_to_words(c, width // WORD_BITS)
+    if native is not None:
+        return native
+    out = np.zeros(width // WORD_BITS, dtype=np.uint32)
     if c.size == 0:
         return out
     np.bitwise_or.at(out, c >> 5, np.uint32(1) << (c & 31).astype(np.uint32))

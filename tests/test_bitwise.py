@@ -98,3 +98,45 @@ def test_range_mask():
     m2 = bw.range_mask(0, SHARD_WIDTH)
     assert int(np.sum([bin(int(x)).count("1") for x in m2])) == SHARD_WIDTH
     assert bw.range_mask(50, 50).sum() == 0
+
+
+class TestNativeBitops:
+    """C++ host bit decode/scatter parity vs numpy (native/bitops.cpp)."""
+
+    def test_native_builds_and_agrees(self):
+        import numpy as np
+        from featurebase_tpu.native import bitops
+        from featurebase_tpu.ops import bitwise as bw
+        rng = np.random.default_rng(0)
+        words = rng.integers(0, 1 << 32, size=32768, dtype=np.uint32)
+        native = bitops.words_to_cols(words, base=12345)
+        assert native is not None, "native bitops must build here"
+        # numpy path
+        flat = words.reshape(-1)
+        want = []
+        for i in np.nonzero(flat)[0]:
+            v = int(flat[i])
+            for b in range(32):
+                if (v >> b) & 1:
+                    want.append(i * 32 + b + 12345)
+        assert native.tolist() == want[: len(native)] and \
+            len(native) == len(want)
+
+    def test_cols_roundtrip(self):
+        import numpy as np
+        from featurebase_tpu.ops import bitwise as bw
+        rng = np.random.default_rng(1)
+        cols = np.unique(rng.integers(0, 1 << 20, size=5000))
+        words = bw.cols_to_words(cols)
+        back = bw.words_to_cols(words)
+        assert back.tolist() == cols.tolist()
+
+    def test_empty_and_odd_sizes(self):
+        import numpy as np
+        from featurebase_tpu.native import bitops
+        assert bitops.words_to_cols(
+            np.zeros(7, dtype=np.uint32)).size == 0
+        w = np.zeros(7, dtype=np.uint32)
+        w[6] = 0x80000001
+        got = bitops.words_to_cols(w)
+        assert got.tolist() == [6 * 32, 6 * 32 + 31]
