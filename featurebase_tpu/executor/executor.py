@@ -1108,8 +1108,11 @@ class Executor:
 
     def _execute_rows(self, index: Index, call: Call,
                       shards: Optional[List[int]]) -> List[int]:
-        """Rows(f, ...) row-id enumeration (reference executeRows
-        executor.go:3987 with BitmapFilter stack)."""
+        """Rows(f, ...) row-id enumeration through the row-scan framework
+        (reference executeRows executor.go:4077 drives a BitmapFilter
+        stack; ops/rowscan.py is the dense-tile redesign — host key
+        pruning + one fused device pass per shard)."""
+        from featurebase_tpu.ops.rowscan import RowScanSpec, scan_fragments
         fld = call.args.get("_field") or call.args.get("field")
         f = self._field_or_err(index, fld)
         limit = call.args.get("limit")
@@ -1119,46 +1122,35 @@ class Executor:
         in_list = call.args.get("in")
         from_t, to_t = call.args.get("from"), call.args.get("to")
 
+        like_ids = None
+        if like is not None and f.options.keys:
+            # LIKE pushdown: one translate-store pass (reference like.go:13)
+            like_ids = set(index.row_translation(fld).match_like(like))
+        whitelist = {int(x) for x in in_list} if in_list is not None else None
+
+        if f.options.type == TYPE_TIME and (from_t or to_t):
+            from featurebase_tpu.model.timequantum import parse_time
+            from datetime import datetime
+            lo = parse_time(from_t) if from_t else datetime(1, 1, 1)
+            hi = parse_time(to_t) if to_t else datetime(9999, 1, 1)
+            names = f.views_for_range(lo, hi)
+        else:
+            names = [VIEW_STANDARD]
+
         out: set = set()
         for shard in self._shards(index, shards):
-            if f.options.type == TYPE_TIME and (from_t or to_t):
-                from featurebase_tpu.model.timequantum import parse_time
-                from datetime import datetime
-                lo = parse_time(from_t) if from_t else datetime(1, 1, 1)
-                hi = parse_time(to_t) if to_t else datetime(9999, 1, 1)
-                names = f.views_for_range(lo, hi)
-            else:
-                names = [VIEW_STANDARD]
-            for vn in names:
-                v = f.view(vn)
-                frag = v.fragment(shard) if v else None
-                if frag is None:
+            spec = RowScanSpec(
+                whitelist=whitelist, like_ids=like_ids,
+                min_row_excl=int(prev) if prev is not None else None)
+            if col is not None:
+                c = int(col)
+                if c // SHARD_WIDTH != shard:
                     continue
-                rows = [int(r) for r in frag.row_ids()]
-                if not rows:
-                    continue
-                if col is not None:
-                    c = int(col)
-                    if c // SHARD_WIDTH != shard:
-                        continue
-                    for r in rows:
-                        if frag.get_bit(r, c % SHARD_WIDTH):
-                            out.add(r)
-                else:
-                    tile, _ = frag.device_rows(rows)
-                    pc = np.asarray(bw.popcount_rows(tile))
-                    out.update(r for r, c_ in zip(rows, pc) if c_ > 0)
+                spec.column = c % SHARD_WIDTH
+            frags = [(vv := f.view(vn)) and vv.fragment(shard)
+                     for vn in names]
+            out.update(scan_fragments(frags, spec))
         rows_sorted = sorted(out)
-        if prev is not None:
-            rows_sorted = [r for r in rows_sorted if r > int(prev)]
-        if in_list is not None:
-            want = {int(x) for x in in_list}
-            rows_sorted = [r for r in rows_sorted if r in want]
-        if like is not None and f.options.keys:
-            # LIKE pushdown: one pass over the translate store instead of a
-            # per-row key lookup (reference: like.go:13 planLike)
-            matched = set(index.row_translation(fld).match_like(like))
-            rows_sorted = [r for r in rows_sorted if r in matched]
         if limit is not None:
             rows_sorted = rows_sorted[: int(limit)]
         return rows_sorted
