@@ -204,5 +204,64 @@ def _cols() -> int:
     return 1024
 
 
+def scaling(n_devices: int = 0):
+    """Rows/s scaling-efficiency rig over a virtual (or real) device mesh
+    (BASELINE: >=80% rows/s scaling 1 chip -> 1 host -> N hosts).
+
+    Runs the mesh shard_map Count path over 1, 2, 4, ..., N devices with a
+    proportionally growing shard set (weak scaling) and reports rows/s and
+    efficiency vs 1 device.  On CPU test rigs this validates the rig and
+    the collective lowering, not silicon bandwidth.
+
+    Usage: python bench.py --scaling [N]
+    """
+    import jax
+
+    from featurebase_tpu.core.consts import SHARD_WIDTH
+    from featurebase_tpu.executor.executor import Executor
+    from featurebase_tpu.model.index import Holder
+    from featurebase_tpu.parallel.mesh import make_mesh
+
+    total = n_devices or len(jax.devices())
+    sizes = [d for d in (1, 2, 4, 8, 16, 32) if d <= total]
+    rng = np.random.default_rng(0)
+    results = []
+    base_rate = None
+    for nd in sizes:
+        n_shards = nd * 2
+        n = n_shards * 50_000
+        cols = np.sort(rng.choice(n_shards * SHARD_WIDTH, size=n,
+                                  replace=False))
+        rows = rng.integers(0, 4, size=n)
+        holder = Holder()
+        idx = holder.create_index("scale")
+        idx.create_field("f")
+        idx.field("f").import_bits(rows, cols)
+        idx.mark_exists(cols)
+        e = Executor(holder, mesh=make_mesh(nd))
+        pql = "Count(Row(f=1))"
+        e.execute("scale", pql)  # warm
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            e.execute("scale", pql)
+            best = min(best, time.perf_counter() - t0)
+        rate = n / best
+        if base_rate is None:
+            base_rate = rate / nd  # per-device baseline
+        eff = rate / (base_rate * nd)
+        results.append({"devices": nd, "rows_per_sec": round(rate),
+                        "efficiency": round(eff, 3),
+                        "backend": jax.default_backend()})
+        print(json.dumps(results[-1]))
+    return results
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+    if "--scaling" in sys.argv:
+        i = sys.argv.index("--scaling")
+        nd = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 0
+        scaling(nd)
+    else:
+        main()
