@@ -34,6 +34,19 @@ TYPE_TIMESTAMP = "timestamp"
 
 BSI_TYPES = (TYPE_INT, TYPE_DECIMAL, TYPE_TIMESTAMP)
 
+# Paranoia mode (reference: roaringparanoia build tag,
+# roaring/roaring_paranoia.go:3 — invariant validation on every mutation).
+# FEATUREBASE_TPU_PARANOIA=1 turns on per-write invariant checks: mutex/bool
+# columns hold at most one row bit; BSI columns with magnitude or sign bits
+# always carry the exists bit.
+import os as _os
+
+PARANOIA = _os.environ.get("FEATUREBASE_TPU_PARANOIA", "") not in ("", "0")
+
+
+class ParanoiaError(AssertionError):
+    pass
+
 # cache types (reference field.go:2486 CacheType*)
 CACHE_RANKED = "ranked"
 CACHE_LRU = "lru"
@@ -221,7 +234,10 @@ class Field:
                 changed |= frag.set_bit(row, col)
             return changed
         frag = self.standard_view().create_fragment_if_not_exists(shard)
-        return frag.set_bit(row, col) or changed
+        out = frag.set_bit(row, col) or changed
+        if PARANOIA:
+            self._paranoia_column(col)
+        return out
 
     def clear_bit(self, row: int, col: int) -> bool:
         shard = col >> 20
@@ -266,6 +282,8 @@ class Field:
                 changed |= frag.set_bit(BSI_OFFSET + i, col)
             else:
                 changed |= frag.clear_bit(BSI_OFFSET + i, col)
+        if PARANOIA:
+            self._paranoia_column(col)
         return changed
 
     def value(self, col: int) -> Tuple[int, bool]:
@@ -376,6 +394,36 @@ class Field:
         sign = tile[1]
         slices = tile[2:]
         return slices, exists, sign, depth
+
+    def _paranoia_column(self, col: int):
+        """Per-write invariant validation (reference: roaringparanoia
+        checks, roaring/roaring_paranoia.go:3).  Raises ParanoiaError on a
+        broken invariant — only active with FEATUREBASE_TPU_PARANOIA=1."""
+        o = self.options
+        if o.type in (TYPE_MUTEX, TYPE_BOOL):
+            v = self.views.get(VIEW_STANDARD)
+            frag = v.fragment(col >> 20) if v else None
+            if frag is None:
+                return
+            set_rows = [r for r in frag.slot_rows()
+                        if frag.get_bit(int(r), col)]
+            if len(set_rows) > 1:
+                raise ParanoiaError(
+                    f"{o.type} field {self.name}: column {col} has "
+                    f"{len(set_rows)} rows set: {set_rows}")
+        elif self.is_bsi():
+            v = self.views.get(view_bsi_group(self.name))
+            frag = v.fragment(col >> 20) if v else None
+            if frag is None:
+                return
+            exists = frag.get_bit(BSI_EXISTS_ROW, col)
+            has_data = frag.get_bit(BSI_SIGN_ROW, col) or any(
+                frag.get_bit(BSI_OFFSET + i, col)
+                for i in range(max(self.bit_depth, 1)))
+            if has_data and not exists:
+                raise ParanoiaError(
+                    f"BSI field {self.name}: column {col} has magnitude/"
+                    "sign bits without the exists bit")
 
     def values_dense_host(self, shard: int):
         """Host-decoded dense values for one shard: (values int64

@@ -331,12 +331,22 @@ class API:
 
     # -- query --------------------------------------------------------------
 
+    def check_write_allowed(self, tx_id: Optional[str] = None):
+        """An active exclusive transaction blocks writes from everyone but
+        its holder (reference: api.go StartTransaction exclusive semantics
+        — backups freeze writes)."""
+        excl = self.transactions.active_exclusive()
+        if excl is not None and excl.id != tx_id:
+            raise APIError(
+                f"write blocked by exclusive transaction {excl.id!r}", 409)
+
     def query(self, index: str, pql: str,
               shards: Optional[List[int]] = None) -> List[Any]:
         return self.query_full(index, pql, shards=shards)["results"]
 
     def query_full(self, index: str, pql: str,
-                   shards: Optional[List[int]] = None) -> Dict[str, Any]:
+                   shards: Optional[List[int]] = None,
+                   transaction_id: Optional[str] = None) -> Dict[str, Any]:
         """Query with tracking, metrics, and optional profiling: the
         reference returns a tracing.Profile tree when called with
         Options(profile=true) (reference: executor.go:227-236; api.go:209
@@ -357,6 +367,9 @@ class API:
         try:
             with REGISTRY.timer("query_seconds", index=index):
                 parsed = _parse(pql) if isinstance(pql, str) else pql
+                from featurebase_tpu.pql.ast import WRITE_CALLS
+                if any(c.name in WRITE_CALLS for c in parsed.calls):
+                    self.check_write_allowed(transaction_id)
                 profile = any(c.name == "Options"
                               and c.args.get("profile") in (True, 1)
                               for c in parsed.calls)
@@ -433,6 +446,8 @@ class API:
     def import_bits(self, index: str, field: str, rows, cols,
                     timestamps=None, clear: bool = False,
                     row_keys=None, col_keys=None, forwarded: bool = False):
+        if not forwarded:
+            self.check_write_allowed()
         idx = self._index(index)
         f = idx.field(field)
         if f is None:
@@ -508,6 +523,8 @@ class API:
     def import_values(self, index: str, field: str, cols, values,
                       clear: bool = False, col_keys=None,
                       forwarded: bool = False):
+        if not forwarded:
+            self.check_write_allowed()
         idx = self._index(index)
         f = idx.field(field)
         if f is None:

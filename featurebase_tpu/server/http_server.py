@@ -121,7 +121,9 @@ class Handler(BaseHTTPRequestHandler):
                 return self._send({"partials": partials})
             pql = body.get("query") or body.get("_raw") or ""
             shards = body.get("shards") if isinstance(body, dict) else None
-            full = self.api.query_full(m.group(1), pql, shards=shards)
+            full = self.api.query_full(
+                m.group(1), pql, shards=shards,
+                transaction_id=self.headers.get("X-Featurebase-Transaction"))
             resp = response_to_json(full["results"])
             if "profile" in full:
                 resp["profile"] = full["profile"]

@@ -150,3 +150,14 @@ class TransactionStore:
         with self._lock:
             self._reap()
             return {t: tx.to_json() for t, tx in self._txs.items()}
+
+    def active_exclusive(self) -> Optional[Transaction]:
+        """The currently active exclusive transaction, if any (its holder
+        has sole write access; reference: transaction.go exclusive
+        semantics used by backups)."""
+        with self._lock:
+            self._reap()
+            for tx in self._txs.values():
+                if tx.exclusive and tx.active:
+                    return tx
+            return None

@@ -152,3 +152,69 @@ class TestForeignIndex:
         with pytest.raises(APIError, match="foreign index"):
             api.create_field("i", "fk", {"type": "int",
                                          "foreignIndex": "nope"})
+
+
+class TestExclusiveTransactions:
+    """Active exclusive transactions block other writers (reference:
+    api.go:2364 StartTransaction; backups freeze writes)."""
+
+    def test_writes_blocked_then_allowed(self):
+        api = API()
+        api.create_index("i")
+        api.create_field("i", "f", {"type": "set"})
+        tx = api.transactions.start("bk", timeout=60, exclusive=True)
+        assert tx.active
+        with pytest.raises(APIError, match="exclusive transaction"):
+            api.query("i", "Set(1, f=1)")
+        with pytest.raises(APIError):
+            api.import_bits("i", "f", [1], [1])
+        # the transaction holder itself may write
+        api.query_full("i", "Set(2, f=1)", transaction_id="bk")
+        # reads flow freely
+        assert api.query("i", "Count(Row(f=1))") == [1]
+        api.transactions.finish("bk")
+        api.query("i", "Set(1, f=1)")
+        assert api.query("i", "Count(Row(f=1))") == [2]
+
+    def test_non_exclusive_does_not_block(self):
+        api = API()
+        api.create_index("i")
+        api.create_field("i", "f", {"type": "set"})
+        api.transactions.start("shared", timeout=60, exclusive=False)
+        api.query("i", "Set(1, f=1)")  # fine
+
+
+class TestParanoiaMode:
+    """FEATUREBASE_TPU_PARANOIA invariant validation (reference:
+    roaringparanoia build tag, roaring/roaring_paranoia.go:3)."""
+
+    def test_paranoia_catches_broken_mutex(self, monkeypatch):
+        from featurebase_tpu.model import field as fieldmod
+        monkeypatch.setattr(fieldmod, "PARANOIA", True)
+        from featurebase_tpu.model.field import FieldOptions, ParanoiaError
+        from featurebase_tpu.model.index import Holder
+        holder = Holder()
+        idx = holder.create_index("i")
+        f = idx.create_field("m", FieldOptions(type="mutex"))
+        f.set_bit(1, 5)
+        f.set_bit(2, 5)  # mutex clears row 1 first: fine
+        assert not f.view("standard").fragment(0).get_bit(1, 5)
+        # corrupt the invariant behind the field's back, then write
+        f.view("standard").fragment(0).set_bit(7, 5)
+        f.view("standard").fragment(0).set_bit(8, 5)
+        with pytest.raises(ParanoiaError):
+            f._paranoia_column(5)
+
+    def test_paranoia_passes_on_valid_writes(self, monkeypatch):
+        from featurebase_tpu.model import field as fieldmod
+        monkeypatch.setattr(fieldmod, "PARANOIA", True)
+        from featurebase_tpu.model.field import FieldOptions
+        from featurebase_tpu.model.index import Holder
+        holder = Holder()
+        idx = holder.create_index("i")
+        v = idx.create_field("v", FieldOptions(type="int", min=-10, max=10))
+        v.set_value(3, -7)
+        v.set_value(3, 5)
+        m = idx.create_field("m", FieldOptions(type="mutex"))
+        m.set_bit(1, 2)
+        m.set_bit(9, 2)
