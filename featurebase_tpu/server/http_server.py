@@ -263,6 +263,17 @@ class Handler(BaseHTTPRequestHandler):
         if path == "/status" and method == "GET":
             return self._send(self.api.status())
 
+        if path in ("/ui", "") and method == "GET":
+            # built-in admin console (the lattice/ role)
+            from featurebase_tpu.server.console import CONSOLE_HTML
+            data = CONSOLE_HTML.encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+            return None
+
         if path == "/shards" and method == "GET":
             idx = query.get("index", "")
             if query.get("cluster") and self.api.cluster is not None:

@@ -81,3 +81,21 @@ class TestTLS:
             assert out["indexes"] == ["t"]
         finally:
             srv.stop()
+
+
+class TestWebConsole:
+    def test_ui_serves_and_backing_endpoints_work(self):
+        api = API()
+        api.create_index("c")
+        srv = Server(api=api).start()
+        try:
+            html = urllib.request.urlopen(srv.url + "/ui",
+                                          timeout=30).read().decode()
+            assert "featurebase-tpu console" in html
+            assert "/sql" in html and "/schema" in html
+            # root also serves the console
+            html2 = urllib.request.urlopen(srv.url + "/",
+                                           timeout=30).read().decode()
+            assert "featurebase-tpu console" in html2
+        finally:
+            srv.stop()
