@@ -179,6 +179,19 @@ class Executor:
     def _translate_result(self, index: Index, call: Call, result):
         """IDs -> keys on results (reference executor.go:7519
         translateResults)."""
+        if isinstance(result, Row) and call.name == "Distinct":
+            # Distinct returns *field values*, not record columns — keyed
+            # fields translate through the field's row store, and unkeyed
+            # fields stay numeric even on a keyed index (reference
+            # executor.go translateResults Distinct case)
+            fld = call.args.get("_field") or call.args.get("field")
+            f = index.field(fld) if fld else None
+            if f is not None and f.options.keys:
+                store = index.row_translation(fld)
+                keys = store.translate_ids(
+                    [int(c) for c in result.columns()])
+                result.keys = [k for k in keys if k is not None]
+            return result
         if isinstance(result, Row) and index.options.keys:
             cols = result.columns()
             keys = index.translate_store.translate_ids(cols)

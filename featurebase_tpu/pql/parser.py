@@ -135,9 +135,12 @@ class Parser:
                 if self._try("field="):
                     pass
                 fld = self._match(_FIELD)
-            if fld is not None and self._peek_is("("):
-                # posfield actually begins a child call — backtrack to the
-                # generic rule (PEG ordered-choice fallback, pql.peg:23)
+            if fld is not None and (self._peek_is("(") or
+                                    (self._peek_is("=") and
+                                     not self._peek_is("=="))):
+                # posfield actually begins a child call or a named arg
+                # (e.g. filter=Row(...)) — backtrack to the generic rule
+                # (PEG ordered-choice fallback, pql.peg:23)
                 self.i = save
                 self._allargs(call)
             elif fld is not None:

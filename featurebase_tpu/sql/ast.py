@@ -97,6 +97,16 @@ class InSelect(Expr):
         self.expr, self.select, self.negated = expr, select, negated
 
 
+class ScalarSubquery(Expr):
+    """(SELECT ...) used as a scalar value (reference: sql3/parser
+    exprs.go subquery expressions); the planner evaluates it eagerly and
+    substitutes the single-cell result."""
+    __slots__ = ("select",)
+
+    def __init__(self, select):
+        self.select = select
+
+
 class Between(Expr):
     __slots__ = ("expr", "lo", "hi", "negated")
 

@@ -109,9 +109,16 @@ def eval_expr(e: Expr, env: Dict[str, Any]):
         return eval_expr(e.else_, env) if e.else_ is not None else None
     if isinstance(e, InList):
         v = eval_expr(e.expr, env)
+        if v is None:
+            # SQL three-valued logic: NULL IN (...) / NULL NOT IN (...)
+            # are both NULL, which filters as false
+            return False
         vals = [eval_expr(x, env) for x in e.values]
-        hit = any(_contains(v, x) for x in vals)
-        return (not hit) if e.negated else hit
+        hit = any(_contains(v, x) for x in vals if x is not None)
+        if e.negated:
+            # x NOT IN (..., NULL, ...) is NULL unless x matched
+            return (not hit) and not any(x is None for x in vals)
+        return hit
     if isinstance(e, InSelect):
         raise SQLRuntimeError("IN (SELECT) must be rewritten by the planner")
     if isinstance(e, Between):

@@ -22,7 +22,8 @@ from featurebase_tpu.sql.ast import (AlterTable, Between, BinOp, BulkInsert,
                                      Delete, DropDatabase, DropFunction,
                                      DropTable, DropView, Expr, Func,
                                      InList, InSelect, Insert, IsNull, Like,
-                                     Lit, Select, SelectItem, Show, Star,
+                                     Lit, ScalarSubquery, Select, SelectItem,
+                                     Show, Star,
                                      TableRef, Join, UnOp, AGGREGATES)
 
 _TOKEN_RX = re.compile(r"""
@@ -633,6 +634,10 @@ def _primary(lx: Lexer) -> Expr:
         return Lit(v)
     if k == "op" and v == "(":
         lx.next()
+        if lx.at_kw("select"):
+            sub = _select(lx)
+            lx.expect_op(")")
+            return ScalarSubquery(sub)
         node = _expr(lx)
         lx.expect_op(")")
         return node

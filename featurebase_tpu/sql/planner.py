@@ -1142,16 +1142,36 @@ class SelectCompiler:
                     raise APIError("IN (SELECT) must return one column", 400)
                 vals = [sa.Lit(r[0]) for r in rows]
                 return sa.InList(e.expr, vals, e.negated)
+            if isinstance(e, sa.ScalarSubquery):
+                inner = SelectCompiler(self.api, self.depth + 1) \
+                    .compile(e.select)
+                schema, rows = inner.run()
+                if schema and len(schema) != 1:
+                    raise APIError("scalar subquery must return one column",
+                                   400)
+                if len(rows) > 1:
+                    raise APIError("scalar subquery returned >1 row", 400)
+                return sa.Lit(rows[0][0] if rows else None)
             if isinstance(e, sa.BinOp):
                 e.left, e.right = rw(e.left), rw(e.right)
             elif isinstance(e, sa.UnOp):
                 e.operand = rw(e.operand)
             elif isinstance(e, sa.InList):
                 e.expr = rw(e.expr)
+                e.values = [rw(v) for v in e.values]
             elif isinstance(e, (sa.Between,)):
                 e.expr = rw(e.expr)
+                e.lo, e.hi = rw(e.lo), rw(e.hi)
             elif isinstance(e, (sa.IsNull, sa.Like)):
                 e.expr = rw(e.expr)
+            elif isinstance(e, sa.Func):
+                e.args = [rw(a) for a in e.args]
+            elif isinstance(e, sa.Case):
+                if e.operand is not None:
+                    e.operand = rw(e.operand)
+                e.whens = [(rw(c), rw(r)) for c, r in e.whens]
+                if e.else_ is not None:
+                    e.else_ = rw(e.else_)
             return e
 
         if sel.where is not None:
@@ -1229,7 +1249,10 @@ class SelectCompiler:
             if e.op == "=":
                 return Call("Row", {col: v})
             if e.op == "!=":
-                return Call("Not", children=[Call("Row", {col: v})])
+                # SQL: NULL != v is NULL (filtered out), so restrict the
+                # complement to records that have some value in the field
+                return self._and_not_null(col, Call(
+                    "Not", children=[Call("Row", {col: v})]))
             return None
         if isinstance(e, sa.Between) and f.is_bsi() and not e.negated:
             if isinstance(e.lo, sa.Lit) and isinstance(e.hi, sa.Lit):
@@ -1250,11 +1273,22 @@ class SelectCompiler:
                     return None
                 inner = Call("Union", children=[Call("Row", {col: v})
                                                 for v in vals])
-            return Call("Not", children=[inner]) if e.negated else inner
+            if e.negated:
+                return self._and_not_null(
+                    col, Call("Not", children=[inner]))
+            return inner
         if isinstance(e, sa.IsNull) and f.is_bsi():
             cond = Condition("!=" if e.negated else "==", None)
             return Call("Row", {col: cond})
         return None
+
+    def _and_not_null(self, col: str, call: Call) -> Call:
+        """NULL-correct negation on set-like fields: restrict a Not()
+        complement to records holding any value in the field (SQL
+        three-valued logic filters NULL rows out of != / NOT IN)."""
+        notnull = Call("UnionRows",
+                       children=[Call("Rows", {"_field": col})])
+        return Call("Intersect", children=[call, notnull])
 
     def _id_of(self, idx, v):
         if isinstance(v, str):

@@ -284,6 +284,90 @@ CASES = [
     ("Percentile(field=v, nth=100)", (1000, 1)),
     ("Percentile(field=v, nth=50)", (0, 1)),
     ("Percentile(field=v, nth=99)", (1000, 1)),
+    ("Percentile(field=v, nth=25)", (-3, 1)),
+    # filter is a named arg, not a child (reference executor.go:1296
+    # reads c.Args["filter"]; children are ignored)
+    # bisection may settle on an unattained midpoint: values {-1000,-3,
+    # 7,1000}, possible=0 satisfies less<=2 and greater<=2 (reference
+    # executor.go:1497-1520 returns `possible` without an equality probe)
+    ("Percentile(filter=Row(f=0), field=v, nth=50)", (0, 1)),
+    # -- n-ary set algebra edge cases (TestExecutor_Execute_
+    #    {Intersect,Union,Difference,Xor} multi-operand rows)
+    ("Intersect(Row(f=0), Row(f=1), Row(g=5))", [1]),
+    ("Union(Row(f=1), Not(Row(f=1)))", ALL_COLS),
+    ("Difference(Row(f=0), Row(f=1), Row(f=2))", [0, SW + 2]),
+    ("Xor(Row(f=0), Row(f=1), Row(g=5))",
+     [0, 1, 65537, 2 * SW + 4]),
+    ("Intersect(All(), Row(f=2))", F2),
+    ("Difference(All(), Row(f=0), Row(f=1), Row(f=2))",
+     [c for c in ALL_COLS if c not in {*F0, *F1, *F2}]),
+    ("Count(Union(Row(f=0), Row(f=1), Row(f=2)))",
+     len({*F0, *F1, *F2})),
+    # -- Shift at the shard boundary drops the carried bit (reference
+    # row.go:366-374: per-segment shift, "TODO: deal with overflow",
+    # issue #403 — bits do not carry into the next shard)
+    (f"Shift(ConstRow(columns=[{SW - 1}]), n=1)", []),
+    (f"Shift(ConstRow(columns=[{SW - 1}, {SW}]), n=2)",
+     [SW + 2]),
+    # -- decimal ranges / aggregates (TestExecutor_Execute_SetDecimal,
+    #    DecimalSum)
+    ("Row(d >= 1.25)", [1]),
+    ("Row(d != null)", [1, 2]),
+    ("Row(d == null)",
+     [c for c in ALL_COLS if c not in (1, 2)]),
+    ("Row(-1 <= d <= 2)", [1, 2]),
+    ("Min(field=d)", (-50, 1)),     # scaled by 10^2
+    ("Max(field=d)", (125, 1)),
+    ("Sum(Row(f=1), field=d)", (75, 2)),
+    ("FieldValue(field=d, column=1)", (125, 1)),
+    # -- TopN/TopK breadth (TestExecutor_Execute_TopN_fill,
+    #    TopN_Src_Dst_Key, TopK)
+    ("TopK(f, k=10)", [(0, 4), (1, 3), (2, 2)]),
+    ("TopK(f, k=2)", [(0, 4), (1, 3)]),
+    ("TopK(m, k=5)", [(10, 2), (20, 1)]),
+    ("TopN(f, Row(g=5))", [(0, 2), (1, 2)]),     # ties: id asc
+    ("TopN(b)", [(0, 1), (1, 1)]),
+    ("TopK(f, k=0)", [(0, 4), (1, 3), (2, 2)]),  # k=0: unbounded
+    # -- Distinct on keyed fields (TestExecutor_Execute_
+    #    DistinctOnKeyedField)
+    ("Distinct(field=kf)", ["alpha", "beta"]),
+    ("Distinct(Row(f=1), field=kf)", ["alpha", "beta"]),
+    ("Distinct(ConstRow(columns=[2]), field=kf)", ["beta"]),
+    # -- Rows previous+limit combos (TestExecutor_Execute_Rows)
+    ("Rows(f, previous=0, limit=1)", [1]),
+    ("Rows(g)", [5]),
+    ("Rows(b)", [0, 1]),
+    # -- GroupBy breadth (TestExecutor_Execute_GroupBy aggregate/
+    #    having/3-field combos)
+    ("GroupBy(Rows(f), Rows(g), Rows(m))",
+     [((0, 5, 10), 2, 0), ((1, 5, 10), 1, 0), ((1, 5, 20), 1, 0)]),
+    ("GroupBy(Rows(f), aggregate=Sum(field=d))",
+     [((0,), 1, 125), ((1,), 2, 75)]),
+    ("GroupBy(Rows(g), aggregate=Sum(field=v))",
+     [((5,), 3, 4)]),
+    ("GroupBy(Rows(f), Rows(g), limit=1)", [((0, 5), 2, 0)]),
+    ("GroupBy(Rows(f), filter=Row(v > 0))",
+     [((0,), 2, 0), ((2,), 1, 0)]),
+    ("GroupBy(Rows(f), having=Condition(count < 3))", [((2,), 2, 0)]),
+    # -- Sort on decimal + ties (TestExecutor_Sort)
+    ("Sort(All(), field=d)",
+     {"columns": [2, 1], "values": [-0.5, 1.25]}),
+    ("Sort(Row(f=99), field=v)", {"columns": [], "values": []}),
+    # -- Extract breadth (TestExecutor_Execute_Extract)
+    ("Extract(ConstRow(columns=[1, 9]), Rows(kf))",
+     {1: [["alpha"]], 9: [[]]}),
+    (f"Extract(ConstRow(columns=[{SW + 2}]), Rows(f), Rows(v))",
+     {SW + 2: [[0], 7]}),
+    # -- time-quantum views (TestExecutorTimeRange granularity)
+    ('Row(t=1, from="2001-02-03T04:00", to="2001-02-03T05:00")', [1]),
+    ('Row(t=1, from="2001-02-01T00:00", to="2001-03-01T00:00")',
+     [1, 2]),
+    ('Row(t=1, from="1999-01-01T00:00", to="2000-01-01T00:00")', []),
+    ('Row(t=2, from="2002-01-01T00:00", to="2002-01-02T00:00")', [1]),
+    # -- IncludesColumn / ConstRow interplay
+    ("IncludesColumn(Union(Row(f=0), Row(f=1)), column=65537)", True),
+    ("IncludesColumn(All(), column=9)", True),
+    ("IncludesColumn(All(), column=12345)", False),
 ]
 
 

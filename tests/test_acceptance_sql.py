@@ -130,6 +130,220 @@ def test_sql_acceptance(db, sql, expected):
     assert got == expected, sql
 
 
+# ---------------------------------------------------------------------------
+# Tranche 2: the remaining defs_*.go categories (reference:
+# sql3/test/defs/defs_{binops,unops,null,in,like,between,bool,
+# string_functions,date_functions,set_functions,top,minmaxnegative,
+# keyed,orderby,having,subquery,distinct}.go).  Expectations hand-computed.
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def db2():
+    api = API()
+    execute_sql(api, """CREATE TABLE t (_id ID, s STRING,
+        n INT MIN -1000 MAX 1000, d DECIMAL(2), b BOOL,
+        tags STRINGSET, ts TIMESTAMP)""")
+    execute_sql(api, """INSERT INTO t (_id, s, n, d, b, tags, ts) VALUES
+        (1, 'alpha', -10, 1.50, true, ['x', 'y'],
+         '2023-01-15T10:30:00Z'),
+        (2, 'beta', 0, -2.25, false, ['y'], '2023-06-01T00:00:00Z'),
+        (3, 'gamma', 25, 0.00, true, ['z'], '2024-02-29T12:00:00Z'),
+        (4, 'delta', 999, 10.10, false, ['x', 'z'],
+         '2022-12-31T23:59:59Z')""")
+    # row 5: nulls in s / n / d / tags (only _id + b present)
+    execute_sql(api, "INSERT INTO t (_id, b) VALUES (5, true)")
+    execute_sql(api, """CREATE TABLE kt (_id STRING, grp STRING,
+        score INT MIN 0 MAX 100)""")
+    execute_sql(api, """INSERT INTO kt (_id, grp, score) VALUES
+        ('u1', 'a', 10), ('u2', 'a', 20), ('u3', 'b', 30)""")
+    return api
+
+
+CASES2 = [
+    # -- binops (defs_binops.go)
+    ("SELECT n + 5 FROM t WHERE _id = 3", [[30]]),
+    ("SELECT n - 5 FROM t WHERE _id = 3", [[20]]),
+    ("SELECT n * 4 FROM t WHERE _id = 3", [[100]]),
+    ("SELECT n / 5 FROM t WHERE _id = 3", [[5]]),
+    ("SELECT n % 4 FROM t WHERE _id = 3", [[1]]),
+    ("SELECT n + n FROM t WHERE _id = 1", [[-20]]),
+    ("SELECT 10 / 4", [[2]]),      # int / int is integer division
+    ("SELECT 10.0 / 4", [[2.5]]),
+    ("SELECT 7 % 3", [[1]]),
+    ("SELECT 2 * 3 + 4 * 5", [[26]]),
+    ("SELECT -n FROM t WHERE _id = 1", [[10]]),          # unop (defs_unops)
+    ("SELECT -n FROM t WHERE _id = 4", [[-999]]),
+    ("SELECT NOT b FROM t WHERE _id = 1", [[False]]),
+    ("SELECT _id FROM t WHERE n + 10 > 30", [[3], [4]]),
+    ("SELECT _id FROM t WHERE n * 2 = 50", [[3]]),
+    # -- comparison trees on negatives (defs_minmaxnegative.go)
+    ("SELECT _id FROM t WHERE n < 0", [[1]]),
+    ("SELECT _id FROM t WHERE n <= -10", [[1]]),
+    ("SELECT _id FROM t WHERE n > -11 AND n < 1", [[1], [2]]),
+    ("SELECT MIN(n) FROM t", [[-10]]),
+    ("SELECT MAX(n) FROM t", [[999]]),
+    ("SELECT SUM(n) FROM t", [[1014]]),
+    ("SELECT MIN(d) FROM t", [[-2.25]]),
+    ("SELECT MAX(d) FROM t", [[10.1]]),
+    # -- IN / NOT IN (defs_in.go)
+    ("SELECT _id FROM t WHERE _id IN (1, 3)", [[1], [3]]),
+    ("SELECT _id FROM t WHERE n IN (-10, 999)", [[1], [4]]),
+    ("SELECT _id FROM t WHERE n NOT IN (-10, 999)", [[2], [3]]),
+    ("SELECT _id FROM t WHERE s IN ('alpha', 'beta')", [[1], [2]]),
+    ("SELECT _id FROM t WHERE s NOT IN ('alpha')", [[2], [3], [4]]),
+    ("SELECT _id FROM t WHERE n IN (12345)", []),
+    # -- LIKE / NOT LIKE (defs_like.go)
+    ("SELECT _id FROM t WHERE s LIKE 'a%'", [[1]]),
+    ("SELECT _id FROM t WHERE s LIKE '%a'", [[1], [2], [3], [4]]),
+    ("SELECT _id FROM t WHERE s LIKE '%et%'", [[2]]),
+    ("SELECT _id FROM t WHERE s LIKE '_eta'", [[2]]),
+    ("SELECT _id FROM t WHERE s NOT LIKE '%a'", []),
+    ("SELECT _id FROM t WHERE s LIKE 'z%'", []),
+    # -- BETWEEN / NOT BETWEEN (defs_between.go)
+    ("SELECT _id FROM t WHERE n BETWEEN 0 AND 100", [[2], [3]]),
+    ("SELECT _id FROM t WHERE n NOT BETWEEN 0 AND 100", [[1], [4]]),
+    ("SELECT _id FROM t WHERE n BETWEEN -10 AND -10", [[1]]),
+    ("SELECT _id FROM t WHERE d BETWEEN 0.0 AND 2.0", [[1], [3]]),
+    # -- bool (defs_bool.go)
+    ("SELECT _id FROM t WHERE b = true", [[1], [3], [5]]),
+    ("SELECT _id FROM t WHERE b = false", [[2], [4]]),
+    ("SELECT _id FROM t WHERE b != true", [[2], [4]]),
+    ("SELECT b, COUNT(*) FROM t GROUP BY b",
+     [[False, 2], [True, 3]]),
+    # -- null handling (defs_null.go)
+    ("SELECT _id FROM t WHERE s IS NULL", [[5]]),
+    ("SELECT _id FROM t WHERE s IS NOT NULL", [[1], [2], [3], [4]]),
+    ("SELECT _id FROM t WHERE n IS NULL", [[5]]),
+    ("SELECT _id FROM t WHERE n IS NOT NULL", [[1], [2], [3], [4]]),
+    ("SELECT _id FROM t WHERE tags IS NULL", [[5]]),
+    ("SELECT COUNT(n) FROM t", [[4]]),    # COUNT(col) skips nulls
+    ("SELECT COUNT(*) FROM t", [[5]]),
+    ("SELECT COALESCE(s, 'none') FROM t WHERE _id = 5", [["none"]]),
+    ("SELECT COALESCE(s, 'none') FROM t WHERE _id = 1", [["alpha"]]),
+    ("SELECT NULLIF(n, 0) FROM t WHERE _id = 2", [[None]]),
+    ("SELECT NULLIF(n, 7) FROM t WHERE _id = 2", [[0]]),
+    ("SELECT UPPER(s) FROM t WHERE _id = 5", [[None]]),  # null propagates
+    ("SELECT n + 1 FROM t WHERE _id = 5", [[None]]),
+    # -- string functions (defs_string_functions.go)
+    ("SELECT UPPER('hello')", [["HELLO"]]),
+    ("SELECT LOWER('WoRlD')", [["world"]]),
+    ("SELECT TRIM('  pad  ')", [["pad"]]),
+    ("SELECT LTRIM('  pad')", [["pad"]]),
+    ("SELECT RTRIM('pad  ')", [["pad"]]),
+    ("SELECT REVERSE('abc')", [["cba"]]),
+    ("SELECT CHAR_LENGTH('featurebase')", [[11]]),
+    ("SELECT SUBSTRING('featurebase', 7)", [["base"]]),
+    ("SELECT SUBSTRING('featurebase', 0, 4)", [["feat"]]),
+    ("SELECT REPLACEALL('a-b-c', '-', '+')", [["a+b+c"]]),
+    ("SELECT STRINGSPLIT('a,b,c', ',', 1)", [["b"]]),
+    ("SELECT PREFIX('featurebase', 4)", [["feat"]]),
+    ("SELECT SUFFIX('featurebase', 4)", [["base"]]),
+    ("SELECT SPACE(3)", [["   "]]),
+    ("SELECT UPPER(LOWER('MiXeD'))", [["MIXED"]]),
+    ("SELECT LEN(TRIM('  x  '))", [[1]]),
+    # -- number functions
+    ("SELECT ABS(-12)", [[12]]),
+    ("SELECT CEIL(1.2)", [[2]]),
+    ("SELECT FLOOR(1.8)", [[1]]),
+    ("SELECT ROUND(2.567, 1)", [[2.6]]),
+    ("SELECT SQRT(16)", [[4.0]]),
+    ("SELECT POWER(2, 10)", [[1024]]),
+    ("SELECT MOD(17, 5)", [[2]]),
+    ("SELECT SIGN(-3)", [[-1]]),
+    ("SELECT SIGN(0)", [[0]]),
+    ("SELECT GREATEST(3, 1, 2)", [[3]]),
+    ("SELECT LEAST(3, 1, 2)", [[1]]),
+    # -- date functions (defs_date_functions.go)
+    ("SELECT DATETIMEPART('yy', '2023-01-15T10:30:00Z')", [[2023]]),
+    ("SELECT DATETIMEPART('m', '2023-01-15T10:30:00Z')", [[1]]),
+    ("SELECT DATETIMEPART('d', '2023-01-15T10:30:00Z')", [[15]]),
+    ("SELECT DATETIMEPART('hh', '2023-01-15T10:30:00Z')", [[10]]),
+    ("SELECT DATETIMEPART('mi', '2023-01-15T10:30:00Z')", [[30]]),
+    ("SELECT DATETIMEPART('yy', ts) FROM t WHERE _id = 3", [[2024]]),
+    ("SELECT DATEADD('d', 1, '2024-02-28T00:00:00')",
+     [["2024-02-29T00:00:00"]]),
+    ("SELECT DATEADD('yy', 1, '2023-06-01T00:00:00')",
+     [["2024-06-01T00:00:00"]]),
+    ("SELECT DATEADD('m', 2, '2023-11-15T00:00:00')",
+     [["2024-01-15T00:00:00"]]),
+    # -- set functions (defs_set_functions.go)
+    ("SELECT SETCONTAINS(tags, 'x') FROM t WHERE _id = 1", [[True]]),
+    ("SELECT SETCONTAINS(tags, 'z') FROM t WHERE _id = 1", [[False]]),
+    ("SELECT _id FROM t WHERE SETCONTAINS(tags, 'x')", [[1], [4]]),
+    ("SELECT _id FROM t WHERE SETCONTAINSANY(tags, ['x', 'z'])",
+     [[1], [3], [4]]),
+    ("SELECT _id FROM t WHERE SETCONTAINSALL(tags, ['x', 'z'])", [[4]]),
+    ("SELECT _id FROM t WHERE tags = 'y'", [[1], [2]]),
+    # -- CASE (defs dialect)
+    ("SELECT CASE WHEN n > 100 THEN 'big' WHEN n >= 0 THEN 'small' "
+     "ELSE 'neg' END FROM t WHERE _id = 1", [["neg"]]),
+    ("SELECT CASE WHEN n > 100 THEN 'big' WHEN n >= 0 THEN 'small' "
+     "ELSE 'neg' END FROM t WHERE _id = 4", [["big"]]),
+    ("SELECT CASE s WHEN 'alpha' THEN 1 WHEN 'beta' THEN 2 ELSE 0 END "
+     "FROM t WHERE _id = 2", [[2]]),
+    ("SELECT _id, CASE WHEN b THEN 'y' ELSE 'n' END FROM t "
+     "WHERE _id <= 2", [[1, "y"], [2, "n"]]),
+    # -- TOP (defs_top.go)
+    ("SELECT TOP 2 _id FROM t ORDER BY n DESC", [[4], [3]]),
+    ("SELECT TOP 10 _id FROM t WHERE n IS NOT NULL ORDER BY n",
+     [[1], [2], [3], [4]]),
+    # -- order by / offset (defs_orderby.go)
+    ("SELECT _id FROM t WHERE n IS NOT NULL ORDER BY n DESC",
+     [[4], [3], [2], [1]]),
+    ("SELECT _id FROM t WHERE s IS NOT NULL ORDER BY s",
+     [[1], [2], [4], [3]]),
+    ("SELECT _id FROM t WHERE n IS NOT NULL ORDER BY n LIMIT 2 OFFSET 1",
+     [[2], [3]]),
+    ("SELECT s, n FROM t WHERE n IS NOT NULL ORDER BY n DESC LIMIT 1",
+     [["delta", 999]]),
+    # -- distinct (defs_distinct.go)
+    ("SELECT DISTINCT b FROM t", [[False], [True]]),
+    ("SELECT DISTINCT grp FROM kt", [["a"], ["b"]]),
+    ("SELECT COUNT(DISTINCT grp) FROM kt", [[2]]),
+    # -- keyed tables (defs_keyed.go)
+    ("SELECT _id FROM kt WHERE grp = 'a'", [["u1"], ["u2"]]),
+    ("SELECT _id, score FROM kt WHERE score > 15",
+     [["u2", 20], ["u3", 30]]),
+    ("SELECT SUM(score) FROM kt", [[60]]),
+    ("SELECT grp, SUM(score) FROM kt GROUP BY grp",
+     [["a", 30], ["b", 30]]),
+    ("SELECT _id FROM kt WHERE _id = 'u2'", [["u2"]]),
+    ("SELECT _id FROM kt WHERE _id LIKE 'u%' AND score < 25",
+     [["u1"], ["u2"]]),
+    # -- having (defs_having.go)
+    ("SELECT grp, COUNT(*) FROM kt GROUP BY grp HAVING COUNT(*) > 1",
+     [["a", 2]]),
+    ("SELECT grp, SUM(score) FROM kt GROUP BY grp "
+     "HAVING SUM(score) >= 30", [["a", 30], ["b", 30]]),
+    # -- subqueries (defs_subquery.go)
+    ("SELECT _id FROM kt WHERE score > "
+     "(SELECT MIN(score) FROM kt)", [["u2"], ["u3"]]),
+    ("SELECT COUNT(*) FROM (SELECT grp FROM kt WHERE score > 5) q",
+     [[3]]),
+    ("SELECT _id FROM t WHERE _id IN (SELECT _id FROM t WHERE b = true)",
+     [[1], [3], [5]]),
+    # -- aggregates over expressions (defs_aggregate.go)
+    ("SELECT SUM(n + 1) FROM t", [[1018]]),
+    ("SELECT AVG(n) FROM t", [[253.5]]),
+    ("SELECT MAX(n) - MIN(n) FROM t", [[1009]]),
+    ("SELECT COUNT(*) FROM t WHERE ts > '2023-01-01T00:00:00Z'",
+     [[3]]),
+    ("SELECT _id FROM t WHERE ts BETWEEN '2023-01-01T00:00:00Z' AND "
+     "'2023-12-31T00:00:00Z'", [[1], [2]]),
+]
+
+
+@pytest.mark.parametrize("sql,expected", CASES2,
+                         ids=[c[0][:70] for c in CASES2])
+def test_sql_acceptance_t2(db2, sql, expected):
+    out = execute_sql(db2, sql)
+    got = out["data"]
+    if "ORDER BY" not in sql:
+        got = sorted(got, key=repr)
+        expected = sorted(expected, key=repr)
+    assert got == expected, sql
+
+
 class TestSQLWrites:
     def test_insert_update_semantics(self):
         api = API()
