@@ -64,6 +64,9 @@ class Executor:
     executor.go:679).
     """
 
+    # optimistic snapshot-read attempts before escalating to a write freeze
+    SNAPSHOT_READ_RETRIES = 3
+
     def __init__(self, holder: Holder, mesh=None):
         self.holder = holder
         from featurebase_tpu.executor.plan import PlanExecutor
@@ -80,13 +83,34 @@ class Executor:
             raise ExecError(f"index not found: {index_name}")
         if isinstance(query, str):
             query = pql_parse(query)
-        results = []
-        for call in query.calls:
-            self._validate_call(index, call)
-            call = self._pre_translate(index, call)
-            result = self._execute_call(index, call, shards)
-            results.append(self._translate_result(index, call, result))
-        return results
+
+        def run():
+            results = []
+            for call in query.calls:
+                self._validate_call(index, call)
+                c = self._pre_translate(index, call)
+                result = self._execute_call(index, c, shards)
+                results.append(self._translate_result(index, c, result))
+            return results
+
+        from featurebase_tpu.pql.ast import WRITE_CALLS
+        if any(c.name in WRITE_CALLS for c in query.calls):
+            # writers run shared: concurrent with each other (per-fragment
+            # locks serialize actual mutation) but excluded by an escalated
+            # snapshot reader (reference: one-writer RBF Tx, rbf/db.go:607)
+            with index.mutate_gate.shared():
+                return run()
+        # Snapshot-consistent read: optimistic generation validation with
+        # bounded retry, escalating to a brief write freeze (the Qcx/MVCC
+        # role — reference txfactory.go:84 pins reads to RBF page-map
+        # snapshots; dense tiles have no page maps, so validate-and-retry)
+        for _ in range(self.SNAPSHOT_READ_RETRIES):
+            before = index.fragment_generations()
+            results = run()
+            if index.fragment_generations() == before:
+                return results
+        with index.mutate_gate.exclusive():
+            return run()
 
     def _validate_call(self, index: Index, call: Call):
         """Unknown field names error regardless of data presence

@@ -38,6 +38,10 @@ class Index:
         self.name = name
         self.options = options or IndexOptions()
         self._lock = threading.RLock()
+        # snapshot-read gate (the Qcx/RBF-MVCC role — see utils/rwlock.py):
+        # writers hold it shared; an escalated reader holds it exclusive
+        from featurebase_tpu.utils.rwlock import ShardedGate
+        self.mutate_gate = ShardedGate()
         self.fields: Dict[str, Field] = {}
         self.translate_store = IndexTranslateStore(name)
         self.field_translate_stores: Dict[str, FieldTranslateStore] = {}
@@ -111,6 +115,17 @@ class Index:
 
     def row_translation(self, field: str) -> Optional[FieldTranslateStore]:
         return self.field_translate_stores.get(field)
+
+    def fragment_generations(self) -> dict:
+        """Snapshot of every fragment's mutation counter, used by the
+        executor's optimistic read validation (the reference pins reads to
+        RBF page-map snapshots instead; rbf/db.go:45, txfactory.go:84)."""
+        gens = {}
+        for fname, f in list(self.fields.items()):
+            for vname, v in list(f.views.items()):
+                for shard, frag in list(v.fragments.items()):
+                    gens[(fname, vname, shard)] = frag.generation
+        return gens
 
     def to_info(self):
         return {"name": self.name, "options": self.options.to_json(),

@@ -481,9 +481,10 @@ class API:
                    "cols": [int(c) for c in cols],
                    "ts": list(timestamps) if timestamps is not None else None,
                    "clear": clear})
-        f.import_bits(rows, cols, timestamps=timestamps, clear=clear)
-        if not clear:
-            idx.mark_exists(cols)
+        with idx.mutate_gate.shared():
+            f.import_bits(rows, cols, timestamps=timestamps, clear=clear)
+            if not clear:
+                idx.mark_exists(cols)
 
     def _create_col_keys(self, idx, col_keys) -> Dict[str, int]:
         return self.create_index_keys(idx.name, list(col_keys))
@@ -551,9 +552,10 @@ class API:
                    "values": [v if not isinstance(v, (np.integer,)) else int(v)
                               for v in values],
                    "clear": clear})
-        f.import_values(cols, values, clear=clear)
-        if not clear:
-            idx.mark_exists(cols)
+        with idx.mutate_gate.shared():
+            f.import_values(cols, values, clear=clear)
+            if not clear:
+                idx.mark_exists(cols)
 
     # -- translation --------------------------------------------------------
 
@@ -643,7 +645,8 @@ class API:
                 return
         self._log({"op": "roaring", "i": index, "f": field, "shard": shard,
                    "data": encode_bytes(data), "view": view, "clear": clear})
-        import_roaring(idx, field, shard, data, view=view, clear=clear)
+        with idx.mutate_gate.shared():
+            import_roaring(idx, field, shard, data, view=view, clear=clear)
 
     def import_roaring_shard(self, index: str, shard: int, views: dict,
                              forwarded: bool = False):
@@ -678,7 +681,8 @@ class API:
                            "data": encode_bytes(payload.get("data", b"")),
                            "view": vname,
                            "clear": payload.get("clear", False)})
-        import_roaring_shard(idx, shard, views)
+        with idx.mutate_gate.shared():
+            import_roaring_shard(idx, shard, views)
 
     def export_roaring(self, index: str, field: str, shard: int,
                        view: str = "standard") -> bytes:
