@@ -847,11 +847,12 @@ class Executor:
         if plan is not None and shard_list:
             # fused expr+popcount: intermediate never hits HBM
             return self.plan_executor.run_count(index, plan, shard_list)
-        total = 0
-        for shard in shard_list:
+        from featurebase_tpu.utils.pool import map_shards
+
+        def one(shard):
             words = self._bitmap_call_shard(index, child, shard)
-            total += int(bw.popcount(words))
-        return total
+            return int(bw.popcount(words))
+        return sum(map_shards(one, shard_list))
 
     # ----------------------------------------------------- Sum / Min / Max
 
@@ -897,13 +898,17 @@ class Executor:
                 count = int(cnt)
                 total = agg.finalize_sum(pp, nn) + f.base * count
                 return self._wrap_valcount(f, total, count)
-        for shard in self._shards(index, shards):
+        from featurebase_tpu.utils.pool import map_shards
+
+        def one(shard):
             data = f.bsi_data(shard)
             if data is None:
-                continue
+                return (0, 0)
             slices, exists, sign, depth = data
             filt = self._shard_filter(index, filt_call, shard)
-            s, c = bsiops.sum_host(slices, exists, sign, filt, depth)
+            return bsiops.sum_host(slices, exists, sign, filt, depth)
+
+        for s, c in map_shards(one, self._shards(index, shards)):
             total += s
             count += c
         # values are stored relative to base (reference bsiGroup base)
@@ -913,17 +918,19 @@ class Executor:
     def _execute_min_max(self, index: Index, call: Call,
                          shards: Optional[List[int]], is_min: bool) -> ValCount:
         f, filt_call = self._agg_inputs(index, call, shards)
-        acc = ValCount()
-        for shard in self._shards(index, shards):
+        from featurebase_tpu.utils.pool import map_shards
+
+        def one(shard):
             data = f.bsi_data(shard)
             if data is None:
-                continue
+                return (0, 0)
             slices, exists, sign, depth = data
             filt = self._shard_filter(index, filt_call, shard)
-            if is_min:
-                v, c = bsiops.min_host(slices, exists, sign, filt, depth)
-            else:
-                v, c = bsiops.max_host(slices, exists, sign, filt, depth)
+            fn = bsiops.min_host if is_min else bsiops.max_host
+            return fn(slices, exists, sign, filt, depth)
+
+        acc = ValCount()
+        for v, c in map_shards(one, self._shards(index, shards)):
             if c == 0:
                 continue
             vc = ValCount(v + f.base, c)
