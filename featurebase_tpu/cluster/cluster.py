@@ -61,6 +61,53 @@ class Cluster:
     def is_self(self, node: Node) -> bool:
         return node.id == self.node_id
 
+    # -- dynamic membership (reference analogs: etcd watchNodes rebuilds the
+    # cluster snapshot, etcd/embed.go:711; DAX Controller.RegisterWorker +
+    # rebalance, dax/controller/controller.go:30 — the monolith reference
+    # removed resize, broadcast.go:63, so elastic join is a DAX-role feature
+    # folded into the cluster layer here) ----------------------------------
+
+    def apply_topology(self, nodes, replicas: Optional[int] = None):
+        """Install a new membership list; placement (jump hash over the
+        sorted node list) re-derives automatically.  Returns the previous
+        snapshot so callers can diff ownership for rebalance."""
+        with self._lock:
+            prev = self.snapshot
+            node_objs = [Node.from_json(n) if isinstance(n, dict) else n
+                         for n in nodes]
+            for n in node_objs:
+                old = prev.node(n.id)
+                if old is not None:
+                    n.state = old.state
+            self.snapshot = ClusterSnapshot(
+                node_objs, replicas=replicas or prev.replicas)
+            me = self.snapshot.node(self.node_id)
+            if me is not None:
+                self.self_node = me
+            return prev
+
+    def join_node(self, node):
+        """Admit (or re-admit) a node and broadcast the new topology to
+        every member, including the joiner.  Returns (topology, previous
+        snapshot)."""
+        nd = Node.from_json(node) if isinstance(node, dict) else node
+        nodes = [n.to_json() for n in self.nodes if n.id != nd.id]
+        nodes.append(nd.to_json())
+        prev = self.apply_topology(nodes)
+        topo = self.snapshot.to_json()
+        self.broadcast({"type": "topology", **topo})
+        return topo, prev
+
+    def remove_node(self, node_id: str):
+        """Retire a node and broadcast the shrunk topology."""
+        nodes = [n.to_json() for n in self.nodes if n.id != node_id]
+        if not nodes:
+            raise ValueError("cannot remove the last cluster node")
+        prev = self.apply_topology(nodes)
+        topo = self.snapshot.to_json()
+        self.broadcast({"type": "topology", **topo})
+        return topo, prev
+
     def mark_down(self, node_id: str):
         n = self.snapshot.node(node_id)
         if n is not None:

@@ -180,10 +180,83 @@ class API:
                                      if_not_exists=True)
             elif t == "delete_view":
                 self.delete_sql_view(msg["name"], if_exists=True)
+            elif t == "topology":
+                if self.cluster is not None:
+                    prev = self.cluster.apply_topology(
+                        msg["nodes"], msg.get("replicas"))
+                    try:
+                        self.rebalance_pull(prev)
+                    except Exception:  # noqa: BLE001 — heartbeat resync
+                        pass           # converges what a failed pull missed
             else:
                 raise APIError(f"unknown cluster message type: {t}", 400)
         finally:
             self._from_broadcast = False
+
+    def cluster_join(self, node: dict) -> dict:
+        """Admit a node into the running cluster and rebalance (reference
+        analog: DAX RegisterWorker + directive push; the monolith reference
+        has no resize).  Any member can process a join; the new topology is
+        broadcast to all members including the joiner."""
+        if self.cluster is None:
+            raise APIError("node is not clustered", 400)
+        if not node.get("id") or not node.get("uri"):
+            raise APIError("join requires id and uri", 400)
+        topo, prev = self.cluster.join_node(node)
+        try:
+            self.rebalance_pull(prev)
+        except Exception:  # noqa: BLE001
+            pass
+        return topo
+
+    def cluster_remove(self, node_id: str) -> dict:
+        """Retire a node; remaining members pull the shards it owned from
+        its replicas (or from the node itself if still reachable)."""
+        if self.cluster is None:
+            raise APIError("node is not clustered", 400)
+        try:
+            topo, prev = self.cluster.remove_node(node_id)
+        except ValueError as e:
+            raise APIError(str(e), 400)
+        try:
+            self.rebalance_pull(prev)
+        except Exception:  # noqa: BLE001
+            pass
+        return topo
+
+    def rebalance_pull(self, prev_snap) -> int:
+        """After a topology change, pull any shard this node now owns but
+        has no data for from that shard's owners under the PREVIOUS
+        topology (the DAX loadShard role, api_directive.go:559; periodic
+        resync_shards then keeps replicas converged)."""
+        if self.cluster is None or prev_snap is None:
+            return 0
+        pulled = 0
+        snap = self.cluster.snapshot
+        for index in list(self.holder.indexes):
+            try:
+                shards = self.cluster.all_shards(self, index)
+            except Exception:  # noqa: BLE001
+                continue
+            for shard in shards:
+                if not any(self.cluster.is_self(n)
+                           for n in snap.shard_nodes(index, shard)):
+                    continue
+                if self.shard_fragment_checksums(index, shard)["fragments"]:
+                    continue  # already holds data; resync reconciles drift
+                prev_owners = prev_snap.shard_nodes(index, shard)
+                for n in prev_owners:
+                    if n.id == self.cluster.node_id or n.state == "DOWN":
+                        continue
+                    try:
+                        data = self.cluster.client.shard_snapshot(
+                            n.uri, index, shard)
+                        self.restore_shard(index, shard, data)
+                        pulled += 1
+                        break
+                    except Exception:  # noqa: BLE001
+                        continue
+        return pulled
 
     def replicate_index_keys(self, index: str, entries: Dict[str, int]):
         """Apply primary-assigned column-key entries (replication target)."""

@@ -417,6 +417,13 @@ class Handler(BaseHTTPRequestHandler):
             self.api.handle_cluster_message(self._json())
             return self._send({})
 
+        if path == "/internal/cluster/join" and method == "POST":
+            return self._send(self.api.cluster_join(self._json()))
+
+        if path == "/internal/cluster/leave" and method == "POST":
+            return self._send(
+                self.api.cluster_remove(self._json().get("id", "")))
+
         m = re.fullmatch(r"/internal/translate/index/([^/]+)/replicate", path)
         if m and method == "POST":
             self.api.replicate_index_keys(m.group(1),

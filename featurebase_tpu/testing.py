@@ -78,6 +78,33 @@ class TestCluster:
                 a.cluster.mark_up(f"node{i}")
         return api
 
+    def add_node(self) -> API:
+        """Dynamically join a new node to the running cluster (reference
+        analog: DAX RegisterWorker; monolith reference has no resize).  The
+        joiner boots with the current topology plus itself, announces via
+        POST /internal/cluster/join on node 0 (which broadcasts the new
+        topology), then pulls schema + owned-shard data."""
+        i = len(self.servers)
+        srv = Server(defer_api=True)
+        node_list = [n.to_json()
+                     for n in self.apis[0].cluster.snapshot.nodes]
+        me = {"id": f"node{i}", "uri": srv.url}
+        cluster = Cluster(f"node{i}", node_list + [dict(me)],
+                          replicas=self.apis[0].cluster.snapshot.replicas)
+        api = API(cluster=cluster)
+        srv.set_api(api)
+        srv.start()
+        self.servers.append(srv)
+        self.apis.append(api)
+        self.http(0, "POST", "/internal/cluster/join", body=me)
+        cluster.sync_from_peers(api, retries=3)
+        from featurebase_tpu.cluster.topology import (ClusterSnapshot,
+                                                      Node)
+        prev = ClusterSnapshot([Node.from_json(dict(n)) for n in node_list],
+                               replicas=cluster.snapshot.replicas)
+        api.rebalance_pull(prev)
+        return api
+
     def close(self):
         for s in self.servers:
             try:
