@@ -67,44 +67,66 @@ class Cluster:
     # removed resize, broadcast.go:63, so elastic join is a DAX-role feature
     # folded into the cluster layer here) ----------------------------------
 
-    def apply_topology(self, nodes, replicas: Optional[int] = None):
+    def _apply_topology_locked(self, nodes, replicas=None, version=None,
+                               origin=None):
+        """Core topology install; caller holds self._lock.  Returns the
+        previous snapshot, or None if (version, origin) is stale (a delayed
+        older broadcast must not overwrite newer membership)."""
+        prev = self.snapshot
+        if version is not None and \
+                (version, origin or "") <= (prev.version, prev.origin):
+            return None
+        node_objs = [Node.from_json(n) if isinstance(n, dict) else n
+                     for n in nodes]
+        for n in node_objs:
+            old = prev.node(n.id)
+            if old is not None:
+                n.state = old.state
+        self.snapshot = ClusterSnapshot(
+            node_objs, replicas=replicas or prev.replicas,
+            version=prev.version + 1 if version is None else version,
+            origin=self.node_id if origin is None else origin)
+        me = self.snapshot.node(self.node_id)
+        if me is not None:
+            self.self_node = me
+        return prev
+
+    def apply_topology(self, nodes, replicas: Optional[int] = None,
+                       version: Optional[int] = None,
+                       origin: Optional[str] = None):
         """Install a new membership list; placement (jump hash over the
         sorted node list) re-derives automatically.  Returns the previous
-        snapshot so callers can diff ownership for rebalance."""
+        snapshot so callers can diff ownership for rebalance, or None when
+        the message carried a stale (version, origin) epoch."""
         with self._lock:
-            prev = self.snapshot
-            node_objs = [Node.from_json(n) if isinstance(n, dict) else n
-                         for n in nodes]
-            for n in node_objs:
-                old = prev.node(n.id)
-                if old is not None:
-                    n.state = old.state
-            self.snapshot = ClusterSnapshot(
-                node_objs, replicas=replicas or prev.replicas)
-            me = self.snapshot.node(self.node_id)
-            if me is not None:
-                self.self_node = me
-            return prev
+            return self._apply_topology_locked(nodes, replicas, version,
+                                               origin)
 
     def join_node(self, node):
         """Admit (or re-admit) a node and broadcast the new topology to
         every member, including the joiner.  Returns (topology, previous
-        snapshot)."""
+        snapshot).  The merged node list is built under the lock so two
+        concurrent joins can't each drop the other's node (epoch + origin
+        tiebreak then keeps receivers' views convergent)."""
         nd = Node.from_json(node) if isinstance(node, dict) else node
-        nodes = [n.to_json() for n in self.nodes if n.id != nd.id]
-        nodes.append(nd.to_json())
-        prev = self.apply_topology(nodes)
-        topo = self.snapshot.to_json()
+        with self._lock:
+            nodes = [n.to_json() for n in self.snapshot.nodes
+                     if n.id != nd.id]
+            nodes.append(nd.to_json())
+            prev = self._apply_topology_locked(nodes)
+            topo = self.snapshot.to_json()
         self.broadcast({"type": "topology", **topo})
         return topo, prev
 
     def remove_node(self, node_id: str):
         """Retire a node and broadcast the shrunk topology."""
-        nodes = [n.to_json() for n in self.nodes if n.id != node_id]
-        if not nodes:
-            raise ValueError("cannot remove the last cluster node")
-        prev = self.apply_topology(nodes)
-        topo = self.snapshot.to_json()
+        with self._lock:
+            nodes = [n.to_json() for n in self.snapshot.nodes
+                     if n.id != node_id]
+            if not nodes:
+                raise ValueError("cannot remove the last cluster node")
+            prev = self._apply_topology_locked(nodes)
+            topo = self.snapshot.to_json()
         self.broadcast({"type": "topology", **topo})
         return topo, prev
 

@@ -62,12 +62,19 @@ class ClusterSnapshot:
     (reference: disco.ClusterSnapshot, snapshot.go:24)."""
 
     def __init__(self, nodes: List[Node], replicas: int = 1,
-                 partition_n: int = PARTITION_N):
+                 partition_n: int = PARTITION_N, version: int = 0,
+                 origin: str = ""):
         # sorted by id so every node derives identical placement
         # (reference: snapshot.go sorts nodes by ID)
         self.nodes = sorted(nodes, key=lambda n: n.id)
         self.replicas = max(1, min(replicas, len(self.nodes) or 1))
         self.partition_n = partition_n
+        # Monotonic epoch + originating node id: a delayed older broadcast
+        # must never overwrite newer membership (the reference gets a single
+        # consistent view from etcd; here receivers ignore any message whose
+        # (version, origin) is <= the locally applied one).
+        self.version = version
+        self.origin = origin
         self._by_id: Dict[str, Node] = {n.id: n for n in self.nodes}
         if self.nodes:
             self.nodes[0].is_primary = True
@@ -134,4 +141,5 @@ class ClusterSnapshot:
 
     def to_json(self) -> dict:
         return {"nodes": [n.to_json() for n in self.nodes],
-                "replicas": self.replicas}
+                "replicas": self.replicas,
+                "version": self.version, "origin": self.origin}

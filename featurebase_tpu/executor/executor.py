@@ -103,11 +103,22 @@ class Executor:
         # Snapshot-consistent read: optimistic generation validation with
         # bounded retry, escalating to a brief write freeze (the Qcx/MVCC
         # role — reference txfactory.go:84 pins reads to RBF page-map
-        # snapshots; dense tiles have no page maps, so validate-and-retry)
+        # snapshots; dense tiles have no page maps, so validate-and-retry).
+        # Validation is leaf-granular: only the (field, view, shard) leaves
+        # the read actually touched are re-checked, so writes to unrelated
+        # fields never force a retry (reference: per-shard write scopes,
+        # querycontext/doc.go:1-62).  Fragment generations are seqlocks —
+        # odd while a write is mutating host words — so a torn read is
+        # caught even when the counter itself hasn't ticked yet.
+        from featurebase_tpu.model.view import record_touches
         for _ in range(self.SNAPSHOT_READ_RETRIES):
             before = index.fragment_generations()
-            results = run()
-            if index.fragment_generations() == before:
+            touched: set = set()
+            with record_touches(touched):
+                results = run()
+            after = index.fragment_generations(touched)
+            if all(before.get(k, -1) == g and not (g != -1 and g & 1)
+                   for k, g in after.items()):
                 return results
         with index.mutate_gate.exclusive():
             return run()
@@ -212,14 +223,19 @@ class Executor:
             f = index.field(fld) if fld else None
             if f is not None and f.options.keys:
                 store = index.row_translation(fld)
-                keys = store.translate_ids(
-                    [int(c) for c in result.columns()])
-                result.keys = [k for k in keys if k is not None]
+                ids = [int(c) for c in result.columns()]
+                keys = store.translate_ids(ids)
+                # keep keys parallel to columns(): an untranslatable id
+                # surfaces as its numeric value rather than vanishing
+                # (matches the Rows branch below)
+                result.keys = [k if k is not None else i
+                               for k, i in zip(keys, ids)]
             return result
         if isinstance(result, Row) and index.options.keys:
             cols = result.columns()
             keys = index.translate_store.translate_ids(cols)
-            result.keys = [k for k in keys if k is not None]
+            result.keys = [k if k is not None else int(c)
+                           for k, c in zip(keys, cols)]
         if isinstance(result, PairsField):
             f = index.field(result.field)
             if f is not None and f.options.keys:

@@ -65,6 +65,15 @@ class Batch:
         else:
             cols = np.array([int(i) for i in ids], dtype=np.int64)
 
+        # all fragment mutations run under the index mutate gate (shared),
+        # like the API import paths, so escalated snapshot reads exclude
+        # a half-applied batch
+        with self.idx.mutate_gate.shared():
+            self._import_fields(cols)
+        self._ids = []
+        self._values = {f: [] for f in self.fields}
+
+    def _import_fields(self, cols):
         for fname, f in self._field_objs.items():
             vals = self._values[fname]
             present = np.array([v is not None for v in vals], dtype=bool)
@@ -115,8 +124,6 @@ class Batch:
                                   np.array(flat_cols, dtype=np.int64),
                                   timestamps=ts_arr)
         self.idx.mark_exists(cols)
-        self._ids = []
-        self._values = {f: [] for f in self.fields}
 
 
 def csv_ingest(api: API, index: str, path: str, id_column: str = "id",

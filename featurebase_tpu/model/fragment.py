@@ -15,6 +15,7 @@ words (see core/consts.py).
 from __future__ import annotations
 
 import threading
+from contextlib import contextmanager
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -43,8 +44,21 @@ class Fragment:
         self._dev_rows = -1         # number of valid slots on device
         self._dirty: set = set()    # slots needing upload
         self._all_dirty = True
-        # bumped on every mutation; plan-leaf caches key on this
+        # Seqlock generation: bumped to ODD before host words mutate and
+        # back to EVEN after (both under self._lock).  Lock-free readers
+        # (executor snapshot validation, plan-leaf caches) treat an odd or
+        # changed value as "unstable — retry" (the reference gets this from
+        # RBF page-map snapshot isolation instead, rbf/page_map.go:1).
         self.generation = 0
+
+    @contextmanager
+    def _mutating(self):
+        """Seqlock write section; caller must hold self._lock."""
+        self.generation += 1
+        try:
+            yield
+        finally:
+            self.generation += 1
 
     # -- host-side row management ------------------------------------------
 
@@ -97,9 +111,9 @@ class Fragment:
             old = self._words[slot, w]
             if old & b:
                 return False
-            self._words[slot, w] = old | b
+            with self._mutating():
+                self._words[slot, w] = old | b
             self._dirty.add(slot)
-            self.generation += 1
             return True
 
     def clear_bit(self, row: int, col: int) -> bool:
@@ -112,9 +126,9 @@ class Fragment:
             old = self._words[slot, w]
             if not (old & b):
                 return False
-            self._words[slot, w] = old & ~b
+            with self._mutating():
+                self._words[slot, w] = old & ~b
             self._dirty.add(slot)
-            self.generation += 1
             return True
 
     def get_bit(self, row: int, col: int) -> bool:
@@ -133,28 +147,31 @@ class Fragment:
                 slot = self._slot_of_row.get(row)
                 if slot is None:
                     return
-                np.bitwise_and(self._words[slot], ~words, out=self._words[slot])
+                with self._mutating():
+                    np.bitwise_and(self._words[slot], ~words,
+                                   out=self._words[slot])
             else:
                 slot = self._ensure_slot(row)
-                np.bitwise_or(self._words[slot], words, out=self._words[slot])
+                with self._mutating():
+                    np.bitwise_or(self._words[slot], words,
+                                  out=self._words[slot])
             self._dirty.add(slot)
-            self.generation += 1
 
     def write_row_words(self, row: int, words: np.ndarray):
         """Replace a row wholesale (reference Store / ClearRow+Set)."""
         with self._lock:
             slot = self._ensure_slot(row)
-            self._words[slot] = words
+            with self._mutating():
+                self._words[slot] = words
             self._dirty.add(slot)
-            self.generation += 1
 
     def clear_row(self, row: int):
         with self._lock:
             slot = self._slot_of_row.get(row)
             if slot is not None:
-                self._words[slot] = 0
+                with self._mutating():
+                    self._words[slot] = 0
                 self._dirty.add(slot)
-                self.generation += 1
 
     def import_bits(self, rows: np.ndarray, cols: np.ndarray, clear: bool = False):
         """Bulk set bits given parallel (row, col-in-shard) arrays."""
@@ -165,20 +182,20 @@ class Fragment:
             rows, cols = rows[order], cols[order]
             uniq, starts = np.unique(rows, return_index=True)
             bounds = np.append(starts, rows.size)
-            for i, r in enumerate(uniq):
-                c = cols[bounds[i]:bounds[i + 1]]
-                slot = self._ensure_slot(int(r))
-                tgt = self._words[slot]
-                vals = np.uint32(1) << (c & 31).astype(np.uint32)
-                if clear:
-                    # clear bits: need AND NOT of accumulated mask
-                    mask = np.zeros(WORDS_PER_ROW, dtype=np.uint32)
-                    np.bitwise_or.at(mask, c >> 5, vals)
-                    np.bitwise_and(tgt, ~mask, out=tgt)
-                else:
-                    np.bitwise_or.at(tgt, c >> 5, vals)
-                self._dirty.add(slot)
-                self.generation += 1
+            with self._mutating():
+                for i, r in enumerate(uniq):
+                    c = cols[bounds[i]:bounds[i + 1]]
+                    slot = self._ensure_slot(int(r))
+                    tgt = self._words[slot]
+                    vals = np.uint32(1) << (c & 31).astype(np.uint32)
+                    if clear:
+                        # clear bits: need AND NOT of accumulated mask
+                        mask = np.zeros(WORDS_PER_ROW, dtype=np.uint32)
+                        np.bitwise_or.at(mask, c >> 5, vals)
+                        np.bitwise_and(tgt, ~mask, out=tgt)
+                    else:
+                        np.bitwise_or.at(tgt, c >> 5, vals)
+                    self._dirty.add(slot)
 
     def clear_columns(self, col_mask: np.ndarray):
         """ANDNOT a dense column mask out of every row (reference Delete /
@@ -187,10 +204,10 @@ class Fragment:
             n = self.num_rows
             if n == 0:
                 return
-            np.bitwise_and(self._words[:n], ~col_mask[None, :],
-                           out=self._words[:n])
+            with self._mutating():
+                np.bitwise_and(self._words[:n], ~col_mask[None, :],
+                               out=self._words[:n])
             self._dirty.update(range(n))
-            self.generation += 1
 
     # -- device mirror ------------------------------------------------------
     # The mirror is a cache entry in the global DeviceResidency LRU (the RBF

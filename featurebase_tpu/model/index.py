@@ -116,10 +116,23 @@ class Index:
     def row_translation(self, field: str) -> Optional[FieldTranslateStore]:
         return self.field_translate_stores.get(field)
 
-    def fragment_generations(self) -> dict:
-        """Snapshot of every fragment's mutation counter, used by the
+    def fragment_generations(self, keys=None) -> dict:
+        """Snapshot of fragment mutation (seqlock) counters, used by the
         executor's optimistic read validation (the reference pins reads to
-        RBF page-map snapshots instead; rbf/db.go:45, txfactory.go:84)."""
+        RBF page-map snapshots instead; rbf/db.go:45, txfactory.go:84).
+
+        With `keys` (iterable of (field, view, shard)), returns counters for
+        exactly those leaves, -1 for fragments that don't exist — the
+        leaf-granular validation path."""
+        if keys is not None:
+            gens = {}
+            for key in keys:
+                fname, vname, shard = key
+                f = self.fields.get(fname)
+                v = f.views.get(vname) if f is not None else None
+                frag = v.fragments.get(shard) if v is not None else None
+                gens[key] = -1 if frag is None else frag.generation
+            return gens
         gens = {}
         for fname, f in list(self.fields.items()):
             for vname, v in list(f.views.items()):

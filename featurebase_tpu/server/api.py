@@ -77,21 +77,53 @@ class API:
         if self.wal is not None and not self._replaying:
             self.wal.append(entry)
 
+    # Above this fraction of failed replay entries (with a small absolute
+    # floor) startup fails loud instead of serving silently-lossy state.
+    WAL_REPLAY_ERROR_FRACTION = 0.1
+    WAL_REPLAY_ERROR_FLOOR = 3
+
     def _replay_wal(self):
+        """Replay the WAL, counting (not swallowing) per-entry failures.
+
+        Reference discipline: monitor/stats surfacing (metrics.go:7).  Each
+        failure is logged; the total lands in the wal_replay_errors counter;
+        crossing WAL_REPLAY_ERROR_FRACTION of entries raises instead of
+        silently dropping writes."""
+        from featurebase_tpu.utils.metrics import REGISTRY
         self._replaying = True
+        self.wal_replay_errors = 0
+        applied = 0
+
+        def apply(e: dict):
+            nonlocal applied
+            try:
+                self._apply_wal_entry(e)
+                applied += 1
+            except Exception as ex:  # noqa: BLE001 — counted + surfaced
+                self.wal_replay_errors += 1
+                self.logger.error("wal replay failed (op=%s): %s",
+                                  e.get("op"), ex)
+
         try:
-            self.wal.replay(self._apply_wal_entry)
+            self.wal.replay(apply)
         finally:
             self._replaying = False
+        if self.wal_replay_errors:
+            REGISTRY.count("wal_replay_errors", self.wal_replay_errors)
+            total = applied + self.wal_replay_errors
+            if (self.wal_replay_errors >= self.WAL_REPLAY_ERROR_FLOOR
+                    and self.wal_replay_errors >
+                    self.WAL_REPLAY_ERROR_FRACTION * total):
+                raise RuntimeError(
+                    f"WAL replay dropped {self.wal_replay_errors}/{total} "
+                    "entries; refusing to serve silently-lossy state "
+                    "(restore from snapshot or clear the WAL)")
 
     def _apply_wal_entry(self, e: dict):
         from featurebase_tpu.storage.wal import decode_bytes
         op = e["op"]
         if op == "pql":
-            try:
-                self.executor.execute(e["i"], e["q"])
-            except Exception:
-                pass  # schema may have changed; logical replay best-effort
+            self.executor.execute(e["i"], e["q"])
         elif op == "create_index":
             self.create_index(e["name"], e.get("options"), if_not_exists=True)
         elif op == "delete_index":
@@ -123,10 +155,7 @@ class API:
                                clear=e.get("clear", False))
         elif op == "pql_ast":
             from featurebase_tpu.cluster.wire import decode_query
-            try:
-                self.executor.execute(e["i"], decode_query(e["q"]))
-            except Exception:
-                pass  # schema may have changed; logical replay best-effort
+            self.executor.execute(e["i"], decode_query(e["q"]))
         elif op == "keys":
             idx = self.holder.index(e["i"])
             if idx is not None:
@@ -146,6 +175,8 @@ class API:
             self.holder.sql_functions[e["name"]] = e["def"]
         elif op == "drop_function":
             self.holder.sql_functions.pop(e["name"], None)
+        else:
+            raise ValueError(f"unknown WAL op: {op!r}")
 
     # -- cluster control plane ------------------------------------------------
 
@@ -183,11 +214,11 @@ class API:
             elif t == "topology":
                 if self.cluster is not None:
                     prev = self.cluster.apply_topology(
-                        msg["nodes"], msg.get("replicas"))
-                    try:
-                        self.rebalance_pull(prev)
-                    except Exception:  # noqa: BLE001 — heartbeat resync
-                        pass           # converges what a failed pull missed
+                        msg["nodes"], msg.get("replicas"),
+                        version=msg.get("version"),
+                        origin=msg.get("origin"))
+                    if prev is not None:   # None = stale epoch, ignored
+                        self._rebalance_after_topology(prev)
             else:
                 raise APIError(f"unknown cluster message type: {t}", 400)
         finally:
@@ -203,10 +234,7 @@ class API:
         if not node.get("id") or not node.get("uri"):
             raise APIError("join requires id and uri", 400)
         topo, prev = self.cluster.join_node(node)
-        try:
-            self.rebalance_pull(prev)
-        except Exception:  # noqa: BLE001
-            pass
+        self._rebalance_after_topology(prev)
         return topo
 
     def cluster_remove(self, node_id: str) -> dict:
@@ -218,11 +246,27 @@ class API:
             topo, prev = self.cluster.remove_node(node_id)
         except ValueError as e:
             raise APIError(str(e), 400)
-        try:
-            self.rebalance_pull(prev)
-        except Exception:  # noqa: BLE001
-            pass
+        self._rebalance_after_topology(prev)
         return topo
+
+    def _rebalance_after_topology(self, prev_snap):
+        """Run rebalance_pull, surfacing (not swallowing) failure: log +
+        metric + one immediate resync retry, so a failed pull doesn't leave
+        an owner dataless until the next heartbeat cycle (reference
+        discipline: metrics.go:7 stats on every recovery path)."""
+        from featurebase_tpu.utils.metrics import REGISTRY
+        try:
+            self.rebalance_pull(prev_snap)
+        except Exception as ex:  # noqa: BLE001 — surfaced, then retried
+            REGISTRY.count("rebalance_pull_errors")
+            self.logger.error("rebalance pull after topology change "
+                              "failed: %s; retrying via resync", ex)
+            try:
+                self.resync_shards()
+            except Exception as ex2:  # noqa: BLE001
+                REGISTRY.count("rebalance_resync_errors")
+                self.logger.error("post-rebalance resync failed: %s "
+                                  "(heartbeat resync will retry)", ex2)
 
     def rebalance_pull(self, prev_snap) -> int:
         """After a topology change, pull any shard this node now owns but
@@ -906,24 +950,34 @@ class API:
             if not any(self.cluster.is_self(n) for n in owners):
                 return  # this node is not an owner: fan-out only
         z = np.load(io.BytesIO(data))
-        # drop existing fragments of this shard, then rebuild from bundle
-        for f in idx.fields.values():
-            for v in f.views.values():
-                v.fragments.pop(shard, None)
-        for name in z.files:
-            if not name.endswith("|rows"):
-                continue
-            fname, vname, _ = name.split("|", 2)
-            f = idx.field(fname)
-            if f is None:
-                continue
-            frag = Fragment.from_npz_dict(
-                index, fname, vname, shard,
-                {"rows": z[name], "words": z[f"{fname}|{vname}|words"]})
-            f.create_view_if_not_exists(vname).fragments[shard] = frag
-            if vname == view_bsi_group(fname) and len(z[name]):
-                depth = int(max(int(r) for r in z[name]) - BSI_OFFSET + 1)
-                f.bit_depth = max(f.bit_depth, depth, 1)
+        # Drop existing fragments of this shard, then rebuild from bundle.
+        # The whole swap runs under the index mutate gate (shared, like all
+        # writers) so an escalated exclusive snapshot read can't interleave
+        # with a half-replaced fragment map; restored fragments carry the
+        # old fragment's generation + 2 (not 0) so a concurrent optimistic
+        # read that saw the old data fails its generation re-validation.
+        with idx.mutate_gate.shared():
+            old_gens = {}
+            for f in idx.fields.values():
+                for vname, v in f.views.items():
+                    old = v.fragments.pop(shard, None)
+                    if old is not None:
+                        old_gens[(f.name, vname)] = old.generation
+            for name in z.files:
+                if not name.endswith("|rows"):
+                    continue
+                fname, vname, _ = name.split("|", 2)
+                f = idx.field(fname)
+                if f is None:
+                    continue
+                frag = Fragment.from_npz_dict(
+                    index, fname, vname, shard,
+                    {"rows": z[name], "words": z[f"{fname}|{vname}|words"]})
+                frag.generation = old_gens.get((fname, vname), 0) + 2
+                f.create_view_if_not_exists(vname).fragments[shard] = frag
+                if vname == view_bsi_group(fname) and len(z[name]):
+                    depth = int(max(int(r) for r in z[name]) - BSI_OFFSET + 1)
+                    f.bit_depth = max(f.bit_depth, depth, 1)
         if self.cluster is not None:
             self.cluster.note_shards(index, [shard])
 

@@ -352,7 +352,10 @@ def _insert(api: API, stmt: sa.Insert) -> dict:
         if col_keys is not None:
             created = api.create_index_keys(stmt.table, col_keys)
             cids = [created[k] for k in col_keys]
-        idx.mark_exists(np.asarray(cids, dtype=np.int64))
+        # gate like api.import_bits does: an escalated exclusive snapshot
+        # read must not race the existence-field mutation
+        with idx.mutate_gate.shared():
+            idx.mark_exists(np.asarray(cids, dtype=np.int64))
     return _ok()
 
 

@@ -83,3 +83,61 @@ class TestJoin:
                 raise AssertionError("expected an error")
             except Exception:
                 pass
+
+
+class TestTopologyEpoch:
+    """Topology broadcasts carry a (version, origin) epoch; stale messages
+    are ignored so a delayed older broadcast can't overwrite newer
+    membership (advisor finding r2; the reference gets a single consistent
+    view from etcd)."""
+
+    def test_version_bumps_on_change(self):
+        with TestCluster(2) as tc:
+            v0 = tc[0].cluster.snapshot.version
+            tc.add_node()
+            assert tc[0].cluster.snapshot.version > v0
+
+    def test_stale_broadcast_ignored(self):
+        with TestCluster(2) as tc:
+            tc.add_node()
+            cur = tc[0].cluster.snapshot
+            assert len(cur.nodes) == 3
+            # replay an old 2-node topology with a stale version
+            stale_nodes = [n.to_json() for n in cur.nodes[:2]]
+            tc[0].handle_cluster_message(
+                {"type": "topology", "nodes": stale_nodes,
+                 "version": cur.version - 1, "origin": cur.origin})
+            assert len(tc[0].cluster.snapshot.nodes) == 3
+            assert tc[0].cluster.snapshot.version == cur.version
+
+    def test_newer_broadcast_applies(self):
+        with TestCluster(2) as tc:
+            cur = tc[0].cluster.snapshot
+            nodes = [n.to_json() for n in cur.nodes]
+            tc[0].handle_cluster_message(
+                {"type": "topology", "nodes": nodes,
+                 "version": cur.version + 5, "origin": "elsewhere"})
+            assert tc[0].cluster.snapshot.version == cur.version + 5
+
+    def test_concurrent_joins_merge(self):
+        """Two joins processed concurrently by the same member must both
+        land (the merged node list is built under the cluster lock — the
+        r2 TOCTOU let one join drop the other's node)."""
+        import threading
+
+        from featurebase_tpu.cluster.cluster import Cluster
+        c = Cluster("node0", [{"id": "node0", "uri": "http://x:1"}])
+        barrier = threading.Barrier(2)
+
+        def join(i):
+            barrier.wait(timeout=5)
+            c.join_node({"id": f"joiner{i}", "uri": f"http://x:{i + 2}"})
+
+        ts = [threading.Thread(target=join, args=(i,)) for i in range(2)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=10)
+        ids = {n.id for n in c.snapshot.nodes}
+        assert ids == {"node0", "joiner0", "joiner1"}
+        assert c.snapshot.version == 2

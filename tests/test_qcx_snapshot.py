@@ -184,3 +184,79 @@ class TestSnapshotReads:
         # f has fragments in shards 0 and 1, plus the existence field
         keys = {(f, s) for (f, v, s) in gens}
         assert ("f", 0) in keys and ("f", 1) in keys
+
+
+class TestLeafGranularValidation:
+    def test_unrelated_field_writes_never_retry(self):
+        """A read touching field f must not re-execute because a concurrent
+        write landed on field g (leaf-granular validation; reference:
+        per-shard write scopes, querycontext/doc.go)."""
+        holder, idx, e = make_env()
+        idx.create_field("g")
+        e.execute("snap", "Set(1, f=1)")
+        e.execute("snap", "Set(1, g=1)")
+        validations = {"n": 0}
+        real = idx.fragment_generations
+
+        def spy(keys=None):
+            validations["n"] += 1
+            if validations["n"] % 2 == 0:
+                # every post-run validation: race a write on UNRELATED g
+                idx.field("g").set_bit(1, validations["n"])
+            return real(keys)
+
+        idx.fragment_generations = spy
+        (count,) = e.execute("snap", "Count(Row(f=1))")
+        assert count == 1
+        # exactly one attempt: before-snapshot + one validation
+        assert validations["n"] == 2
+
+    def test_odd_generation_forces_retry(self):
+        """A fragment mid-mutation (odd seqlock generation) at validation
+        time forces a retry even if the counter value is unchanged."""
+        holder, idx, e = make_env()
+        e.execute("snap", "Set(1, f=1)")
+        frag = idx.field("f").view("standard").fragment(0)
+        attempts = {"n": 0}
+        real = idx.fragment_generations
+
+        def spy(keys=None):
+            attempts["n"] += 1
+            if attempts["n"] <= 2:
+                # freeze the counter at an odd value for attempt #1
+                frag.generation |= 1
+            else:
+                frag.generation &= ~1
+            return real(keys)
+
+        idx.fragment_generations = spy
+        (count,) = e.execute("snap", "Count(Row(f=1))")
+        assert count == 1
+        assert attempts["n"] >= 3  # first attempt rejected on odd gen
+
+    def test_seqlock_generation_is_even_when_quiescent(self):
+        holder, idx, e = make_env()
+        f = idx.field("f")
+        f.set_bit(1, 5)
+        f.import_bits(np.array([1, 2]), np.array([7, 9]))
+        f.clear_bit(1, 5)
+        for v in idx.fragment_generations().values():
+            assert v % 2 == 0
+
+    def test_restore_carries_generation_forward(self, tmp_path):
+        """A restored fragment must not reuse a generation an optimistic
+        reader may have already observed (advisor finding r2)."""
+        from featurebase_tpu.server.api import API
+        holder, idx, e = make_env()
+        e.execute("snap", "Set(1, f=1)")
+        api = API.__new__(API)
+        api.holder = holder
+        api.cluster = None
+        snap_bytes = API.shard_snapshot_bytes(api, "snap", 0)
+        gen_before = idx.field("f").view("standard").fragment(0).generation
+        API.restore_shard(api, "snap", 0, snap_bytes)
+        frag = idx.field("f").view("standard").fragment(0)
+        assert frag.generation == gen_before + 2
+        assert frag.generation % 2 == 0
+        (count,) = e.execute("snap", "Count(Row(f=1))")
+        assert count == 1

@@ -64,3 +64,40 @@ class TestGroupCommit:
         seen = []
         assert WAL(path).replay(seen.append) == 2
         assert [e["i"] for e in seen] == [0, 1]
+
+
+class TestReplayErrorSurfacing:
+    """WAL replay failures are counted, logged, and fail loud above a
+    threshold instead of silently dropping writes (advisor/verdict r2)."""
+
+    def _write_wal(self, d, entries):
+        import json
+        import os
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "wal.jsonl"), "w") as fh:
+            for e in entries:
+                fh.write(json.dumps(e) + "\n")
+
+    def test_few_errors_counted_not_fatal(self, tmp_path):
+        from featurebase_tpu.server.api import API
+        d = str(tmp_path / "data")
+        good = [{"op": "create_index", "name": "t"},
+                {"op": "create_field", "i": "t", "f": "f"},
+                {"op": "bits", "i": "t", "f": "f", "rows": [0], "cols": [1]}]
+        bad = [{"op": "totally_bogus"}]
+        self._write_wal(d, good + bad)
+        api = API(data_dir=d)
+        assert api.wal_replay_errors == 1
+        (count,) = api.query("t", "Count(Row(f=0))")
+        assert count == 1
+
+    def test_many_errors_fail_loud(self, tmp_path):
+        import pytest
+
+        from featurebase_tpu.server.api import API
+        d = str(tmp_path / "data")
+        good = [{"op": "create_index", "name": "t"}]
+        bad = [{"op": "bogus", "n": i} for i in range(5)]
+        self._write_wal(d, good + bad)
+        with pytest.raises(RuntimeError, match="WAL replay dropped"):
+            API(data_dir=d)
