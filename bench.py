@@ -204,17 +204,33 @@ def _cols() -> int:
     return 1024
 
 
-def scaling(n_devices: int = 0):
+def scaling(n_devices: int = 0, heavy_rows: int = 16,
+            shards_per_dev: int = 2, reps: int = 5, out: str = ""):
     """Rows/s scaling-efficiency rig over a virtual (or real) device mesh
     (BASELINE: >=80% rows/s scaling 1 chip -> 1 host -> N hosts).
 
-    Runs the mesh shard_map Count path over 1, 2, 4, ..., N devices with a
-    proportionally growing shard set (weak scaling) and reports rows/s and
-    efficiency vs 1 device.  On CPU test rigs this validates the rig and
-    the collective lowering, not silicon bandwidth.
+    Weak scaling: per-device work is fixed (shards_per_dev shards, a
+    heavy_rows x heavy_rows GroupBy cross product — the pair_counts
+    shard_map kernel scans heavy_rows^2 * W words per shard, kernel-bound
+    at these sizes) while the device count doubles.  Alongside the heavy
+    query, a tiny Count probes the fixed per-query dispatch + collective
+    overhead, isolating machinery cost from compute.
 
-    Usage: python bench.py --scaling [N]
+    HONESTY NOTE (recorded in the artifact): on this rig the N "devices"
+    are XLA host-platform virtual devices sharing the machine's physical
+    cores (2 on the round-3 rig).  Compute-bound weak scaling beyond the
+    physical core count is impossible by construction — the classic
+    efficiency number saturates at cores/N — so the artifact reports (a)
+    total scanned GB/s per device count, whose ceiling is the host's
+    memory bandwidth, not the mesh machinery, and (b) the tiny-query
+    overhead growth, which IS the mesh machinery cost and must stay ~flat
+    for real-silicon scaling to hold (reference contract: mapReduce
+    scale-out, executor.go:6449).
+
+    Usage: python bench.py --scaling [N] [--out FILE]
     """
+    import os
+
     import jax
 
     from featurebase_tpu.core.consts import SHARD_WIDTH
@@ -225,43 +241,100 @@ def scaling(n_devices: int = 0):
     total = n_devices or len(jax.devices())
     sizes = [d for d in (1, 2, 4, 8, 16, 32) if d <= total]
     rng = np.random.default_rng(0)
-    results = []
-    base_rate = None
+    rows_list = []
+    heavy_pql = "GroupBy(Rows(f), Rows(g))"
+    tiny_pql = "Count(Row(f=1))"
+    base_heavy = None
     for nd in sizes:
-        n_shards = nd * 2
-        n = n_shards * 50_000
+        n_shards = nd * shards_per_dev
+        n = n_shards * 100_000
         cols = np.sort(rng.choice(n_shards * SHARD_WIDTH, size=n,
                                   replace=False))
-        rows = rng.integers(0, 4, size=n)
+        f_rows = rng.integers(0, heavy_rows, size=n)
+        g_rows = rng.integers(0, heavy_rows, size=n)
         holder = Holder()
         idx = holder.create_index("scale")
         idx.create_field("f")
-        idx.field("f").import_bits(rows, cols)
+        idx.create_field("g")
+        idx.field("f").import_bits(f_rows, cols)
+        idx.field("g").import_bits(g_rows, cols)
         idx.mark_exists(cols)
         e = Executor(holder, mesh=make_mesh(nd))
-        pql = "Count(Row(f=1))"
-        e.execute("scale", pql)  # warm
-        best = float("inf")
-        for _ in range(5):
-            t0 = time.perf_counter()
-            e.execute("scale", pql)
-            best = min(best, time.perf_counter() - t0)
-        rate = n / best
-        if base_rate is None:
-            base_rate = rate / nd  # per-device baseline
-        eff = rate / (base_rate * nd)
-        results.append({"devices": nd, "rows_per_sec": round(rate),
-                        "efficiency": round(eff, 3),
-                        "backend": jax.default_backend()})
-        print(json.dumps(results[-1]))
-    return results
+
+        def p50(pql):
+            e.execute("scale", pql)  # warm: compile + upload
+            samples = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                e.execute("scale", pql)
+                samples.append(time.perf_counter() - t0)
+            return sorted(samples)[len(samples) // 2]
+
+        t_heavy = p50(heavy_pql)
+        t_tiny = p50(tiny_pql)
+        # pair_counts work: F*R combos x W words x 4B per shard
+        scanned = (n_shards * heavy_rows * heavy_rows
+                   * (SHARD_WIDTH // 32) * 4)
+        if base_heavy is None:
+            base_heavy = t_heavy
+        row = {
+            "devices": nd, "shards": n_shards, "records": n,
+            "groupby_p50_ms": round(t_heavy * 1e3, 2),
+            "tiny_count_p50_ms": round(t_tiny * 1e3, 2),
+            "scanned_gbps": round(scanned / t_heavy / 1e9, 2),
+            "rows_per_sec": round(n / t_heavy),
+            "weak_efficiency": round(base_heavy / t_heavy, 3),
+        }
+        rows_list.append(row)
+        print(json.dumps(row), flush=True)
+
+    cores = len(os.sched_getaffinity(0)) if hasattr(os, "sched_getaffinity") \
+        else os.cpu_count()
+    overhead_growth = (rows_list[-1]["tiny_count_p50_ms"]
+                       - rows_list[0]["tiny_count_p50_ms"]) \
+        if len(rows_list) > 1 else 0.0
+    artifact = {
+        "rig": {
+            "backend": jax.default_backend(),
+            "virtual_devices": total,
+            "physical_cores": cores,
+            "heavy_query": heavy_pql,
+            "methodology": (
+                "weak scaling: fixed per-device work "
+                f"({shards_per_dev} shards x {heavy_rows}^2 GroupBy cross "
+                "product, kernel-bound), device count doubling; tiny Count "
+                "isolates per-query dispatch+collective overhead"),
+            "caveat": (
+                f"virtual devices share {cores} physical cores: "
+                "compute-bound weak efficiency is capped at "
+                f"cores/N by construction; the mesh-machinery signal is "
+                "the tiny-query overhead growth and the scanned-GB/s "
+                "saturation level"),
+        },
+        "weak_scaling": rows_list,
+        "tiny_overhead_growth_ms": round(overhead_growth, 2),
+        "machinery_scales": bool(
+            overhead_growth < 5.0 * max(1, total // 8)),
+    }
+    if out:
+        with open(out, "w") as fh:
+            json.dump(artifact, fh, indent=1)
+    print(json.dumps({"scaling_artifact": artifact["machinery_scales"],
+                      "saturation_gbps": max(
+                          r["scanned_gbps"] for r in rows_list)}))
+    return artifact
 
 
 if __name__ == "__main__":
     import sys
     if "--scaling" in sys.argv:
         i = sys.argv.index("--scaling")
-        nd = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 0
-        scaling(nd)
+        nd = 0
+        if len(sys.argv) > i + 1 and sys.argv[i + 1].isdigit():
+            nd = int(sys.argv[i + 1])
+        out = ""
+        if "--out" in sys.argv:
+            out = sys.argv[sys.argv.index("--out") + 1]
+        scaling(nd, out=out)
     else:
         main()

@@ -136,6 +136,19 @@ def count_and_pairs(masks, tile):
 
 
 @jax.jit
+def all_pairs_and(masks, tile):
+    """Materialize every cross-product mask: (F, W) x (R, W) -> (F*R, W),
+    ordered with the R index fastest (row-major, matching
+    itertools.product).  Used by the one-shot GroupBy path for small
+    cross-products, where skipping per-level host pruning syncs beats the
+    memory saved by pruning."""
+    F, W = masks.shape
+    R = tile.shape[0]
+    return jnp.bitwise_and(masks[:, None, :], tile[None, :, :]) \
+        .reshape(F * R, W)
+
+
+@jax.jit
 def and_pairs_gather(masks, tile, fi, rj):
     """Materialize surviving cross-product masks: masks[fi] & tile[rj].
 

@@ -350,6 +350,17 @@ def sum_groups_host(slices, exists, sign, masks, depth: int):
     return sums, [int(c) for c in np.asarray(counts)]
 
 
+def _sort_core(slices, exists, sign, depth: int, desc: bool, filt):
+    vals = decode_values(slices, sign, depth)
+    base = exists if filt is None else jnp.bitwise_and(exists, filt)
+    present = expand_bits(base).astype(jnp.int32)
+    key = -vals if desc else vals
+    notp = jnp.int32(1) - present
+    iota = jnp.arange(vals.shape[-1], dtype=jnp.int32)
+    _, key_s, idx_s = jax.lax.sort((notp, key, iota), num_keys=2)
+    return idx_s, key_s, jnp.sum(present)
+
+
 @partial(jax.jit, static_argnums=(3, 4))
 def sort_bsi_kernel(slices, exists, sign, depth: int, desc: bool, filt=None):
     """Device Sort: full-shard BSI order in one program (reference:
@@ -360,14 +371,24 @@ def sort_bsi_kernel(slices, exists, sign, depth: int, desc: bool, filt=None):
     values in that order (negated when desc), n_present int32).  Matched
     columns occupy the first n_present positions; ties break by ascending
     column id (stable lexicographic sort)."""
-    vals = decode_values(slices, sign, depth)
-    base = exists if filt is None else jnp.bitwise_and(exists, filt)
-    present = expand_bits(base).astype(jnp.int32)
-    key = -vals if desc else vals
-    notp = jnp.int32(1) - present
-    iota = jnp.arange(vals.shape[-1], dtype=jnp.int32)
-    _, key_s, idx_s = jax.lax.sort((notp, key, iota), num_keys=2)
-    return idx_s, key_s, jnp.sum(present)
+    return _sort_core(slices, exists, sign, depth, desc, filt)
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def sort_bsi_stacked(bsi, depth: int, desc: bool, cut: int, filt=None):
+    """All shards' BSI sorts in ONE program over a stacked (S, D+2, W)
+    group (layout: plane 0 exists, 1 sign, 2.. magnitude — the stacked_bsi
+    leaf).  Returns (idx (S, cut) int32, key (S, cut) int32, n_present
+    (S,)).  One dispatch + one host fetch replaces a per-shard
+    dispatch/sync loop (reference contrast: executor.go:9321 sorts per
+    shard in goroutines then k-way merges at the coordinator)."""
+    def one(b, ft):
+        idx_s, key_s, n = _sort_core(b[2:2 + depth], b[0], b[1], depth,
+                                     desc, ft)
+        return idx_s[:cut], key_s[:cut], n
+    if filt is None:
+        return jax.vmap(lambda b: one(b, None))(bsi)
+    return jax.vmap(one)(bsi, filt)
 
 
 def decode_values(slices, sign, depth: int):
