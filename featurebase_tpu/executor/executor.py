@@ -342,6 +342,11 @@ class Executor:
             fld = call.args.get("_field") or call.args.get("field")
             if fld:
                 total += field_planes(fld) * S * row_bytes
+            if name == "Sort" and call.args.get("limit") is None:
+                # un-limited Sort materializes every present (col, val)
+                # pair on the coordinator (reference caps result memory:
+                # executor.go:6665 calcResultMemory)
+                total += self._existing_columns_estimate(index) * 32
         elif name == "Extract":
             for rc in call.children[1:]:
                 fld = rc.args.get("_field") or rc.args.get("field")
@@ -352,6 +357,15 @@ class Executor:
                     total += field_planes(fld) * S * row_bytes
                 else:
                     total += field_rows(fld) * S * row_bytes
+            # host result rows: bounded by Limit() when given, else every
+            # existing column lands in the coordinator's result table
+            rows_est = self._existing_columns_estimate(index)
+            if call.children:
+                first = call.children[0]
+                if first.name == "Limit" and first.args.get("limit") \
+                        is not None:
+                    rows_est = min(rows_est, int(first.args["limit"]))
+            total += rows_est * 16 * max(len(call.children) - 1, 1)
         # recurse into children/args not already accounted above
         skip_children = set()
         if name in ("GroupBy", "Extract"):
@@ -364,6 +378,25 @@ class Executor:
             if isinstance(v, Call) and not (name == "GroupBy"
                                             and k == "aggregate"):
                 total += self._estimate_call_memory(index, v, S)
+        return total
+
+    @staticmethod
+    def _existing_columns_estimate(index: Index) -> int:
+        """Host-side estimate of how many columns exist in the index (the
+        host-result-size input to the memory rail; reference:
+        executor.go:6665 calcResultMemory).  Uses the existence field's
+        host words — a few µs per shard."""
+        ef = index.existence_field()
+        if ef is None:
+            # no existence tracking: assume the worst case of every shard
+            # fully populated
+            return max(len(index.available_shards()), 1) * SHARD_WIDTH
+        total = 0
+        v = ef.view(VIEW_STANDARD)
+        if v is None:
+            return 0
+        for frag in list(v.fragments.values()):
+            total += int(np.bitwise_count(frag.host_row(0)).sum())
         return total
 
     def _execute_call_inner(self, index: Index, call: Call,
@@ -1272,7 +1305,7 @@ class Executor:
                 gc.decimal_agg = agg / (10 ** agg_field.options.scale)
             out.append(gc)
         if isinstance(having, Call):
-            out = self._apply_having(out, having)
+            out = self._apply_having(out, having, agg_field)
         if limit is not None:
             out = out[: int(limit)]
         return out
@@ -1563,14 +1596,31 @@ class Executor:
                 g[1] += s
         return True
 
-    def _apply_having(self, groups: List[GroupCount], having: Call
-                      ) -> List[GroupCount]:
+    def _apply_having(self, groups: List[GroupCount], having: Call,
+                      agg_field=None) -> List[GroupCount]:
         """Having(count > x) / Having(sum < y) (reference
-        satisfiesCondition executor.go:3787)."""
+        satisfiesCondition executor.go:3787).  Decimal aggregates store
+        scaled ints (gc.agg = value * 10^scale), so user literals in the
+        condition are scaled to the same fixed-point domain before
+        comparing — exact, no float round trips."""
         out = []
         for k, cond in having.args.items():
             if not isinstance(cond, Condition):
                 cond = Condition("==", cond)
+            if (k != "count" and agg_field is not None
+                    and agg_field.options.type == TYPE_DECIMAL):
+                s = 10 ** agg_field.options.scale
+
+                def scaled(v, s=s):
+                    return int(round(v * s))
+                if cond.op == "betw":
+                    lo, hi = cond.value
+                    c2 = Condition("betw", (scaled(lo), scaled(hi)))
+                    c2.lo_strict = cond.lo_strict
+                    c2.hi_strict = cond.hi_strict
+                    cond = c2
+                else:
+                    cond = Condition(cond.op, scaled(cond.value))
             for gc in groups:
                 v = gc.count if k == "count" else gc.agg
                 if self._cond_matches(cond, v):

@@ -132,6 +132,7 @@ def main():
         return run, True
 
     def _partial_call(kernel, rows, cols, a2, b2, acc):
+        import jax.numpy as jnp
         grid = (a2.shape[0] // rows,)
         parts = pl.pallas_call(
             kernel, grid=grid,
@@ -143,25 +144,27 @@ def main():
                 pl.BlockSpec((rows, cols), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, cols), lambda i: (i, 0),
+            out_specs=pl.BlockSpec((8, cols), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((grid[0], cols), jnp.int32),
+            out_shape=jax.ShapeDtypeStruct((grid[0] * 8, cols), jnp.int32),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel",)),
         )(acc, a2, b2)
-        import jax.numpy as jnp
         return jnp.sum(parts, dtype=jnp.int32).reshape(1, 1)
 
     def build_direct_partial(rows, cols):
         def kernel(acc_ref, a_ref, b_ref, out_ref):
             pc = lax.population_count(
                 jnp.bitwise_and(a_ref[:], b_ref[:]))
-            partial = jnp.sum(pc, axis=0, keepdims=True)
+            r, w = pc.shape
+            # (8, cols) sublane-aligned partials: reduce over row groups
+            partial = jnp.sum(pc.reshape(r // 8, 8, w), axis=0)
             i = pl.program_id(0)
             boost = jnp.where(i == 0, acc_ref[0, 0], 0)
-            col0 = lax.broadcasted_iota(
-                jnp.int32, partial.shape, 1) == 0
-            out_ref[:] = partial + jnp.where(col0, boost, 0)
+            cell0 = jnp.logical_and(
+                lax.broadcasted_iota(jnp.int32, partial.shape, 0) == 0,
+                lax.broadcasted_iota(jnp.int32, partial.shape, 1) == 0)
+            out_ref[:] = partial + jnp.where(cell0, boost, 0)
 
         return (functools.partial(_partial_call, kernel, rows, cols), True)
 
@@ -174,14 +177,14 @@ def main():
             ones = jnp.bitwise_xor(s1, g[3])
             c2 = jnp.bitwise_and(s1, g[3])
             pc = lax.population_count
-            partial = (jnp.sum(pc(ones), axis=0, keepdims=True)
-                       + 2 * (jnp.sum(pc(c1), axis=0, keepdims=True)
-                              + jnp.sum(pc(c2), axis=0, keepdims=True)))
+            tot = pc(ones) + 2 * (pc(c1) + pc(c2))  # (r//4, w)
+            partial = jnp.sum(tot.reshape(r // 32, 8, w), axis=0)
             i = pl.program_id(0)
             boost = jnp.where(i == 0, acc_ref[0, 0], 0)
-            col0 = lax.broadcasted_iota(
-                jnp.int32, partial.shape, 1) == 0
-            out_ref[:] = partial + jnp.where(col0, boost, 0)
+            cell0 = jnp.logical_and(
+                lax.broadcasted_iota(jnp.int32, partial.shape, 0) == 0,
+                lax.broadcasted_iota(jnp.int32, partial.shape, 1) == 0)
+            out_ref[:] = partial + jnp.where(cell0, boost, 0)
 
         return (functools.partial(_partial_call, kernel, rows, cols), True)
 
@@ -194,10 +197,12 @@ def main():
 
     variants = {}
     for (r, c) in [(512, 1024), (1024, 1024), (256, 2048), (512, 2048),
-                   (256, 1024), (2048, 1024)]:
+                   (256, 1024), (2048, 1024), (768, 1024), (640, 1024),
+                   (896, 1024)]:
         variants[f"csa_{r}x{c}"] = ("csa_smem", r, c)
         variants[f"direct_{r}x{c}"] = ("direct", r, c)
         variants[f"csa_p_{r}x{c}"] = ("csa_partial", r, c)
+        variants[f"ceil_{r}x{c}"] = ("ceiling", r, c)
     variants["ceiling_dma"] = ("ceiling", 512, 1024)
     variants["ceiling_dma_1024"] = ("ceiling", 1024, 1024)
     variants["xla_direct"] = ("xla", 512, 1024)
