@@ -64,6 +64,23 @@ def main(argv=None):
                          "grpc-listener config)")
     sp.add_argument("--auth-token", default=_env_default("auth_token", None),
                     help="shared bearer token for API + inter-node auth")
+    sp.add_argument("--auth-secret",
+                    default=_env_default("auth_secret", None),
+                    help="HS256 shared secret for offline JWT verification "
+                         "(reference: authn/authn.go OIDC middleware)")
+    sp.add_argument("--auth-public-key",
+                    default=_env_default("auth_public_key", None),
+                    help="PEM file with the IdP's RS256 public key for "
+                         "offline JWT verification")
+    sp.add_argument("--auth-issuer",
+                    default=_env_default("auth_issuer", None))
+    sp.add_argument("--auth-audience",
+                    default=_env_default("auth_audience", None))
+    sp.add_argument("--auth-permissions",
+                    default=_env_default("auth_permissions", None),
+                    help="JSON file: {\"user-groups\": {group: {index: "
+                         "read|write|admin}}, \"admin\": group} "
+                         "(reference: authz/authz.go permissions YAML)")
     sp.add_argument("--long-query-time", type=float,
                     default=float(_env_default("long_query_time", 0) or 0),
                     help="log queries slower than this many seconds "
@@ -218,6 +235,19 @@ def cmd_server(args, cfg):
               max_query_memory=mqm or None, query_timeout=qto or None)
     if auth_token:
         api.auth_token = auth_token
+    secret = cfg.get("auth-secret", args.auth_secret)
+    pubkey_path = cfg.get("auth-public-key", args.auth_public_key)
+    perms_path = cfg.get("auth-permissions", args.auth_permissions)
+    if (secret or pubkey_path) and perms_path:
+        from featurebase_tpu.server.auth import (Auth, GroupAuthorizer,
+                                                 TokenVerifier)
+        pem = open(pubkey_path, "rb").read() if pubkey_path else None
+        api.auth = Auth(
+            TokenVerifier(secret=secret, public_key_pem=pem,
+                          issuer=cfg.get("auth-issuer", args.auth_issuer),
+                          audience=cfg.get("auth-audience",
+                                           args.auth_audience)),
+            GroupAuthorizer.from_file(perms_path))
     if cluster is not None:
         # liveness + convergence loop (reference: etcd heartbeats +
         # holderSyncer); also performs the initial schema/translate pull
@@ -235,7 +265,10 @@ def cmd_server(args, cfg):
         from featurebase_tpu.server.grpc_server import GRPCServer
         gh, _, gp = grpc_bind.partition(":")
         grpc_srv = GRPCServer(api=api, host=gh or "127.0.0.1",
-                              port=int(gp or 20101)).start()
+                              port=int(gp or 20101),
+                              tls_cert=cfg.get("tls-cert", args.tls_cert),
+                              tls_key=cfg.get("tls-key", args.tls_key)
+                              ).start()
         print(f"featurebase_tpu gRPC on {grpc_srv.address}", flush=True)
     print(f"featurebase_tpu serving on {srv.url}", flush=True)
     try:

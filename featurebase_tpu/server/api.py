@@ -45,6 +45,7 @@ class API:
         self._replaying = False
         self.cluster = cluster
         self.distributed = None
+        self.auth = None        # OIDC authn + group authz (server/auth.py)
         self.logger = default_logger
         self.tracker = QueryTracker(query_history_length, long_query_time,
                                     self.logger)

@@ -109,22 +109,66 @@ class GRPCServer:
     grpcServer)."""
 
     def __init__(self, api: Optional[API] = None, host: str = "127.0.0.1",
-                 port: int = 0, max_workers: int = 8):
+                 port: int = 0, max_workers: int = 8,
+                 tls_cert: Optional[str] = None,
+                 tls_key: Optional[str] = None):
         import grpc
         self.api = api or API()
         self._grpc = grpc
         self.server = grpc.server(
             futures.ThreadPoolExecutor(max_workers=max_workers))
         self.server.add_generic_rpc_handlers((self._handlers(),))
-        self.port = self.server.add_insecure_port(f"{host}:{port}")
+        if tls_cert and tls_key:
+            # reference: grpc.go TLS listener from server/config.go tls.*
+            with open(tls_key, "rb") as fh:
+                key = fh.read()
+            with open(tls_cert, "rb") as fh:
+                cert = fh.read()
+            creds = grpc.ssl_server_credentials([(key, cert)])
+            self.port = self.server.add_secure_port(f"{host}:{port}", creds)
+        else:
+            self.port = self.server.add_insecure_port(f"{host}:{port}")
+
+    def _check_auth(self, context, index=None, level="read"):
+        """Bearer auth on gRPC metadata: static token == admin, else OIDC
+        JWT + per-index group grant (reference: grpc.go auth interceptor
+        over authn/authz)."""
+        token = getattr(self.api, "auth_token", None)
+        auth = getattr(self.api, "auth", None)
+        if not token and auth is None:
+            return
+        got = dict(context.invocation_metadata()).get("authorization", "")
+        if token and got == f"Bearer {token}":
+            return
+        if auth is not None:
+            from featurebase_tpu.server.auth import AuthError
+            try:
+                auth.check(got, index, level)
+                return
+            except AuthError as e:
+                context.abort(
+                    self._grpc.StatusCode.PERMISSION_DENIED
+                    if e.status == 403
+                    else self._grpc.StatusCode.UNAUTHENTICATED, str(e))
+        context.abort(self._grpc.StatusCode.UNAUTHENTICATED,
+                      "unauthorized")
 
     # -- handler table ---------------------------------------------------------
 
     def _handlers(self):
         grpc = self._grpc
 
-        def wrap(fn):
+        from featurebase_tpu.server.auth import (pql_access_level,
+                                                 sql_access)
+        check = self._check_auth
+
+        def wrap(fn, access=None):
             def inner(request, context):
+                if access is None:
+                    check(context)
+                else:
+                    idx, level = access(request)
+                    check(context, idx, level)
                 try:
                     return fn(request)
                 except APIError as e:
@@ -133,8 +177,13 @@ class GRPCServer:
                         else grpc.StatusCode.INVALID_ARGUMENT, str(e))
             return inner
 
-        def wrap_stream(fn):
+        def wrap_stream(fn, access=None):
             def inner(request, context):
+                if access is None:
+                    check(context)
+                else:
+                    idx, level = access(request)
+                    check(context, idx, level)
                 try:
                     yield from fn(request)
                 except APIError as e:
@@ -144,29 +193,35 @@ class GRPCServer:
             return inner
 
         api = self.api
+        pql_access = (lambda req: (req.index, pql_access_level(req.pql)))
+        sql_acc = (lambda req: sql_access(req.sql))
         methods = {
             "QuerySQL": grpc.unary_stream_rpc_method_handler(
-                wrap_stream(lambda req: _sql_rows(api, req.sql)),
+                wrap_stream(lambda req: _sql_rows(api, req.sql), sql_acc),
                 request_deserializer=pb.QuerySQLRequest.FromString,
                 response_serializer=pb.RowResponse.SerializeToString),
             "QuerySQLUnary": grpc.unary_unary_rpc_method_handler(
-                wrap(lambda req: _table(_sql_rows(api, req.sql))),
+                wrap(lambda req: _table(_sql_rows(api, req.sql)), sql_acc),
                 request_deserializer=pb.QuerySQLRequest.FromString,
                 response_serializer=pb.TableResponse.SerializeToString),
             "QueryPQL": grpc.unary_stream_rpc_method_handler(
-                wrap_stream(lambda req: _pql_rows(api, req.index, req.pql)),
+                wrap_stream(lambda req: _pql_rows(api, req.index, req.pql),
+                            pql_access),
                 request_deserializer=pb.QueryPQLRequest.FromString,
                 response_serializer=pb.RowResponse.SerializeToString),
             "QueryPQLUnary": grpc.unary_unary_rpc_method_handler(
-                wrap(lambda req: _table(_pql_rows(api, req.index, req.pql))),
+                wrap(lambda req: _table(_pql_rows(api, req.index, req.pql)),
+                     pql_access),
                 request_deserializer=pb.QueryPQLRequest.FromString,
                 response_serializer=pb.TableResponse.SerializeToString),
             "Inspect": grpc.unary_stream_rpc_method_handler(
-                wrap_stream(self._inspect),
+                wrap_stream(self._inspect,
+                            lambda req: (req.index, "read")),
                 request_deserializer=pb.InspectRequest.FromString,
                 response_serializer=pb.RowResponse.SerializeToString),
             "CreateIndex": grpc.unary_unary_rpc_method_handler(
-                wrap(self._create_index),
+                wrap(self._create_index,
+                     lambda req: (req.name, "admin")),
                 request_deserializer=pb.CreateIndexRequest.FromString,
                 response_serializer=pb.CreateIndexResponse.SerializeToString),
             "GetIndex": grpc.unary_unary_rpc_method_handler(
@@ -178,7 +233,8 @@ class GRPCServer:
                 request_deserializer=pb.GetIndexesRequest.FromString,
                 response_serializer=pb.GetIndexesResponse.SerializeToString),
             "DeleteIndex": grpc.unary_unary_rpc_method_handler(
-                wrap(self._delete_index),
+                wrap(self._delete_index,
+                     lambda req: (req.name, "admin")),
                 request_deserializer=pb.DeleteIndexRequest.FromString,
                 response_serializer=pb.DeleteIndexResponse.SerializeToString),
         }

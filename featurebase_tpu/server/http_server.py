@@ -49,13 +49,21 @@ class Handler(BaseHTTPRequestHandler):
         return self.rfile.read(n) if n else b""
 
     def _json(self):
+        # cached: the auth layer may peek at the body before routing, and
+        # the socket can only be read once
+        cached = getattr(self, "_json_cache", None)
+        if cached is not None:
+            return cached
         raw = self._body()
         if not raw:
-            return {}
-        try:
-            return json.loads(raw)
-        except json.JSONDecodeError:
-            return {"_raw": raw.decode("utf-8", "replace")}
+            out = {}
+        else:
+            try:
+                out = json.loads(raw)
+            except json.JSONDecodeError:
+                out = {"_raw": raw.decode("utf-8", "replace")}
+        self._json_cache = out
+        return out
 
     def _send(self, obj, status: int = 200):
         data = json.dumps(obj).encode()
@@ -85,6 +93,7 @@ class Handler(BaseHTTPRequestHandler):
         pass
 
     def _route(self, _):
+        self._json_cache = None  # per-request (keep-alive reuses handlers)
         method = self.command
         path = self.path.split("?")[0].rstrip("/")
         query = {}
@@ -100,13 +109,32 @@ class Handler(BaseHTTPRequestHandler):
         if extra is not None and extra(self, method, path, query):
             return
 
-        # bearer-token auth (reference: authn/ OAuth middleware, simplified
-        # to a shared token; health/version stay open like the reference's
-        # unauthenticated endpoints)
+        # authn/authz (reference: authn/authn.go OAuth middleware +
+        # authz/authz.go per-index group grants; health/version stay open
+        # like the reference's unauthenticated endpoints).  The static
+        # auth_token is the cluster-internal credential == admin.
         token = getattr(self.api, "auth_token", None)
-        if token and path not in ("/health", "/version"):
+        auth = getattr(self.api, "auth", None)
+        if (token or auth) and path not in ("/health", "/version"):
             got = self.headers.get("Authorization", "")
-            if got != f"Bearer {token}":
+            if token and got == f"Bearer {token}":
+                pass  # internal/static admin credential
+            elif auth is not None:
+                from featurebase_tpu.server.auth import (AuthError,
+                                                         route_access)
+                body_txt = ""
+                if path.endswith("/query") or path == "/sql":
+                    b = self._json()  # cached; routing reuses it below
+                    if isinstance(b, dict):
+                        body_txt = str(b.get("query") or b.get("sql")
+                                       or b.get("_raw") or "")
+                idx, level = route_access(
+                    method, path, pql=body_txt, sql=body_txt)
+                try:
+                    auth.check(got, idx, level)
+                except AuthError as e:
+                    return self._err(str(e), e.status)
+            else:
                 return self._err("unauthorized", 401)
 
         m = re.fullmatch(r"/index/([^/]+)/query", path)
