@@ -142,6 +142,19 @@ class InternalClient:
         return self._call(uri, "GET",
                           f"/internal/index/{index}/shard/{shard}/fragments")
 
+    def fragment_data(self, uri: str, index: str, shard: int, field: str,
+                      view: str) -> bytes:
+        """Single-fragment transfer — the block-granular anti-entropy unit
+        (reference: internal_client.go:1012 fragment data stream)."""
+        from urllib.parse import quote
+        return self._call_raw(
+            uri, "GET",
+            f"/internal/index/{index}/shard/{shard}/fragment"
+            f"?field={quote(field)}&view={quote(view)}", forwarded=True)
+
+    def translate_checksums(self, uri: str) -> dict:
+        return self._call(uri, "GET", "/internal/translate/checksums")
+
     def shard_snapshot(self, uri: str, index: str, shard: int) -> bytes:
         # forwarded: node-to-node fetches are local-only (no proxy chains)
         return self._call_raw(

@@ -925,6 +925,56 @@ class API:
         np.savez_compressed(buf, **arrays)
         return buf.getvalue()
 
+    def fragment_snapshot_bytes(self, index: str, shard: int, field: str,
+                                view: str) -> bytes:
+        """One fragment as npz — the block-granular anti-entropy transfer
+        unit (reference: holder.go:1303 holderSyncer syncs per checksum
+        block; internal_client.go:1012 fragment data stream)."""
+        import io
+        idx = self._index(index)
+        f = idx.field(field)
+        v = f.view(view) if f is not None else None
+        frag = v.fragment(shard) if v is not None else None
+        buf = io.BytesIO()
+        if frag is None or frag.num_rows == 0:
+            np.savez_compressed(buf)
+        else:
+            d = frag.to_npz_dict()
+            np.savez_compressed(buf, rows=d["rows"], words=d["words"])
+        return buf.getvalue()
+
+    def restore_fragment(self, index: str, shard: int, field: str,
+                         view: str, data: bytes):
+        """Replace (or drop, when the bundle is empty) one fragment from a
+        peer's snapshot; runs under the mutate gate with generation carry
+        like restore_shard."""
+        import io
+
+        from featurebase_tpu.core.consts import BSI_OFFSET
+        from featurebase_tpu.model.fragment import Fragment
+        from featurebase_tpu.model.view import view_bsi_group
+        idx = self._index(index)
+        f = idx.field(field)
+        if f is None:
+            raise APIError(f"field not found: {field}", 404)
+        z = np.load(io.BytesIO(data))
+        with idx.mutate_gate.shared():
+            v = f.create_view_if_not_exists(view)
+            old = v.fragments.pop(shard, None)
+            old_gen = old.generation if old is not None else 0
+            if "rows" in z.files and len(z["rows"]):
+                frag = Fragment.from_npz_dict(
+                    index, field, view, shard,
+                    {"rows": z["rows"], "words": z["words"]})
+                frag.generation = old_gen + 2
+                v.fragments[shard] = frag
+                if view == view_bsi_group(field):
+                    depth = int(max(int(r) for r in z["rows"])
+                                - BSI_OFFSET + 1)
+                    f.bit_depth = max(f.bit_depth, depth, 1)
+        if self.cluster is not None:
+            self.cluster.note_shards(index, [shard])
+
     def restore_shard(self, index: str, shard: int, data: bytes,
                       forward: bool = False):
         """Replace one shard's fragments from a snapshot bundle (reference:
@@ -1028,13 +1078,101 @@ class API:
                 # (a behind peer pulls from us on its own pass)
                 if best[0] >= mine["total_generation"]:
                     try:
-                        data = self.cluster.client.shard_snapshot(
-                            best[1].uri, index, shard)
-                        self.restore_shard(index, shard, data)
+                        self._pull_divergent_fragments(
+                            index, shard, best[1], mine["fragments"],
+                            best[2])
                         pulled += 1
                     except Exception:  # noqa: BLE001
                         self.cluster.mark_down(best[1].id)
+        self.resync_translate()
         return pulled
+
+    def _pull_divergent_fragments(self, index, shard, node, mine_frags,
+                                  their_key):
+        """Block-granular heal: transfer only the fragments whose checksum
+        differs, and drop local fragments the authoritative peer doesn't
+        have (reference: holder.go:1303 syncs per checksum block instead
+        of whole shards; fragment.go:2285 block checksums)."""
+        from featurebase_tpu.utils.metrics import REGISTRY
+        idx = self._index(index)
+        my_map = {(d["field"], d["view"]): d["checksum"]
+                  for d in mine_frags}
+        their_map = {(f, v): ck for (f, v, ck) in their_key}
+        nbytes = 0
+        n_frags = 0
+        for (field, view), ck in their_map.items():
+            if my_map.get((field, view)) == ck:
+                continue
+            data = self.cluster.client.fragment_data(
+                node.uri, index, shard, field, view)
+            self.restore_fragment(index, shard, field, view, data)
+            nbytes += len(data)
+            n_frags += 1
+        for (field, view) in set(my_map) - set(their_map):
+            f = idx.field(field)
+            v = f.view(view) if f is not None else None
+            if v is not None:
+                with idx.mutate_gate.shared():
+                    v.fragments.pop(shard, None)
+        REGISTRY.count("resync_fragments_pulled", n_frags)
+        REGISTRY.count("resync_bytes_pulled", nbytes)
+
+    def translate_checksums(self) -> dict:
+        """Per-store key counts + content checksums — the translate-store
+        anti-entropy comparison unit (reference: holderSyncer's translate
+        sync, holder.go:1303 + /internal/translate/data)."""
+        out = {}
+        for name in self.holder.indexes:
+            idx = self.holder.index(name)
+            fields = {}
+            for fname in idx.fields:
+                store = idx.row_translation(fname)
+                if store is not None:
+                    fields[fname] = store.checksum()
+            out[name] = {"index": idx.translate_store.checksum(),
+                         "fields": fields}
+        return out
+
+    def resync_translate(self) -> int:
+        """Translate-store divergence heal: compare per-store checksums
+        with live peers and merge the snapshot of any store where a peer
+        has keys we lack (entries are immutable key->id mappings, so an
+        apply_entries merge converges)."""
+        if self.cluster is None:
+            return 0
+        from featurebase_tpu.utils.metrics import REGISTRY
+        mine = self.translate_checksums()
+        healed = 0
+        for n in self.cluster.live_peers():
+            try:
+                theirs = self.cluster.client.translate_checksums(n.uri)
+            except Exception:  # noqa: BLE001
+                continue
+            want = []
+            for iname, td in theirs.items():
+                md = mine.get(iname)
+                if md is None:
+                    continue
+                if (td["index"] != md["index"]
+                        and td["index"][0] >= md["index"][0]) or any(
+                        td["fields"].get(fn) != md["fields"].get(fn)
+                        and (td["fields"].get(fn) or [0, 0])[0]
+                        >= (md["fields"].get(fn) or [0, 0])[0]
+                        for fn in td.get("fields", {})):
+                    want.append(iname)
+            if not want:
+                continue
+            try:
+                snap = self.cluster.client._call(
+                    n.uri, "GET", "/internal/translate/snapshot")
+            except Exception:  # noqa: BLE001
+                continue
+            self.apply_translate_snapshot(
+                {k: v for k, v in snap.items() if k in want})
+            healed += len(want)
+            mine = self.translate_checksums()
+            REGISTRY.count("resync_translate_stores", len(want))
+        return healed
 
     # -- TTL view removal (reference: server.go:920 ViewsRemoval) -----------
 

@@ -512,12 +512,28 @@ class Handler(BaseHTTPRequestHandler):
             self.wfile.write(data)
             return None
 
+        m = re.fullmatch(r"/internal/index/([^/]+)/shard/(\d+)/fragment",
+                         path)
+        if m and method == "GET":
+            data = self.api.fragment_snapshot_bytes(
+                m.group(1), int(m.group(2)), query.get("field", ""),
+                query.get("view", ""))
+            self.send_response(200)
+            self.send_header("Content-Type", "application/octet-stream")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+            return None
+
         m = re.fullmatch(r"/internal/restore/([^/]+)/(\d+)", path)
         if m and method == "POST":
             fwd = self.headers.get("X-Featurebase-Forwarded") != "1"
             self.api.restore_shard(m.group(1), int(m.group(2)), self._body(),
                                    forward=fwd)
             return self._send({})
+
+        if path == "/internal/translate/checksums" and method == "GET":
+            return self._send(self.api.translate_checksums())
 
         if path == "/internal/resync" and method == "POST":
             return self._send({"pulled": self.api.resync_shards()})

@@ -142,6 +142,19 @@ class IndexTranslateStore:
                 part.id_to_key[int(id_)] = k
                 part.max_id = max(part.max_id, int(id_))
 
+    def checksum(self) -> list:
+        """[entry_count, content_checksum] — the anti-entropy comparison
+        unit (lists, not tuples, so local and JSON-decoded peer values
+        compare equal)."""
+        with self._lock:
+            n = 0
+            ck = 0
+            for part in self.partitions.values():
+                n += len(part.key_to_id)
+                for k, v in part.key_to_id.items():
+                    ck ^= fnv64a(f"{k}={v}".encode())
+            return [n, ck]
+
     def to_json(self):
         return {str(p): {"keys": part.key_to_id, "max_id": part.max_id}
                 for p, part in self.partitions.items()}
@@ -207,6 +220,13 @@ class FieldTranslateStore:
                 self.key_to_id[k] = int(id_)
                 self.id_to_key[int(id_)] = k
                 self.max_id = max(self.max_id, int(id_))
+
+    def checksum(self) -> list:
+        with self._lock:
+            ck = 0
+            for k, v in self.key_to_id.items():
+                ck ^= fnv64a(f"{k}={v}".encode())
+            return [len(self.key_to_id), ck]
 
     def to_json(self):
         return {"keys": self.key_to_id, "max_id": self.max_id}
