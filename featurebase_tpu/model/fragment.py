@@ -14,7 +14,9 @@ words (see core/consts.py).
 """
 from __future__ import annotations
 
+import os
 import threading
+import weakref
 from contextlib import contextmanager
 from typing import Dict, List, Optional
 
@@ -23,6 +25,22 @@ import numpy as np
 from featurebase_tpu.core.consts import SHARD_WIDTH, WORDS_PER_ROW
 
 _INIT_CAP = 4
+
+
+def _hostmem():
+    from featurebase_tpu.storage.hostmem import hostmem
+    return hostmem()
+
+
+def _drop_host_entry(key):
+    _hostmem().remove(key)
+
+
+def _unlink_spill(path):
+    try:
+        os.unlink(path)
+    except OSError:
+        pass
 
 
 class Fragment:
@@ -35,8 +53,16 @@ class Fragment:
         self.shard = shard
 
         self._lock = threading.RLock()
-        # host master
-        self._words = np.zeros((_INIT_CAP, WORDS_PER_ROW), dtype=np.uint32)
+        # host master: _words_mem may be spilled to disk by the host-DRAM
+        # residency manager (storage/hostmem.py — the RBF mmap/page-cache
+        # role, reference rbf/db.go:45); the _words property reloads
+        # transparently.  Row metadata (_row_of_slot/_slot_of_row) always
+        # stays in memory — it's tiny.
+        self._words_mem: Optional[np.ndarray] = \
+            np.zeros((_INIT_CAP, WORDS_PER_ROW), dtype=np.uint32)
+        self._spill_path: Optional[str] = None
+        self._spill_gen = -1      # generation persisted in the spill file
+        self._finalizer = None
         self._row_of_slot: List[int] = []
         self._slot_of_row: Dict[int, int] = {}
         # device mirror
@@ -50,6 +76,7 @@ class Fragment:
         # changed value as "unstable — retry" (the reference gets this from
         # RBF page-map snapshot isolation instead, rbf/page_map.go:1).
         self.generation = 0
+        self._register_host()
 
     @contextmanager
     def _mutating(self):
@@ -59,6 +86,90 @@ class Fragment:
             yield
         finally:
             self.generation += 1
+
+    # -- host-DRAM residency (the RBF page-cache/mmap role) -----------------
+
+    @property
+    def _words(self) -> np.ndarray:
+        w = self._words_mem
+        if w is None:
+            return self._reload_host()
+        _hostmem().touch(self._host_key())
+        return w
+
+    @_words.setter
+    def _words(self, v: np.ndarray):
+        self._words_mem = v
+
+    def _host_key(self):
+        return ("host", self.index, self.field, self.view, self.shard,
+                id(self))
+
+    def _register_host(self):
+        """(Re-)register this fragment's host bytes with the budget
+        manager; may synchronously spill other fragments."""
+        from featurebase_tpu.storage.hostmem import hostmem
+        w = self._words_mem
+        if w is None:
+            return
+        ref = weakref.ref(self)
+
+        def offload():
+            f = ref()
+            if f is not None:
+                f._offload_host()
+        hostmem().add(self._host_key(), int(w.nbytes), offload)
+        if self._finalizer is None:
+            # drop the LRU entry when the fragment object is collected
+            # (module-level fn: the finalize must not keep self alive)
+            self._finalizer = weakref.finalize(
+                self, _drop_host_entry, self._host_key())
+
+    def _offload_host(self):
+        """Spill host words to disk and drop the in-memory array (called
+        by HostResidency under budget pressure).  Non-blocking on the
+        fragment lock: a fragment busy writing (or mid-reload, itself
+        evicting others) is re-registered and skipped — blocking here
+        could deadlock two fragments evicting each other."""
+        from featurebase_tpu.storage.hostmem import hostmem
+        if not self._lock.acquire(blocking=False):
+            self._register_host()
+            return
+        try:
+            w = self._words_mem
+            if w is None:
+                return
+            n = self.num_rows
+            if self._spill_path is None:
+                import tempfile
+                fd, path = tempfile.mkstemp(
+                    suffix=".npy", prefix="frag_",
+                    dir=hostmem().spill_dir())
+                os.close(fd)
+                self._spill_path = path
+                weakref.finalize(self, _unlink_spill, path)
+            if self._spill_gen != self.generation:
+                np.save(self._spill_path, w[:n], allow_pickle=False)
+                self._spill_gen = self.generation
+            self._words_mem = None
+            hostmem().remove(self._host_key())
+        finally:
+            self._lock.release()
+
+    def _reload_host(self) -> np.ndarray:
+        from featurebase_tpu.storage.hostmem import hostmem
+        with self._lock:
+            if self._words_mem is not None:
+                return self._words_mem
+            n = self.num_rows
+            cap = max(_INIT_CAP, n)
+            w = np.zeros((cap, WORDS_PER_ROW), dtype=np.uint32)
+            if self._spill_path is not None and n:
+                w[:n] = np.load(self._spill_path, allow_pickle=False)
+            self._words_mem = w
+            hostmem().note_reload()
+            self._register_host()
+            return w
 
     # -- host-side row management ------------------------------------------
 
@@ -88,6 +199,7 @@ class Fragment:
             grown[: self._words.shape[0]] = self._words
             self._words = grown
             self._all_dirty = True
+            self._register_host()
         self._row_of_slot.append(row)
         self._slot_of_row[row] = slot
         self._dirty.add(slot)
@@ -329,4 +441,5 @@ class Fragment:
         f._row_of_slot = [int(r) for r in rows]
         f._slot_of_row = {int(r): i for i, r in enumerate(rows)}
         f._all_dirty = True
+        f._register_host()
         return f

@@ -4,11 +4,18 @@ The engine's speed-of-light ops are HBM-bandwidth-bound streaming scans
 (reference's roaring kernels, roaring/roaring.go:711-1663, recast as dense
 tile ops).  The fused AND+popcount reduction (reference: IntersectionCount,
 roaring/roaring.go:1078) is the headline kernel; it streams both operands
-through VMEM in 2 MB blocks and reduces the per-word popcount cost with a
-4-way Harley-Seal carry-save adder so the VPU does ~1/3 of the popcount
-work per word (popcount lowers to a multi-op SWAR sequence; the CSA
-compresses 4 words into 1 'ones' + 2 'carry' planes before popcounting).
-Measured on TPU v5e this runs at 92-96% of the HBM roofline.
+through VMEM in 2.5 MB blocks and reduces the per-word popcount cost with
+a 4-way Harley-Seal carry-save adder (the CSA compresses 4 words into 1
+'ones' + 2 'carry' planes before popcounting).
+
+Measured on TPU v5e (tools/tune_count_kernel.py, two-point fit over
+dependent iterations): 762.9 GB/s = 93.1% of the 819 GB/s paper roofline.
+The kernel is DMA-bound, not compute-bound: a near-zero-compute 2-stream
+ceiling kernel measures 750.8 GB/s at (512,1024) blocks and 786.6 GB/s at
+(1024,1024), and the block-shape sweep picked (640,1024) as the best
+compute-kernel point (csa 512: 723, 640: 763, 768: 740, 1024 w/ raised
+VMEM limit: 754; direct popcount and partial-output variants all within
+noise of their matching ceilings).
 
 Selection: `use_pallas()` is True on TPU backends (override with
 FEATUREBASE_TPU_PALLAS=0/1).  On CPU the XLA paths run; tests exercise
@@ -25,10 +32,11 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Streaming block for the flat reduction: (512, 1024) int32 = 2 MB per
+# Streaming block for the flat reduction: (640, 1024) int32 = 2.5 MB per
 # operand per grid step; Pallas double-buffers the HBM->VMEM DMA across
-# grid steps (4 operand buffers = 8 MB VMEM, within the 16 MB budget).
-_CHUNK_ROWS = 512
+# grid steps (4 operand buffers = 10 MB VMEM, within the 16 MB scoped
+# budget).  640 rows won the measured block sweep — see module docstring.
+_CHUNK_ROWS = 640
 _CHUNK_COLS = 1024
 _CHUNK_WORDS = _CHUNK_ROWS * _CHUNK_COLS
 

@@ -310,8 +310,13 @@ class Handler(BaseHTTPRequestHandler):
             return self._send({"shards": self.api.available_shards(idx)})
 
         if path == "/metrics.json" and method == "GET":
+            from featurebase_tpu.storage.hostmem import hostmem
+            from featurebase_tpu.storage.residency import residency
             from featurebase_tpu.utils.metrics import REGISTRY
-            return self._send(REGISTRY.to_json())
+            out = REGISTRY.to_json()
+            out["hbm_residency"] = residency().stats()
+            out["host_residency"] = hostmem().stats()
+            return self._send(out)
 
         if path == "/sql" and method == "POST":
             b = self._json()

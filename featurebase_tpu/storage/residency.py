@@ -43,6 +43,10 @@ class DeviceResidency:
         self._entries: "OrderedDict[object, tuple]" = OrderedDict()
         self.bytes = 0
         self.evictions = 0
+        # thrash = an evicted entry re-registered soon after (ping-pong
+        # between over-budget working sets); exposed so operators see it
+        self.thrash = 0
+        self._recently_evicted: "OrderedDict[object, None]" = OrderedDict()
 
     def set_budget(self, budget: int):
         with self._lock:
@@ -53,6 +57,9 @@ class DeviceResidency:
         """Register (or refresh) a device-resident entry, then evict LRU
         entries until the budget holds (never the entry just added)."""
         with self._lock:
+            if key in self._recently_evicted:
+                self._recently_evicted.pop(key, None)
+                self.thrash += 1
             old = self._entries.pop(key, None)
             if old is not None:
                 self.bytes -= old[0]
@@ -86,13 +93,18 @@ class DeviceResidency:
                 nbytes, evict_fn = self._entries.pop(victim)
                 self.bytes -= nbytes
                 self.evictions += 1
+                self._recently_evicted[victim] = None
+                while len(self._recently_evicted) > 256:
+                    self._recently_evicted.popitem(last=False)
             evict_fn()  # outside the lock: owner clears its reference
 
     def stats(self) -> dict:
         with self._lock:
             return {"bytes": self.bytes, "budget": self.budget,
                     "entries": len(self._entries),
-                    "evictions": self.evictions}
+                    "evictions": self.evictions, "thrash": self.thrash,
+                    "largest": max((n for n, _ in self._entries.values()),
+                                   default=0)}
 
 
 _global: Optional[DeviceResidency] = None

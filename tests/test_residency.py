@@ -57,14 +57,17 @@ class TestResidencyCap:
         assert srt["columns"] == [int(c) for c in d["cols"][order][:5]]
         st = mgr.stats()
         assert st["evictions"] > 0, "dataset 4x budget must evict"
-        assert st["bytes"] <= st["budget"] * 2  # one oversized entry allowed
+        # steady state: everything evicted around at most one oversized
+        # entry (the stacked Sort BSI leaf exceeds the whole test budget)
+        assert st["bytes"] <= st["budget"] + st["largest"]
 
     def test_budget_is_enforced_between_queries(self, capped):
         e, d, mgr = capped
         for _ in range(3):
             e.execute("cap", "Count(Row(f=0))")
             e.execute("cap", "Sum(field=v)")
-        assert mgr.stats()["bytes"] <= mgr.budget * 2
+        st = mgr.stats()
+        assert st["bytes"] <= st["budget"] + st["largest"]
 
     def test_eviction_then_write_then_reread(self, capped):
         """Evicted fragments rebuild from host masters and still see writes
@@ -93,3 +96,21 @@ class TestResidencyUnit:
         mgr = res.DeviceResidency(budget=10)
         mgr.add("big", 100, lambda: None)
         assert mgr.stats()["bytes"] == 100  # runs anyway; nothing to evict
+
+
+class TestThrashCounter:
+    def test_thrash_counts_reevictions(self):
+        mgr = res.DeviceResidency(budget=100)
+        state = {}
+
+        def add(key, n):
+            mgr.add(key, n, lambda: state.pop(key, None))
+            state[key] = n
+
+        # two alternating over-half-budget entries ping-pong the cache
+        for _ in range(3):
+            add("a", 80)
+            add("b", 80)
+        st = mgr.stats()
+        assert st["thrash"] >= 2
+        assert "largest" in st

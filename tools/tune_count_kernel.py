@@ -39,6 +39,14 @@ def main():
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    vmem_mb = int(os.environ.get("FEATUREBASE_TUNE_VMEM_MB", "0"))
+
+    def cparams(sem):
+        kw = {"dimension_semantics": (sem,)}
+        if vmem_mb:
+            kw["vmem_limit_bytes"] = vmem_mb << 20
+        return pltpu.CompilerParams(**kw)
+
     dev = jax.devices()[0]
     on_tpu = "cpu" not in str(dev).lower()
     nbytes = (256 << 20) if on_tpu else (16 << 20)
@@ -89,8 +97,7 @@ def main():
                 out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0),
                                        memory_space=pltpu.SMEM),
                 out_shape=jax.ShapeDtypeStruct((1, 1), jnp.int32),
-                compiler_params=pltpu.CompilerParams(
-                    dimension_semantics=("arbitrary",)),
+                compiler_params=cparams("arbitrary"),
             )(acc, a2, b2)
         return run, False  # False: result is not the true popcount
 
@@ -126,8 +133,7 @@ def main():
                 out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0),
                                        memory_space=pltpu.SMEM),
                 out_shape=jax.ShapeDtypeStruct((1, 1), jnp.int32),
-                compiler_params=pltpu.CompilerParams(
-                    dimension_semantics=("arbitrary",)),
+                compiler_params=cparams("arbitrary"),
             )(acc, a2, b2)
         return run, True
 
@@ -147,8 +153,7 @@ def main():
             out_specs=pl.BlockSpec((8, cols), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((grid[0] * 8, cols), jnp.int32),
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel",)),
+            compiler_params=cparams("parallel"),
         )(acc, a2, b2)
         return jnp.sum(parts, dtype=jnp.int32).reshape(1, 1)
 
@@ -198,7 +203,7 @@ def main():
     variants = {}
     for (r, c) in [(512, 1024), (1024, 1024), (256, 2048), (512, 2048),
                    (256, 1024), (2048, 1024), (768, 1024), (640, 1024),
-                   (896, 1024)]:
+                   (896, 1024), (576, 1024), (704, 1024)]:
         variants[f"csa_{r}x{c}"] = ("csa_smem", r, c)
         variants[f"direct_{r}x{c}"] = ("direct", r, c)
         variants[f"csa_p_{r}x{c}"] = ("csa_partial", r, c)
