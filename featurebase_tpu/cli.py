@@ -165,6 +165,23 @@ def main(argv=None):
     qs.add_argument("sql", nargs="?", default=None,
                     help="statement; omit for the interactive fbsql shell")
 
+    kc = sub.add_parser(
+        "consume", help="Kafka consumer ingest into a durable data dir "
+        "(reference: molecula-consumer-kafka, idk/cmd)")
+    kc.add_argument("--bootstrap", required=True, help="HOST:PORT broker")
+    kc.add_argument("--topic", required=True)
+    kc.add_argument("--group", default="featurebase-tpu")
+    kc.add_argument("--index", required=True)
+    kc.add_argument("--data-dir", required=True)
+    kc.add_argument("--id-field", default="id")
+    kc.add_argument("--auto-id", action="store_true",
+                    help="allocate record ids via the ID allocator")
+    kc.add_argument("--batch-size", type=int, default=4096)
+    kc.add_argument("--max-batches", type=int, default=None)
+    kc.add_argument("--avro-schema", default=None,
+                    help="JSON file {schema_id: avro schema} for "
+                         "Confluent-framed values")
+
     args = ap.parse_args(argv)
     cfg = _load_config(args.config)
 
@@ -184,7 +201,35 @@ def main(argv=None):
         return cmd_query(args)
     if args.cmd == "sql":
         return cmd_sql(args)
+    if args.cmd == "consume":
+        return cmd_consume(args)
     return 2
+
+
+def cmd_consume(args):
+    """Kafka-protocol consumer -> durable local API (reference:
+    idk molecula-consumer-kafka, idk/cmd; cluster deployments colocate a
+    consumer per node or ingest through the HTTP import endpoints)."""
+    import json as _json
+
+    from featurebase_tpu.ingest.idk import Ingester
+    from featurebase_tpu.ingest.kafka_source import (AvroDeserializer,
+                                                     KafkaSource)
+    from featurebase_tpu.server.api import API
+    deser = None
+    if args.avro_schema:
+        with open(args.avro_schema) as fh:
+            reg = {int(k): v for k, v in _json.load(fh).items()}
+        deser = AvroDeserializer(reg)
+    api = API(data_dir=args.data_dir)
+    src = KafkaSource(args.bootstrap, args.topic, group=args.group,
+                      deserializer=deser)
+    ing = Ingester(api, args.index, src,
+                   batch_size=args.batch_size,
+                   id_field=None if args.auto_id else args.id_field)
+    stats = ing.run(max_batches=args.max_batches)
+    print(_json.dumps(stats))
+    return 0
 
 
 def cmd_server(args, cfg):

@@ -183,6 +183,13 @@ class Ingester:
         self.fields = fields
         # crash injection hook for tests: called after import, before commit
         self._post_import_hook = None
+        # Durability: the Batch path writes fragments directly (not through
+        # the WAL), so a durable API must checkpoint BEFORE the source
+        # offset commits — otherwise a crash after offset-commit loses the
+        # batch while the broker thinks it was delivered (reference
+        # ordering: idk/ingest.go:1062 commitRecord runs after the
+        # transactional import is durable).
+        self.checkpoint_after_batch = api.wal is not None
 
     def run(self, max_batches: Optional[int] = None) -> dict:
         """Drain the source; returns {'records': n, 'batches': b}."""
@@ -211,6 +218,8 @@ class Ingester:
                 batch.add(rid, **{k: v for k, v in vals.items()
                                   if k in self.fields and v is not None})
             batch.import_batch()
+            if self.checkpoint_after_batch:
+                self.api.checkpoint()
             if self._post_import_hook is not None:
                 self._post_import_hook(n_batches)
             if self.id_field is None:

@@ -1,0 +1,288 @@
+"""In-process Kafka broker stand-in speaking the real wire protocol.
+
+Serves Produce/Fetch/Metadata/ListOffsets/OffsetCommit/OffsetFetch/
+ApiVersions (v0, MessageSet v1) over TCP — the role idk's docker-compose
+Kafka plays for the reference's integration tests (reference:
+idk/docker-compose.yml, idk/kafka tests), runnable anywhere.  Topics
+auto-create on first touch; logs and consumer-group offsets are in-memory
+(optionally persisted to a JSON file so restarts keep committed offsets).
+"""
+from __future__ import annotations
+
+import json
+import os
+import socket
+import socketserver
+import struct
+import threading
+import time
+from typing import Dict, List, Optional, Tuple
+
+from featurebase_tpu.ingest import kafka_wire as kw
+
+ERR_NONE = 0
+ERR_UNKNOWN_TOPIC = 3
+ERR_OFFSET_OUT_OF_RANGE = 1
+
+
+class _State:
+    def __init__(self, num_partitions: int, offsets_path: Optional[str]):
+        self.lock = threading.Lock()
+        self.num_partitions = num_partitions
+        # (topic, partition) -> list[(key, value, timestamp)]
+        self.logs: Dict[Tuple[str, int], List[tuple]] = {}
+        # (group, topic, partition) -> offset
+        self.group_offsets: Dict[Tuple[str, str, int], int] = {}
+        self.offsets_path = offsets_path
+        if offsets_path and os.path.exists(offsets_path):
+            with open(offsets_path) as fh:
+                for k, v in json.load(fh).items():
+                    g, t, p = k.split("\x00")
+                    self.group_offsets[(g, t, int(p))] = int(v)
+
+    def ensure_topic(self, topic: str):
+        for p in range(self.num_partitions):
+            self.logs.setdefault((topic, p), [])
+
+    def persist_offsets(self):
+        if not self.offsets_path:
+            return
+        data = {f"{g}\x00{t}\x00{p}": off
+                for (g, t, p), off in self.group_offsets.items()}
+        tmp = self.offsets_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(data, fh)
+        os.replace(tmp, self.offsets_path)
+
+
+class _Handler(socketserver.BaseRequestHandler):
+    def handle(self):
+        st: _State = self.server.state  # type: ignore[attr-defined]
+        sock = self.request
+        try:
+            while True:
+                hdr = self._read_exact(sock, 4)
+                if hdr is None:
+                    return
+                (size,) = struct.unpack(">i", hdr)
+                frame = self._read_exact(sock, size)
+                if frame is None:
+                    return
+                r = kw.Reader(frame)
+                api_key, api_version, corr, _client = \
+                    kw.decode_request_header(r)
+                body = self._dispatch(st, api_key, api_version, r)
+                sock.sendall(kw.encode_response(corr, body))
+        except (ConnectionError, OSError):
+            return
+
+    @staticmethod
+    def _read_exact(sock, n: int) -> Optional[bytes]:
+        buf = b""
+        while len(buf) < n:
+            chunk = sock.recv(n - len(buf))
+            if not chunk:
+                return None
+            buf += chunk
+        return buf
+
+    # -- API impls -----------------------------------------------------------
+
+    def _dispatch(self, st, api_key, api_version, r) -> bytes:
+        if api_key == kw.API_API_VERSIONS:
+            w = kw.Writer().i16(ERR_NONE)
+            apis = [(kw.API_PRODUCE, 0, 0), (kw.API_FETCH, 0, 0),
+                    (kw.API_LIST_OFFSETS, 0, 0), (kw.API_METADATA, 0, 0),
+                    (kw.API_OFFSET_COMMIT, 0, 0),
+                    (kw.API_OFFSET_FETCH, 0, 0),
+                    (kw.API_API_VERSIONS, 0, 0)]
+            w.array(apis, lambda w2, a:
+                    w2.i16(a[0]).i16(a[1]).i16(a[2]))
+            return w.build()
+        if api_key == kw.API_METADATA:
+            topics = r.array(lambda rr: rr.string())
+            with st.lock:
+                if not topics:
+                    topics = sorted({t for (t, _p) in st.logs})
+                for t in topics:
+                    st.ensure_topic(t)
+                host, port = self.server.server_address[:2]
+                w = kw.Writer()
+                w.array([(0, "127.0.0.1", port)], lambda w2, b:
+                        w2.i32(b[0]).string(b[1]).i32(b[2]))
+
+                def enc_topic(w2, t):
+                    w2.i16(ERR_NONE).string(t)
+                    parts = list(range(st.num_partitions))
+                    w2.array(parts, lambda w3, p:
+                             w3.i16(ERR_NONE).i32(p).i32(0)
+                             .array([0], lambda w4, x: w4.i32(x))
+                             .array([0], lambda w4, x: w4.i32(x)))
+                w.array(topics, enc_topic)
+            return w.build()
+        if api_key == kw.API_PRODUCE:
+            r.i16()  # acks
+            r.i32()  # timeout
+            results = []
+            n_topics = r.i32()
+            with st.lock:
+                for _ in range(n_topics):
+                    topic = r.string()
+                    st.ensure_topic(topic)
+                    n_parts = r.i32()
+                    for _ in range(n_parts):
+                        part = r.i32()
+                        mset = r.bytes_() or b""
+                        msgs = kw.decode_message_set(mset)
+                        log = st.logs.setdefault((topic, part), [])
+                        base = len(log)
+                        for (_off, key, value, ts) in msgs:
+                            log.append((key, value,
+                                        ts if ts >= 0
+                                        else int(time.time() * 1000)))
+                        results.append((topic, part, ERR_NONE, base))
+            w = kw.Writer()
+            by_topic: Dict[str, list] = {}
+            for (t, p, e, o) in results:
+                by_topic.setdefault(t, []).append((p, e, o))
+            w.array(sorted(by_topic.items()), lambda w2, kv:
+                    w2.string(kv[0]).array(kv[1], lambda w3, pr:
+                                           w3.i32(pr[0]).i16(pr[1])
+                                           .i64(pr[2])))
+            return w.build()
+        if api_key == kw.API_FETCH:
+            r.i32()  # replica_id
+            r.i32()  # max_wait
+            r.i32()  # min_bytes
+            n_topics = r.i32()
+            out_topics = []
+            with st.lock:
+                for _ in range(n_topics):
+                    topic = r.string()
+                    n_parts = r.i32()
+                    parts = []
+                    for _ in range(n_parts):
+                        part = r.i32()
+                        offset = r.i64()
+                        max_bytes = r.i32()
+                        log = st.logs.get((topic, part))
+                        if log is None:
+                            parts.append((part, ERR_UNKNOWN_TOPIC, 0, b""))
+                            continue
+                        hw = len(log)
+                        if offset > hw:
+                            parts.append(
+                                (part, ERR_OFFSET_OUT_OF_RANGE, hw, b""))
+                            continue
+                        msgs = []
+                        size = 0
+                        for i in range(offset, hw):
+                            key, value, ts = log[i]
+                            size += 26 + len(key or b"") + len(value or b"")
+                            if msgs and size > max_bytes:
+                                break
+                            msgs.append((key, value, ts))
+                        mset = kw.encode_message_set(offset, msgs)
+                        parts.append((part, ERR_NONE, hw, mset))
+                    out_topics.append((topic, parts))
+            w = kw.Writer()
+            w.array(out_topics, lambda w2, tp:
+                    w2.string(tp[0]).array(tp[1], lambda w3, pr:
+                                           w3.i32(pr[0]).i16(pr[1])
+                                           .i64(pr[2]).bytes_(pr[3])))
+            return w.build()
+        if api_key == kw.API_LIST_OFFSETS:
+            r.i32()  # replica
+            n_topics = r.i32()
+            out_topics = []
+            with st.lock:
+                for _ in range(n_topics):
+                    topic = r.string()
+                    n_parts = r.i32()
+                    parts = []
+                    for _ in range(n_parts):
+                        part = r.i32()
+                        tstamp = r.i64()
+                        r.i32()  # max offsets
+                        log = st.logs.get((topic, part), [])
+                        off = 0 if tstamp == -2 else len(log)
+                        parts.append((part, ERR_NONE, [off]))
+                    out_topics.append((topic, parts))
+            w = kw.Writer()
+            w.array(out_topics, lambda w2, tp:
+                    w2.string(tp[0]).array(tp[1], lambda w3, pr:
+                                           w3.i32(pr[0]).i16(pr[1])
+                                           .array(pr[2], lambda w4, o:
+                                                  w4.i64(o))))
+            return w.build()
+        if api_key == kw.API_OFFSET_COMMIT:
+            group = r.string()
+            n_topics = r.i32()
+            out_topics = []
+            with st.lock:
+                for _ in range(n_topics):
+                    topic = r.string()
+                    n_parts = r.i32()
+                    parts = []
+                    for _ in range(n_parts):
+                        part = r.i32()
+                        offset = r.i64()
+                        r.string()  # metadata
+                        st.group_offsets[(group, topic, part)] = offset
+                        parts.append((part, ERR_NONE))
+                    out_topics.append((topic, parts))
+                st.persist_offsets()
+            w = kw.Writer()
+            w.array(out_topics, lambda w2, tp:
+                    w2.string(tp[0]).array(tp[1], lambda w3, pr:
+                                           w3.i32(pr[0]).i16(pr[1])))
+            return w.build()
+        if api_key == kw.API_OFFSET_FETCH:
+            group = r.string()
+            n_topics = r.i32()
+            out_topics = []
+            with st.lock:
+                for _ in range(n_topics):
+                    topic = r.string()
+                    parts_req = r.array(lambda rr: rr.i32())
+                    parts = []
+                    for part in parts_req:
+                        off = st.group_offsets.get((group, topic, part), -1)
+                        parts.append((part, off, "", ERR_NONE))
+                    out_topics.append((topic, parts))
+            w = kw.Writer()
+            w.array(out_topics, lambda w2, tp:
+                    w2.string(tp[0]).array(tp[1], lambda w3, pr:
+                                           w3.i32(pr[0]).i64(pr[1])
+                                           .string(pr[2]).i16(pr[3])))
+            return w.build()
+        raise ValueError(f"unsupported kafka api {api_key}")
+
+
+class KafkaBroker:
+    """TCP broker; start()/stop(); .port for clients."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0,
+                 num_partitions: int = 2,
+                 offsets_path: Optional[str] = None):
+        class _Srv(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+        self.server = _Srv((host, port), _Handler)
+        self.server.state = _State(num_partitions, offsets_path)
+        self.port = self.server.server_address[1]
+        self._thread: Optional[threading.Thread] = None
+
+    @property
+    def state(self) -> _State:
+        return self.server.state  # type: ignore[attr-defined]
+
+    def start(self) -> "KafkaBroker":
+        t = threading.Thread(target=self.server.serve_forever, daemon=True)
+        t.start()
+        self._thread = t
+        return self
+
+    def stop(self):
+        self.server.shutdown()
+        self.server.server_close()
