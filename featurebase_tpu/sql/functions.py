@@ -90,6 +90,12 @@ FUNCTIONS: Dict[str, Callable[..., Any]] = {
     "prefix": _nullable(lambda s, n: str(s)[: int(n)]),
     "suffix": _nullable(lambda s, n: str(s)[-int(n):]),
     "str": _nullable(lambda v: str(v)),
+    "ascii": _nullable(lambda s: ord(str(s)[0]) if str(s) else None),
+    "char": _nullable(lambda n: chr(int(n))),
+    "chr": _nullable(lambda n: chr(int(n))),
+    "charindex": _nullable(
+        lambda sub, s, start=0: str(s).find(str(sub), int(start))),
+    "replicate": _nullable(lambda s, n: str(s) * int(n)),
     # number (reference: inbuiltfunctionsnumber.go)
     "abs": _nullable(lambda x: abs(x)),
     "ceil": _nullable(lambda x: math.ceil(x)),
@@ -116,6 +122,12 @@ FUNCTIONS: Dict[str, Callable[..., Any]] = {
     "totimestamp": _nullable(lambda v, unit="s": _as_dt(
         float(v) * {"s": 1, "ms": 1e-3, "us": 1e-6, "ns": 1e-9}
         [str(unit)]).isoformat()),
+    "datetimediff": _nullable(lambda part, a, b: _datetime_diff(part, a, b)),
+    "datetimefromparts": _nullable(
+        lambda y, mo, d, h=0, mi=0, s=0, ms=0: datetime.datetime(
+            int(y), int(mo), int(d), int(h), int(mi), int(s),
+            int(ms) * 1000).isoformat()),
+    "datetrunc": _nullable(lambda part, v: _date_trunc(part, v)),
     # set helpers (reference: inbuiltfunctionsset.go)
     "setcontains": _setcontains,
     "setcontainsany": _setcontainsany,
@@ -143,6 +155,41 @@ def _date_add(part, n, v):
              "mi": "minutes", "minute": "minutes", "s": "seconds",
              "second": "seconds", "ms": "milliseconds"}[part]
     return (dt + datetime.timedelta(**{delta: n})).isoformat()
+
+
+def _datetime_diff(part, a, b):
+    """Whole units from a to b (reference: analyzeFunctionDateTimeDiff)."""
+    da, db = _as_dt(a), _as_dt(b)
+    part = str(part).lower()
+    if part in ("yy", "year"):
+        return db.year - da.year
+    if part in ("m", "month"):
+        return (db.year - da.year) * 12 + (db.month - da.month)
+    secs = (db - da).total_seconds()
+    return int(secs / {"d": 86400, "day": 86400, "hh": 3600, "hour": 3600,
+                       "mi": 60, "minute": 60, "s": 1, "second": 1,
+                       "ms": 1e-3, "us": 1e-6, "ns": 1e-9}[part])
+
+
+def _date_trunc(part, v):
+    dt = _as_dt(v)
+    part = str(part).lower()
+    if part in ("yy", "year"):
+        return dt.replace(month=1, day=1, hour=0, minute=0, second=0,
+                          microsecond=0).isoformat()
+    if part in ("m", "month"):
+        return dt.replace(day=1, hour=0, minute=0, second=0,
+                          microsecond=0).isoformat()
+    if part in ("d", "day"):
+        return dt.replace(hour=0, minute=0, second=0,
+                          microsecond=0).isoformat()
+    if part in ("hh", "hour"):
+        return dt.replace(minute=0, second=0, microsecond=0).isoformat()
+    if part in ("mi", "minute"):
+        return dt.replace(second=0, microsecond=0).isoformat()
+    if part in ("s", "second"):
+        return dt.replace(microsecond=0).isoformat()
+    raise ValueError(f"bad datetrunc part {part!r}")
 
 
 def call_function(name: str, args: List[Any]):

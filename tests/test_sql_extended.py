@@ -225,3 +225,48 @@ class TestDistributedSQL:
             assert out["data"] == [[sum(ids)]]
             out = q(tc[1], "SELECT COUNT(*) FROM d WHERE v >= 15")
             assert out["data"] == [[15]]
+
+
+class TestR3Functions:
+    """String/date function breadth added round 3 (reference:
+    inbuiltfunctionsstring.go, inbuiltfunctionsdate.go)."""
+
+    def _one(self, api, expr):
+        out = execute_sql(api, f"SELECT {expr} AS x")
+        return out["data"][0][0]
+
+    def test_string_functions(self):
+        api = API()
+        assert self._one(api, "ascii('A')") == 65
+        assert self._one(api, "char(66)") == "B"
+        assert self._one(api, "charindex('lo', 'hello')") == 3
+        assert self._one(api, "replicate('ab', 3)") == "ababab"
+
+    def test_date_functions(self):
+        api = API()
+        assert self._one(
+            api, "datetimediff('d', '2024-01-01T00:00:00', "
+                 "'2024-01-11T00:00:00')") == 10
+        assert self._one(
+            api, "datetimefromparts(2024, 2, 29, 13, 30, 0, 0)") == \
+            "2024-02-29T13:30:00"
+        assert self._one(
+            api, "datetrunc('m', '2024-05-17T13:30:45')") == \
+            "2024-05-01T00:00:00"
+
+    def test_system_tables_r3(self):
+        api = API()
+        api.create_index("t1")
+        api.create_field("t1", "f", {"type": "int", "min": 0, "max": 10})
+        out = execute_sql(api, "SELECT * FROM fb_tables")
+        assert ["t1", "t1", "table", 1] in out["data"]
+        ddl = execute_sql(api, "SELECT * FROM fb_table_ddl")["data"]
+        assert any("create table t1" in r[1] and "f int" in r[1]
+                   for r in ddl)
+        fns = execute_sql(api, "SELECT * FROM fb_functions")["data"]
+        assert ["charindex", "builtin"] in fns
+        perf = execute_sql(
+            api, "SELECT * FROM fb_performance_counters")["data"]
+        assert isinstance(perf, list)
+        dbs = execute_sql(api, "SELECT * FROM fb_database_nodes")["data"]
+        assert dbs and dbs[0][0] == "featurebase_tpu"
