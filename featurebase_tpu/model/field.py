@@ -231,10 +231,14 @@ class Field:
                 views.extend(views_by_time(VIEW_STANDARD, t, o.time_quantum))
             for vn in views:
                 frag = self.create_view_if_not_exists(vn).create_fragment_if_not_exists(shard)
-                changed |= frag.set_bit(row, col)
+                if frag.set_bit(row, col):
+                    changed = True
+                    self._topn_cache_adjust(shard, vn, row, +1)
             return changed
         frag = self.standard_view().create_fragment_if_not_exists(shard)
         out = frag.set_bit(row, col) or changed
+        if out:
+            self._topn_cache_adjust(shard, VIEW_STANDARD, row, +1)
         if PARANOIA:
             self._paranoia_column(col)
         return out
@@ -242,11 +246,53 @@ class Field:
     def clear_bit(self, row: int, col: int) -> bool:
         shard = col >> 20
         changed = False
-        for v in self.views.values():
+        for vn, v in list(self.views.items()):
             frag = v.fragment(shard)
-            if frag is not None:
-                changed |= frag.clear_bit(row, col)
+            if frag is not None and frag.clear_bit(row, col):
+                changed = True
+                self._topn_cache_adjust(shard, vn, row, -1)
         return changed
+
+    def _topn_cache_adjust(self, shard: int, view_name: str, row: int,
+                           delta: int):
+        """Incremental rank-cache maintenance for single-bit writes
+        (reference: cache.go:130 — the rank cache absorbs point updates
+        and only re-ranks past a threshold; bulk imports still invalidate
+        by generation).  Optimistic install: the entry is updated only
+        when the current generations equal the cached ones plus EXACTLY
+        this write's seqlock bump — any concurrent or unaccounted write
+        makes the generations diverge and the entry drops instead."""
+        for key in list(self._topn_cache):
+            kshard, names = key
+            if kshard != shard or view_name not in names:
+                continue
+            if names != (view_name,):
+                # multi-view entries cache OR-counts across views: a point
+                # write's effect on the union isn't derivable from the
+                # delta alone, so those just invalidate
+                self._topn_cache.pop(key, None)
+                continue
+            entry = self._topn_cache.get(key)
+            if entry is None:
+                continue
+            old_gens, counts = entry
+            cur = tuple(fr.generation for vn in names
+                        if (vv := self.views.get(vn)) is not None
+                        and (fr := vv.fragments.get(shard)) is not None)
+            if (len(cur) != len(old_gens)
+                    or sum(c - o for c, o in zip(cur, old_gens)) != 2
+                    or any(c - o not in (0, 2)
+                           for c, o in zip(cur, old_gens))):
+                self._topn_cache.pop(key, None)
+                continue
+            new_counts = dict(counts)
+            new_counts[row] = new_counts.get(row, 0) + delta
+            if new_counts[row] <= 0:
+                new_counts.pop(row)
+            if len(new_counts) > self.options.cache_size:
+                self._topn_cache.pop(key, None)
+                continue
+            self._topn_cache[key] = (cur, new_counts)
 
     def _clear_mutex_col(self, col: int, keep_row: Optional[int] = None):
         """Mutex invariant: at most one row set per column (reference

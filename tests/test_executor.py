@@ -447,3 +447,78 @@ class TestTopNRankCache:
         q(e, "Set(1, ff=1)")
         q(e, "TopN(ff, Row(ff=1))")
         assert not idx.field("ff")._topn_cache
+
+
+class TestTopNCacheIncremental:
+    """Single-bit writes maintain the rank cache in place instead of
+    invalidating it (reference: cache.go:130 threshold re-rank)."""
+
+    def _env(self):
+        from featurebase_tpu.model.index import Holder
+        from featurebase_tpu.executor.executor import Executor
+        holder = Holder()
+        idx = holder.create_index("tc")
+        idx.create_field("f")
+        e = Executor(holder)
+        return holder, idx, e
+
+    def test_point_write_updates_cache_in_place(self):
+        holder, idx, e = self._env()
+        f = idx.field("f")
+        for c in range(10):
+            e.execute("tc", f"Set({c}, f={c % 3})")
+        (before,) = e.execute("tc", "TopN(f)")  # fills the cache
+        key = (0, ("standard",))
+        assert key in f._topn_cache
+        gens0, counts0 = f._topn_cache[key]
+
+        e.execute("tc", "Set(100, f=1)")  # single-bit write
+        # entry survived with adjusted counts + advanced generations
+        assert key in f._topn_cache
+        gens1, counts1 = f._topn_cache[key]
+        assert gens1 != gens0
+        assert counts1[1] == counts0[1] + 1
+
+        # and the served TopN is exact, straight from the cache
+        import featurebase_tpu.ops.bitwise as bw
+        calls = {"n": 0}
+        real = bw.popcount_rows
+
+        def spy(*a, **kw):
+            calls["n"] += 1
+            return real(*a, **kw)
+
+        bw.popcount_rows, real_saved = spy, real
+        try:
+            (topn,) = e.execute("tc", "TopN(f)")
+        finally:
+            bw.popcount_rows = real_saved
+        got = {p.id: p.count for p in topn.pairs}
+        assert got == {0: 4, 1: 4, 2: 3}
+        assert calls["n"] == 0, "cache hit must not re-count on device"
+
+    def test_bulk_import_still_invalidates(self):
+        import numpy as np
+        holder, idx, e = self._env()
+        f = idx.field("f")
+        for c in range(6):
+            e.execute("tc", f"Set({c}, f=0)")
+        e.execute("tc", "TopN(f)")
+        key = (0, ("standard",))
+        gens0, _ = f._topn_cache[key]
+        f.import_bits(np.array([0, 1]), np.array([50, 51]))
+        (topn,) = e.execute("tc", "TopN(f)")  # rebuilt, not stale
+        got = {p.id: p.count for p in topn.pairs}
+        assert got == {0: 7, 1: 1}
+
+    def test_clear_bit_decrements(self):
+        holder, idx, e = self._env()
+        f = idx.field("f")
+        for c in range(5):
+            e.execute("tc", f"Set({c}, f=0)")
+        e.execute("tc", "TopN(f)")
+        e.execute("tc", "Clear(3, f=0)")
+        key = (0, ("standard",))
+        assert f._topn_cache[key][1][0] == 4
+        (topn,) = e.execute("tc", "TopN(f)")
+        assert {p.id: p.count for p in topn.pairs} == {0: 4}
