@@ -81,6 +81,10 @@ def main(argv=None):
                     help="JSON file: {\"user-groups\": {group: {index: "
                          "read|write|admin}}, \"admin\": group} "
                          "(reference: authz/authz.go permissions YAML)")
+    sp.add_argument("--lookup-dsn",
+                    default=_env_default("lookup_dsn", None),
+                    help="ExternalLookup() database, e.g. sqlite:PATH "
+                         "(reference: lookup-db-dsn, holder.lookupDB)")
     sp.add_argument("--long-query-time", type=float,
                     default=float(_env_default("long_query_time", 0) or 0),
                     help="log queries slower than this many seconds "
@@ -293,6 +297,10 @@ def cmd_server(args, cfg):
                           audience=cfg.get("auth-audience",
                                            args.auth_audience)),
             GroupAuthorizer.from_file(perms_path))
+    lookup_dsn = cfg.get("lookup-dsn", args.lookup_dsn)
+    if lookup_dsn:
+        from featurebase_tpu.storage.lookup import open_lookup
+        api.holder.lookup_db = open_lookup(lookup_dsn)
     if cluster is not None:
         # liveness + convergence loop (reference: etcd heartbeats +
         # holderSyncer); also performs the initial schema/translate pull

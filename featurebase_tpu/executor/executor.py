@@ -453,10 +453,7 @@ class Executor:
         if name == "Arrow":
             return self._execute_arrow(index, call, shards)
         if name == "ExternalLookup":
-            raise ExecError(
-                "ExternalLookup() requires an external SQL engine and is "
-                "not supported (reference executor.go executeExternalLookup "
-                "gated on a configured lookup DB)")
+            return self._execute_external_lookup(index, call, shards)
         # bitmap-producing calls
         return self._execute_bitmap_call(index, call, shards)
 
@@ -1595,6 +1592,51 @@ class Executor:
                 g[0] += c
                 g[1] += s
         return True
+
+    def _execute_external_lookup(self, index: Index, call: Call,
+                                 shards: Optional[List[int]]):
+        """ExternalLookup(bitmap, query="...", write=bool): bind the
+        bitmap's columns (keys on keyed indexes) as the $1 array of a SQL
+        statement against the configured lookup DB; reads come back as an
+        ExtractedTable whose first SQL column is the record key (reference:
+        executor.go:4357 executeExternalLookup; adapter protocol in
+        storage/lookup.py)."""
+        from featurebase_tpu.executor.results import (ExtractedTable,
+                                                      ExtractedTableColumn,
+                                                      ExtractedTableField)
+        db = getattr(self.holder, "lookup_db", None)
+        if db is None:
+            raise ExecError("external DB connection is not configured")
+        query = call.args.get("query")
+        if not isinstance(query, str):
+            raise ExecError("missing query")
+        if len(call.children) != 1:
+            raise ExecError("ExternalLookup takes exactly one lookup input")
+        write = bool(call.args.get("write", False))
+        row = self._execute_call(index, call.children[0], shards)
+        row = self._translate_result(index, call.children[0], row)
+        if not isinstance(row, Row):
+            raise ExecError("lookup input must be a bitmap call")
+        if getattr(row, "keys", None):
+            arg: list = list(row.keys)
+        else:
+            arg = [int(c) for c in row.columns()]
+        if not arg:
+            return ExtractedTable([], [])
+        if write:
+            db.execute(query, arg)
+            return ExtractedTable([], [])
+        header, rows = db.query(query, arg)
+        if not rows:
+            return ExtractedTable(
+                [ExtractedTableField(n, t) for n, t in header[1:]], [])
+        columns = []
+        for r in rows:
+            if r[0] is None:
+                raise ExecError("missing primary key in lookup result")
+            columns.append(ExtractedTableColumn(r[0], list(r[1:])))
+        return ExtractedTable(
+            [ExtractedTableField(n, t) for n, t in header[1:]], columns)
 
     def _apply_having(self, groups: List[GroupCount], having: Call,
                       agg_field=None) -> List[GroupCount]:

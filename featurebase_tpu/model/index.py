@@ -161,6 +161,9 @@ class Holder:
         # SQL user functions: name -> {"params": [...], "returns", "body"}
         # (reference: sql3 CREATE FUNCTION)
         self.sql_functions: Dict[str, dict] = {}
+        # ExternalLookup() database adapter (reference: holder.lookupDB,
+        # executor.go:4358; see storage/lookup.py for the protocol)
+        self.lookup_db = None
 
     def create_index(self, name: str, options: Optional[IndexOptions] = None,
                      if_not_exists: bool = False) -> Index:
