@@ -68,7 +68,9 @@ def main():
 
     dev = jax.devices()[0]
     on_tpu = "cpu" not in str(dev).lower()
-    nbytes = (256 << 20) if on_tpu else (16 << 20)
+    # rows divisible by the kernel's 640-row block (the measured-optimal
+    # DMA size) so the whole stream runs at the tuned block shape
+    nbytes = (640 * 102 * _cols() * 4) if on_tpu else (16 << 20)
     n_words = nbytes // 4
     shape = (n_words // _cols(), _cols())
 

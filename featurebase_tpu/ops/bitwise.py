@@ -135,6 +135,51 @@ def count_and_pairs(masks, tile):
         axis=-1, dtype=jnp.uint32)
 
 
+# -- stacked (S, ...) kernels: one program over every shard's tile, so a
+# query costs ONE dispatch + ONE host sync regardless of shard count
+# (replaces per-shard loops; with mesh-sharded inputs XLA lowers the
+# cross-shard reduction to collectives automatically) -----------------------
+
+
+@jax.jit
+def stacked_row_counts(tiles):
+    """(S, R, W) -> (R,) uint32 per-row popcounts summed over shards."""
+    return jnp.sum(jax.lax.population_count(tiles).astype(jnp.uint32),
+                   axis=(0, 2), dtype=jnp.uint32)
+
+
+@jax.jit
+def stacked_filtered_row_counts(tiles, filt):
+    """(S, R, W) x (S, W) -> (R,) uint32."""
+    x = jnp.bitwise_and(tiles, filt[:, None, :])
+    return jnp.sum(jax.lax.population_count(x).astype(jnp.uint32),
+                   axis=(0, 2), dtype=jnp.uint32)
+
+
+@jax.jit
+def stacked_pair_counts(masks, tile):
+    """(S, F, W) x (S, R, W) -> (F, R) uint32 fused cross-product counts."""
+    return jnp.sum(
+        jax.lax.population_count(
+            jnp.bitwise_and(masks[:, :, None, :], tile[:, None, :, :])
+        ).astype(jnp.uint32), axis=(0, 3), dtype=jnp.uint32)
+
+
+@jax.jit
+def stacked_all_pairs_and(masks, tile):
+    """(S, F, W) x (S, R, W) -> (S, F*R, W), R fastest (itertools order)."""
+    S, F, W = masks.shape
+    R = tile.shape[1]
+    return jnp.bitwise_and(masks[:, :, None, :], tile[:, None, :, :]) \
+        .reshape(S, F * R, W)
+
+
+@jax.jit
+def stacked_mask_filter(tiles, filt):
+    """(S, R, W) & (S, W) -> (S, R, W)."""
+    return jnp.bitwise_and(tiles, filt[:, None, :])
+
+
 @jax.jit
 def all_pairs_and(masks, tile):
     """Materialize every cross-product mask: (F, W) x (R, W) -> (F*R, W),

@@ -350,6 +350,32 @@ def sum_groups_host(slices, exists, sign, masks, depth: int):
     return sums, [int(c) for c in np.asarray(counts)]
 
 
+@partial(jax.jit, static_argnums=(2,))
+def sum_groups_stacked(bsi, masks, depth: int):
+    """Batched GroupBy-Sum over a stacked (S, D+2, W) BSI group and
+    (S, G, W) combination masks -> (pos (G, D), neg (G, D), counts (G,))
+    uint32 — one program for every shard (the non-mesh analog of
+    parallel/agg.group_sums; with mesh-sharded inputs XLA inserts the
+    collectives itself)."""
+    exists = bsi[:, 0, :]
+    sign = bsi[:, 1, :]
+    slices = bsi[:, 2:2 + depth, :]
+    pos = jnp.bitwise_and(exists, jnp.bitwise_not(sign))
+    neg = jnp.bitwise_and(exists, sign)
+    sp = jnp.bitwise_and(slices, pos[:, None, :])
+    sn = jnp.bitwise_and(slices, neg[:, None, :])
+    pc = jax.lax.population_count
+
+    def tot(planes):
+        return jnp.sum(
+            pc(jnp.bitwise_and(masks[:, :, None, :], planes[:, None, :, :])
+               ).astype(jnp.uint32), axis=(0, 3), dtype=jnp.uint32)
+    counts = jnp.sum(
+        pc(jnp.bitwise_and(masks, exists[:, None, :])).astype(jnp.uint32),
+        axis=(0, 2), dtype=jnp.uint32)
+    return tot(sp), tot(sn), counts
+
+
 def _sort_core(slices, exists, sign, depth: int, desc: bool, filt):
     vals = decode_values(slices, sign, depth)
     base = exists if filt is None else jnp.bitwise_and(exists, filt)

@@ -92,17 +92,17 @@ def _count_and_csa_kernel(acc_ref, a_ref, b_ref, out_ref):
     out_ref[0, 0] += s
 
 
-def _count_and_stream(a2, b2, acc):
-    """Fused popcount(a&b) over (rows, _CHUNK_COLS) int32; rows % _CHUNK_ROWS == 0."""
-    grid = (a2.shape[0] // _CHUNK_ROWS,)
+def _count_and_stream(a2, b2, acc, bm=_CHUNK_ROWS):
+    """Fused popcount(a&b) over (rows, _CHUNK_COLS) int32; rows % bm == 0."""
+    grid = (a2.shape[0] // bm,)
     out = pl.pallas_call(
         _count_and_csa_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((_CHUNK_ROWS, _CHUNK_COLS), lambda i: (i, 0),
+            pl.BlockSpec((bm, _CHUNK_COLS), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_CHUNK_ROWS, _CHUNK_COLS), lambda i: (i, 0),
+            pl.BlockSpec((bm, _CHUNK_COLS), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0),
@@ -113,6 +113,15 @@ def _count_and_stream(a2, b2, acc):
         interpret=_interpret(),
     )(acc, a2, b2)
     return out
+
+
+# Block-rows ladder: the first divisor of the row count wins, so operands
+# are never sliced (a sliced operand feeding pallas_call materializes a
+# full copy per invocation — measured 3x throughput loss).  Engine tiles
+# flatten to multiples of 32 rows of 1024 words (W=32768), so the ladder
+# always hits for real fragments; 640 is the measured-optimal block (see
+# module docstring), the rest grade down the DMA size.
+_ROW_LADDER = (640, 512, 320, 256, 160, 128, 64, 32, 16, 8)
 
 
 def _count_and_xla_tail(a, b):
@@ -134,19 +143,17 @@ def count_and_pallas(a, b, acc=None):
     if acc is None:
         acc = jnp.zeros((1, 1), jnp.int32)
     n = af.size
-    n_main = 0
     if n % _CHUNK_COLS == 0:
         rows = n // _CHUNK_COLS
-        main_rows = rows - rows % _CHUNK_ROWS
-        n_main = main_rows * _CHUNK_COLS
-    if n_main:
-        a2 = af[:n_main].reshape(-1, _CHUNK_COLS)
-        b2 = bf[:n_main].reshape(-1, _CHUNK_COLS)
-        total = _count_and_stream(a2, b2, acc)[0, 0]
-    else:
-        total = acc[0, 0]
-    if n - n_main:
-        total = total + _count_and_xla_tail(af[n_main:], bf[n_main:])
+        bm = next((r for r in _ROW_LADDER if rows % r == 0), None)
+        if bm is not None:
+            # whole-array reshape: a free metadata op, never a copy
+            a2 = af.reshape(-1, _CHUNK_COLS)
+            b2 = bf.reshape(-1, _CHUNK_COLS)
+            total = _count_and_stream(a2, b2, acc, bm)[0, 0]
+            return total.astype(jnp.uint32)
+    # irregular shape (no ladder divisor): plain XLA fused reduce
+    total = acc[0, 0] + _count_and_xla_tail(af, bf)
     return total.astype(jnp.uint32)
 
 

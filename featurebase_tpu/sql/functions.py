@@ -133,6 +133,7 @@ FUNCTIONS: Dict[str, Callable[..., Any]] = {
     "setcontainsany": _setcontainsany,
     "setcontainsall": _setcontainsall,
     # misc
+    "cast": lambda v, t: _cast(v, t),
     "coalesce": lambda *a: next((x for x in a if x is not None), None),
     "nullif": _nullable(lambda a, b: None if a == b else a),
     "iif": lambda c, a, b: a if c else b,
@@ -155,6 +156,49 @@ def _date_add(part, n, v):
              "mi": "minutes", "minute": "minutes", "s": "seconds",
              "second": "seconds", "ms": "milliseconds"}[part]
     return (dt + datetime.timedelta(**{delta: n})).isoformat()
+
+
+def _cast(v, t):
+    """CAST(expr AS type) (reference: defs_cast.go semantics — int
+    truncates toward zero, bool <-> 0/1, timestamp from epoch seconds,
+    sets wrap scalars)."""
+    if v is None:
+        return None
+    t = str(t).lower()
+    base, _, scale = t.partition("(")
+    base = base.strip()
+    if base in ("int", "id", "long"):
+        if isinstance(v, bool):
+            return int(v)
+        if isinstance(v, str):
+            return int(float(v.strip())) if "." in v else int(v.strip())
+        return int(v)
+    if base == "bool":
+        if isinstance(v, str):
+            return v.strip().lower() in ("true", "t", "1")
+        return bool(v)
+    if base == "decimal":
+        s = int(scale.rstrip(")")) if scale else 0
+        return round(float(v), s)
+    if base in ("float", "double"):
+        return float(v)
+    if base in ("string", "varchar"):
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, list):
+            return "[" + ",".join(str(x) for x in v) + "]"
+        return str(v)
+    if base == "stringset":
+        vals = v if isinstance(v, (list, tuple, set)) else [v]
+        return [str(x) for x in vals]
+    if base == "idset":
+        vals = v if isinstance(v, (list, tuple, set)) else [v]
+        return [int(x) for x in vals]
+    if base == "timestamp":
+        if isinstance(v, bool):
+            raise ValueError("cannot cast bool to timestamp")
+        return _as_dt(v).isoformat()
+    raise ValueError(f"cannot cast to {t!r}")
 
 
 def _datetime_diff(part, a, b):

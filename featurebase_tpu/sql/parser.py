@@ -669,6 +669,17 @@ def _primary(lx: Lexer) -> Expr:
     if lx.peek(1) == ("op", "("):
         name = lx.ident()
         lx.expect_op("(")
+        if name.lower() == "cast":
+            # CAST(expr AS type[(scale)]) (reference: defs_cast.go)
+            arg = _expr(lx)
+            lx.expect_kw("as")
+            tname = lx.ident().lower()
+            if lx.try_op("("):
+                k2, v2 = lx.next()
+                tname = f"{tname}({v2})"
+                lx.expect_op(")")
+            lx.expect_op(")")
+            return Func("cast", [arg, Lit(tname)])
         distinct = lx.try_kw("distinct")
         args: List[Expr] = []
         if lx.try_op("*"):
