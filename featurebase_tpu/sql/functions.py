@@ -20,7 +20,8 @@ def _as_dt(v) -> datetime.datetime:
     if isinstance(v, datetime.datetime):
         return v
     if isinstance(v, (int, float)):
-        return datetime.datetime.utcfromtimestamp(v)
+        return datetime.datetime.fromtimestamp(
+            v, datetime.timezone.utc).replace(tzinfo=None)
     return datetime.datetime.fromisoformat(str(v).replace("Z", "+00:00")) \
         .replace(tzinfo=None)
 

@@ -370,3 +370,47 @@ class TestSQLWrites:
         execute_sql(api, "DELETE FROM d WHERE v > 1")
         out = execute_sql(api, "SELECT _id FROM d")
         assert out["data"] == [[1]]
+
+
+# Tranche 3: CAST (reference: sql3/test/defs/defs_cast.go) + the r3
+# function additions through SQL.  Expectations recomputed by hand.
+CAST_CASES = [
+    ("SELECT CAST(1 AS INT)", [[1]]),
+    ("SELECT CAST(1 AS BOOL)", [[True]]),
+    ("SELECT CAST(0 AS BOOL)", [[False]]),
+    ("SELECT CAST(1 AS DECIMAL(2))", [[1.0]]),
+    ("SELECT CAST(1 AS ID)", [[1]]),
+    ("SELECT CAST(1 AS IDSET)", [[[1]]]),
+    ("SELECT CAST(1 AS STRING)", [["1"]]),
+    ("SELECT CAST(1 AS STRINGSET)", [[["1"]]]),
+    ("SELECT CAST(1000 AS TIMESTAMP)", [["1970-01-01T00:16:40"]]),
+    ("SELECT CAST(2.7 AS INT)", [[2]]),
+    ("SELECT CAST(-2.7 AS INT)", [[-2]]),
+    ("SELECT CAST('42' AS INT)", [[42]]),
+    ("SELECT CAST(true AS INT)", [[1]]),
+    ("SELECT CAST(false AS STRING)", [["false"]]),
+    ("SELECT CAST(3.14159 AS DECIMAL(3))", [[3.142]]),
+    ("SELECT CAST(qty AS STRING) FROM orders WHERE _id = 1", [["10"]]),
+    ("SELECT CAST(qty AS DECIMAL(1)) FROM orders WHERE _id = 2",
+     [[20.0]]),
+    ("SELECT CAST(vip AS INT) FROM orders WHERE _id = 1", [[1]]),
+    ("SELECT _id FROM orders WHERE CAST(qty AS STRING) = '30'", [[3]]),
+    # r3 string/date functions in SQL context
+    ("SELECT ASCII(region) FROM orders WHERE _id = 1", [[101]]),
+    ("SELECT CHARINDEX('st', region) FROM orders WHERE _id = 1", [[2]]),
+    ("SELECT REPLICATE(region, 2) FROM orders WHERE _id = 3",
+     [["westwest"]]),
+    ("SELECT DATETIMEDIFF('hh', '2024-01-01T00:00:00', "
+     "'2024-01-02T06:00:00')", [[30]]),
+    ("SELECT DATETRUNC('yy', '2024-05-17T13:30:45')",
+     [["2024-01-01T00:00:00"]]),
+    ("SELECT DATETIMEFROMPARTS(2020, 12, 31, 23, 59, 59, 0)",
+     [["2020-12-31T23:59:59"]]),
+]
+
+
+@pytest.mark.parametrize("sql,expected", CAST_CASES,
+                         ids=[c[0][:60] for c in CAST_CASES])
+def test_cast_corpus(db, sql, expected):
+    got = execute_sql(db, sql)["data"]
+    assert got == expected, sql
