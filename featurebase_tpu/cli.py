@@ -96,6 +96,21 @@ def main(argv=None):
     sp.add_argument("--query-timeout", type=float,
                     default=float(_env_default("query_timeout", 0) or 0),
                     help="cooperative per-query deadline in seconds")
+    sp.add_argument("--max-writes-per-request", type=int,
+                    default=int(_env_default("max_writes_per_request",
+                                             5000) or 0),
+                    help="cap on mutating calls per query (reference: "
+                         "server/config.go:103, default 5000)")
+    sp.add_argument("--query-history-length", type=int,
+                    default=int(_env_default("query_history_length",
+                                             100) or 100),
+                    help="per-node /query-history ring size (reference: "
+                         "server/config.go:232)")
+    sp.add_argument("--log-level",
+                    default=_env_default("log_level", "info"),
+                    choices=["debug", "info", "warn", "error"],
+                    help="structured-log verbosity (reference: verbose/"
+                         "log-path config)")
     sp.add_argument("--views-removal-interval", type=float,
                     default=float(_env_default("views_removal_interval",
                                                3600) or 0),
@@ -281,7 +296,15 @@ def cmd_server(args, cfg):
         mesh = make_mesh()
     api = API(data_dir=cfg.get("data-dir", args.data_dir), cluster=cluster,
               mesh=mesh, long_query_time=lqt or None,
-              max_query_memory=mqm or None, query_timeout=qto or None)
+              max_query_memory=mqm or None, query_timeout=qto or None,
+              query_history_length=int(cfg.get(
+                  "query-history-length", args.query_history_length)),
+              max_writes_per_request=int(cfg.get(
+                  "max-writes-per-request",
+                  args.max_writes_per_request)) or None)
+    from featurebase_tpu.utils.logger import LEVELS
+    api.logger.level = LEVELS.get(
+        str(cfg.get("log-level", args.log_level)), 20)
     if auth_token:
         api.auth_token = auth_token
     secret = cfg.get("auth-secret", args.auth_secret)

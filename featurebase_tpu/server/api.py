@@ -34,7 +34,8 @@ class API:
                  cluster=None, long_query_time: Optional[float] = None,
                  query_history_length: int = 100,
                  max_query_memory: Optional[int] = None,
-                 query_timeout: Optional[float] = None):
+                 query_timeout: Optional[float] = None,
+                 max_writes_per_request: Optional[int] = None):
         from featurebase_tpu.ingest.idalloc import IDAllocator
         from featurebase_tpu.utils.logger import DEFAULT as default_logger
         from featurebase_tpu.utils.tracker import (QueryTracker,
@@ -51,6 +52,8 @@ class API:
                                     self.logger)
         self.max_query_memory = max_query_memory
         self.query_timeout = query_timeout
+        # reference: server/config.go:103 MaxWritesPerRequest (default 5000)
+        self.max_writes_per_request = max_writes_per_request
         self.transactions = TransactionStore()
         self.exec_requests = None  # lazily created by the SQL engine
         if data_dir:
@@ -486,8 +489,16 @@ class API:
             with REGISTRY.timer("query_seconds", index=index):
                 parsed = _parse(pql) if isinstance(pql, str) else pql
                 from featurebase_tpu.pql.ast import WRITE_CALLS
-                if any(c.name in WRITE_CALLS for c in parsed.calls):
+                n_writes = sum(1 for c in parsed.calls
+                               if c.name in WRITE_CALLS)
+                if n_writes:
                     self.check_write_allowed(transaction_id)
+                    if self.max_writes_per_request and \
+                            n_writes > self.max_writes_per_request:
+                        raise APIError(
+                            f"query has {n_writes} write calls, over "
+                            "max-writes-per-request="
+                            f"{self.max_writes_per_request}", 400)
                 profile = any(c.name == "Options"
                               and c.args.get("profile") in (True, 1)
                               for c in parsed.calls)

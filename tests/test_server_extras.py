@@ -99,3 +99,17 @@ class TestWebConsole:
             assert "featurebase-tpu console" in html2
         finally:
             srv.stop()
+
+
+class TestMaxWritesPerRequest:
+    def test_cap_enforced(self):
+        from featurebase_tpu.server.api import API, APIError
+        import pytest as _pytest
+        api = API(max_writes_per_request=2)
+        api.create_index("w")
+        api.create_field("w", "f", {"type": "set"})
+        api.query("w", "Set(1, f=1) Set(2, f=1)")  # at the cap: fine
+        with _pytest.raises(APIError, match="max-writes-per-request"):
+            api.query("w", "Set(1, f=1) Set(2, f=1) Set(3, f=1)")
+        # reads unaffected
+        assert api.query("w", "Count(Row(f=1))") == [2]
