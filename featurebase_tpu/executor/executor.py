@@ -776,7 +776,38 @@ class Executor:
             call.name, call.args, call.children = \
                 pre.name, pre.args, pre.children
             return self._bitmap_call_shard(index, call, shard)
+        if name == "Rows":
+            # Rows in bitmap position: columns that hold ANY value for the
+            # field, restricted to time-quantum views when from/to given —
+            # the rangeq() SQL predicate's lowering (reference: sql3
+            # expressionpql.go RANGEQ emits Rows(field, from, to) as the
+            # scan filter)
+            return self._rows_bitmap_shard(index, call, shard)
         raise ExecError(f"unknown bitmap call: {name}")
+
+    def _rows_bitmap_shard(self, index: Index, call: Call, shard: int):
+        fld = call.args.get("_field") or call.args.get("field")
+        f = self._field_or_err(index, fld)
+        from_t, to_t = call.args.get("from"), call.args.get("to")
+        if from_t is not None or to_t is not None:
+            from datetime import datetime
+
+            from featurebase_tpu.model.timequantum import parse_time
+            lo = parse_time(from_t) if from_t is not None \
+                else datetime(1, 1, 1)
+            hi = parse_time(to_t) if to_t is not None \
+                else datetime(9999, 1, 1)
+            names = f.views_for_range(lo, hi)
+        else:
+            names = [VIEW_STANDARD]
+        out = self._zero()
+        for vn in names:
+            v = f.view(vn)
+            frag = v.fragment(shard) if v is not None else None
+            if frag is None or frag.num_rows == 0:
+                continue
+            out = bw.b_or(out, bw.or_reduce_rows(frag.device_tile()))
+        return out
 
     def _existence_shard(self, index: Index, shard: int):
         ef = index.existence_field()
@@ -1930,7 +1961,8 @@ class Executor:
         executor.go:4711, executeExtractShard:4758)."""
         if not call.children or call.children[0].name not in (
                 "Row", "Union", "Intersect", "Difference", "Xor", "Not",
-                "All", "ConstRow", "Limit", "Distinct", "Precomputed"):
+                "All", "ConstRow", "Limit", "Distinct", "Precomputed",
+                "Rows", "UnionRows", "Range", "Shift"):
             raise ExecError("Extract() requires a filter call")
         filt_call = call.children[0]
         rows_calls = [c for c in call.children[1:] if c.name == "Rows"]

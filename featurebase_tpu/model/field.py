@@ -493,8 +493,25 @@ class Field:
     # -- views for a time range --------------------------------------------
 
     def views_for_range(self, from_t, to_t) -> List[str]:
-        return views_by_time_range(VIEW_STANDARD, parse_time(from_t),
-                                   parse_time(to_t), self.options.time_quantum)
+        from featurebase_tpu.model.timequantum import view_time_range
+        lo, hi = parse_time(from_t), parse_time(to_t)
+        # clamp open-ended bounds to the hull of EXISTING time views: an
+        # unbounded range (rangeq open end = year 1/9999 sentinel) would
+        # otherwise enumerate millions of per-quantum view names
+        starts, ends = [], []
+        for vn in self.views:
+            rng = view_time_range(vn)
+            if rng is not None:
+                starts.append(rng[0])
+                ends.append(rng[1])
+        if not starts:
+            return []
+        lo = max(lo, min(starts))
+        hi = min(hi, max(ends))
+        if lo >= hi:
+            return []
+        return views_by_time_range(VIEW_STANDARD, lo, hi,
+                                   self.options.time_quantum)
 
     def remove_expired_views(self, now: Optional[datetime] = None
                              ) -> List[str]:

@@ -1222,6 +1222,31 @@ class SelectCompiler:
         if isinstance(e, sa.UnOp) and e.op == "not":
             c = self._to_call(idx, alias, e.operand)
             return Call("Not", children=[c]) if c is not None else None
+        if isinstance(e, sa.Func) and e.name.lower() == "rangeq":
+            # rangeq(col, from[, to]) -> Rows(field, from, to) filter
+            # (reference: expressionpql.go RANGEQ; null bound = open end)
+            if not e.args or not isinstance(e.args[0], sa.Col):
+                return None
+            col = e.args[0].name
+            f = idx.field(col)
+            if f is None:
+                return None
+
+            def bound(i):
+                if len(e.args) <= i:
+                    return None
+                a = e.args[i]
+                return a.value if isinstance(a, sa.Lit) else None
+            frm, to = bound(1), bound(2)
+            if frm is None and to is None:
+                raise SQLError(
+                    "rangeq: from and to cannot both be null")
+            args = {"_field": col}
+            if frm is not None:
+                args["from"] = frm
+            if to is not None:
+                args["to"] = to
+            return Call("Rows", args)
         col, lit = _col_lit(e, alias)
         if col is None:
             return None

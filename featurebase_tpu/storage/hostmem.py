@@ -49,6 +49,13 @@ class HostResidency:
         self.evictions = 0
         self.reloads = 0
         self._spill_dir: Optional[str] = None
+        # GC-safe removal queue: fragment finalizers call remove() and a
+        # collection can fire DURING an allocation made while this thread
+        # holds _lock (inside add/_shrink) — a blocking acquire there
+        # self-deadlocks, so removals enqueue lock-free (deque.append is
+        # atomic) and drain at the next locked entry point.
+        import collections
+        self._removals: "collections.deque" = collections.deque()
 
     def spill_dir(self) -> str:
         with self._lock:
@@ -67,8 +74,20 @@ class HostResidency:
             self.budget = budget
         self._shrink(protect=None)
 
+    def _drain_locked(self):
+        """Apply queued removals; caller holds self._lock."""
+        while True:
+            try:
+                key = self._removals.popleft()
+            except IndexError:
+                return
+            old = self._entries.pop(key, None)
+            if old is not None:
+                self.bytes -= old[0]
+
     def add(self, key, nbytes: int, offload_fn: Callable[[], None]):
         with self._lock:
+            self._drain_locked()
             old = self._entries.pop(key, None)
             if old is not None:
                 self.bytes -= old[0]
@@ -82,10 +101,9 @@ class HostResidency:
                 self._entries.move_to_end(key)
 
     def remove(self, key):
-        with self._lock:
-            old = self._entries.pop(key, None)
-            if old is not None:
-                self.bytes -= old[0]
+        """Safe from any context, including GC finalizers that interrupt
+        a thread currently holding the manager lock."""
+        self._removals.append(key)
 
     def note_reload(self):
         with self._lock:
@@ -99,6 +117,7 @@ class HostResidency:
             max_iters = 2 * len(self._entries) + 8
         for _ in range(max_iters):
             with self._lock:
+                self._drain_locked()
                 if self.bytes <= self.budget:
                     return
                 victim = None
@@ -115,6 +134,7 @@ class HostResidency:
 
     def stats(self) -> dict:
         with self._lock:
+            self._drain_locked()
             return {"bytes": self.bytes, "budget": self.budget,
                     "entries": len(self._entries),
                     "evictions": self.evictions, "reloads": self.reloads}

@@ -270,3 +270,54 @@ class TestR3Functions:
         assert isinstance(perf, list)
         dbs = execute_sql(api, "SELECT * FROM fb_database_nodes")["data"]
         assert dbs and dbs[0][0] == "featurebase_tpu"
+
+
+class TestRangeQ:
+    """rangeq(col, from, to): time-quantum range predicate pushed into a
+    Rows(field, from, to) bitmap filter (reference: defs_timequantum.go +
+    expressionpql.go RANGEQ lowering)."""
+
+    def _env(self):
+        api = API()
+        execute_sql(api, "CREATE TABLE tq (_id ID, ev STRINGSET "
+                         "TIMEQUANTUM 'YMD')")
+        # events on three different days
+        api.query("tq", 'Set(1, ev="a", 2024-01-01T00:00)')
+        api.query("tq", 'Set(2, ev="a", 2024-02-01T00:00)')
+        api.query("tq", 'Set(3, ev="b", 2024-03-01T00:00)')
+        return api
+
+    def test_range_filters_records(self):
+        api = self._env()
+        out = execute_sql(
+            api, "SELECT _id FROM tq WHERE "
+                 "rangeq(ev, '2024-01-15T00:00:00', '2024-02-15T00:00:00')")
+        assert out["data"] == [[2]]
+
+    def test_open_ended_from(self):
+        api = self._env()
+        out = execute_sql(
+            api, "SELECT _id FROM tq WHERE "
+                 "rangeq(ev, '2024-02-15T00:00:00', null)")
+        assert out["data"] == [[3]]
+
+    def test_open_ended_to(self):
+        api = self._env()
+        out = execute_sql(
+            api, "SELECT _id FROM tq WHERE "
+                 "rangeq(ev, null, '2024-01-15T00:00:00')")
+        assert out["data"] == [[1]]
+
+    def test_both_null_errors(self):
+        api = self._env()
+        import pytest as _pytest
+        with _pytest.raises(Exception, match="cannot both be null"):
+            execute_sql(api, "SELECT _id FROM tq WHERE "
+                             "rangeq(ev, null, null)")
+
+    def test_pql_rows_bitmap_position(self):
+        api = self._env()
+        (count,) = api.query(
+            "tq", "Count(Rows(ev, from='2024-01-01T00:00', "
+                  "to='2024-02-15T00:00'))")
+        assert count == 2
