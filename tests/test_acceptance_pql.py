@@ -466,3 +466,129 @@ class TestQueryErrors:
     def test_bad_queries_raise(self, ee, pql):
         with pytest.raises(ExecError):
             ee.execute("e", pql)
+
+
+class TestTranche3Edges:
+    """Edge-focused cases ported by semantics from executor_test.go
+    (Row_BSIGroupEdge:3290, MinMaxCountEqual, TopK_Time, RowsTimeEmpty,
+    ExtractWithTime, ConstRowTrackExistence); expectations recomputed."""
+
+    def _api(self):
+        from featurebase_tpu.server.api import API
+        api = API()
+        api.create_index("t3")
+        return api
+
+    def test_bsi_bitdepth_edge_lt(self):
+        # value at 2^n - 1 (bit-depth edge) must satisfy < predicates
+        api = self._api()
+        api.create_field("t3", "f1", {"type": "int", "min": -2000,
+                                      "max": 2000})
+        api.query("t3", "Set(100, f1=7)")
+        (row,) = api.query("t3", "Row(f1 < 10)")
+        assert list(row.columns()) == [100]
+
+    def test_bsi_bitdepth_edge_gt_negative(self):
+        api = self._api()
+        api.create_field("t3", "f2", {"type": "int", "min": -2000,
+                                      "max": 2000})
+        api.query("t3", "Set(200, f2=-7)")
+        (row,) = api.query("t3", "Row(f2 > -10)")
+        assert list(row.columns()) == [200]
+        (row2,) = api.query("t3", "Row(f2 < -6)")
+        assert list(row2.columns()) == [200]
+        (row3,) = api.query("t3", "Row(f2 == -7)")
+        assert list(row3.columns()) == [200]
+
+    def test_bsi_depth_growth_preserves_old_values(self):
+        api = self._api()
+        api.create_field("t3", "v", {"type": "int", "min": -10**6,
+                                     "max": 10**6})
+        api.query("t3", "Set(1, v=3)")        # depth 2
+        api.query("t3", "Set(2, v=250000)")   # depth grows to 18
+        (r1,) = api.query("t3", "Row(v == 3)")
+        assert list(r1.columns()) == [1]
+        (r2,) = api.query("t3", "Row(v > 100)")
+        assert list(r2.columns()) == [2]
+        (s,) = api.query("t3", "Sum(field=v)")
+        assert s.val == 250003 and s.count == 2
+
+    def test_minmax_count_equal(self):
+        # count reflects how many records hold the min/max value
+        api = self._api()
+        api.create_field("t3", "v", {"type": "int", "min": 0, "max": 100})
+        for col, val in ((1, 5), (2, 5), (3, 9), (4, 9), (5, 9)):
+            api.query("t3", f"Set({col}, v={val})")
+        (mn,) = api.query("t3", "Min(field=v)")
+        assert (mn.val, mn.count) == (5, 2)
+        (mx,) = api.query("t3", "Max(field=v)")
+        assert (mx.val, mx.count) == (9, 3)
+
+    def test_topk_time_range(self):
+        # TopK over a time field honors from/to view selection
+        api = self._api()
+        api.create_field("t3", "ev", {"type": "time",
+                                      "timeQuantum": "YMD"})
+        api.query("t3", "Set(1, ev=10, 2024-01-01T00:00)")
+        api.query("t3", "Set(2, ev=10, 2024-01-02T00:00)")
+        api.query("t3", "Set(3, ev=20, 2024-03-01T00:00)")
+        (tk,) = api.query(
+            "t3", "TopK(ev, k=5, from=2024-01-01T00:00, "
+                  "to=2024-02-01T00:00)")
+        got = [(p.id, p.count) for p in tk.pairs]
+        assert got == [(10, 2)]
+
+    def test_rows_time_empty(self):
+        # a time range touching no views yields no rows (reference:
+        # TestExecutor_Execute_RowsTimeEmpty)
+        api = self._api()
+        api.create_field("t3", "ev", {"type": "time",
+                                      "timeQuantum": "YMD"})
+        api.query("t3", "Set(1, ev=3, 2024-06-01T00:00)")
+        (rows,) = api.query(
+            "t3", "Rows(ev, from=2020-01-01T00:00, to=2020-02-01T00:00)")
+        assert list(rows) == []
+
+    def test_extract_with_time_field(self):
+        api = self._api()
+        api.create_field("t3", "ev", {"type": "time",
+                                      "timeQuantum": "YMD"})
+        api.create_field("t3", "v", {"type": "int", "min": 0, "max": 50})
+        api.query("t3", "Set(7, ev=1, 2024-06-01T00:00) Set(7, v=42)")
+        (tbl,) = api.query("t3", "Extract(All(), Rows(ev), Rows(v))")
+        assert tbl.columns[0].column == 7
+        assert tbl.columns[0].rows == [[1], 42]
+
+    def test_const_row_respects_existence(self):
+        # ConstRow emits exactly the given columns, even ones that do not
+        # exist in the index (reference: ConstRowTrackExistence contract:
+        # existence interacts through Not/All, not ConstRow itself)
+        api = self._api()
+        api.create_field("t3", "f", {"type": "set"})
+        api.query("t3", "Set(1, f=1)")
+        (row,) = api.query("t3", "ConstRow(columns=[1, 99])")
+        assert list(row.columns()) == [1, 99]
+        (inter,) = api.query(
+            "t3", "Intersect(ConstRow(columns=[1, 99]), All())")
+        assert list(inter.columns()) == [1]
+
+    def test_empty_compound_ops(self):
+        api = self._api()
+        api.create_field("t3", "f", {"type": "set"})
+        api.query("t3", "Set(1, f=1)")
+        for q, want in (("Union()", []), ("Xor()", []),
+                        ("Union(Row(f=404))", []),
+                        ("Intersect(Row(f=1), Row(f=404))", []),
+                        ("Difference(Row(f=404), Row(f=1))", [])):
+            (row,) = api.query("t3", q)
+            assert list(row.columns()) == want, q
+
+    def test_max_writes_per_request_parity(self):
+        # reference: TestExecutor_Execute_ErrMaxWritesPerRequest
+        from featurebase_tpu.server.api import API, APIError
+        import pytest as _pytest
+        api = API(max_writes_per_request=1)
+        api.create_index("t3")
+        api.create_field("t3", "f", {"type": "set"})
+        with _pytest.raises(APIError, match="max-writes"):
+            api.query("t3", "Set(1, f=1) Clear(1, f=1)")
