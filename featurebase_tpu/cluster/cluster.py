@@ -25,6 +25,10 @@ from featurebase_tpu.cluster.topology import (STATE_DOWN, STATE_STARTED,
                                               ClusterSnapshot, Node)
 
 
+class ClusterQuorumError(Exception):
+    """A topology change was attempted without a reachable majority."""
+
+
 class Cluster:
     """One node's view of the cluster (reference: cluster.go:29 cluster)."""
 
@@ -102,13 +106,31 @@ class Cluster:
             return self._apply_topology_locked(nodes, replicas, version,
                                                origin)
 
-    def join_node(self, node):
+    def _require_quorum(self, action: str):
+        """Topology changes require a reachable majority of the current
+        membership (self counts), so a partitioned minority can't admit
+        or retire nodes and diverge the cluster (the etcd-raft role for
+        admin operations; reference: disco/etcd single consistent view).
+        2-node clusters can force-remove a dead peer with force=True."""
+        peers = self.peers()
+        if not peers:
+            return
+        reachable = 1 + sum(1 for n in peers if self.client.health(n.uri))
+        total = len(peers) + 1
+        if reachable * 2 <= total:
+            raise ClusterQuorumError(
+                f"cannot {action}: only {reachable}/{total} members "
+                "reachable (need a majority; pass force=true to override)")
+
+    def join_node(self, node, force: bool = False):
         """Admit (or re-admit) a node and broadcast the new topology to
         every member, including the joiner.  Returns (topology, previous
         snapshot).  The merged node list is built under the lock so two
         concurrent joins can't each drop the other's node (epoch + origin
         tiebreak then keeps receivers' views convergent)."""
         nd = Node.from_json(node) if isinstance(node, dict) else node
+        if not force:
+            self._require_quorum("admit a node")
         with self._lock:
             nodes = [n.to_json() for n in self.snapshot.nodes
                      if n.id != nd.id]
@@ -118,8 +140,10 @@ class Cluster:
         self.broadcast({"type": "topology", **topo})
         return topo, prev
 
-    def remove_node(self, node_id: str):
+    def remove_node(self, node_id: str, force: bool = False):
         """Retire a node and broadcast the shrunk topology."""
+        if not force:
+            self._require_quorum("retire a node")
         with self._lock:
             nodes = [n.to_json() for n in self.snapshot.nodes
                      if n.id != node_id]

@@ -237,19 +237,27 @@ class API:
             raise APIError("node is not clustered", 400)
         if not node.get("id") or not node.get("uri"):
             raise APIError("join requires id and uri", 400)
-        topo, prev = self.cluster.join_node(node)
+        from featurebase_tpu.cluster.cluster import ClusterQuorumError
+        try:
+            topo, prev = self.cluster.join_node(
+                node, force=bool(node.get("force")))
+        except ClusterQuorumError as e:
+            raise APIError(str(e), 503)
         self._rebalance_after_topology(prev)
         return topo
 
-    def cluster_remove(self, node_id: str) -> dict:
+    def cluster_remove(self, node_id: str, force: bool = False) -> dict:
         """Retire a node; remaining members pull the shards it owned from
         its replicas (or from the node itself if still reachable)."""
         if self.cluster is None:
             raise APIError("node is not clustered", 400)
+        from featurebase_tpu.cluster.cluster import ClusterQuorumError
         try:
-            topo, prev = self.cluster.remove_node(node_id)
+            topo, prev = self.cluster.remove_node(node_id, force=force)
         except ValueError as e:
             raise APIError(str(e), 400)
+        except ClusterQuorumError as e:
+            raise APIError(str(e), 503)
         self._rebalance_after_topology(prev)
         return topo
 

@@ -455,7 +455,9 @@ class Handler(BaseHTTPRequestHandler):
 
         if path == "/internal/cluster/leave" and method == "POST":
             return self._send(
-                self.api.cluster_remove(self._json().get("id", "")))
+                self.api.cluster_remove(self._json().get("id", ""),
+                                        force=bool(
+                                            self._json().get("force"))))
 
         m = re.fullmatch(r"/internal/translate/index/([^/]+)/replicate", path)
         if m and method == "POST":

@@ -131,7 +131,8 @@ class TestTopologyEpoch:
 
         def join(i):
             barrier.wait(timeout=5)
-            c.join_node({"id": f"joiner{i}", "uri": f"http://x:{i + 2}"})
+            c.join_node({"id": f"joiner{i}", "uri": f"http://x:{i + 2}"},
+                        force=True)  # fake peers: bypass the quorum probe
 
         ts = [threading.Thread(target=join, args=(i,)) for i in range(2)]
         for t in ts:
@@ -141,3 +142,52 @@ class TestTopologyEpoch:
         ids = {n.id for n in c.snapshot.nodes}
         assert ids == {"node0", "joiner0", "joiner1"}
         assert c.snapshot.version == 2
+
+
+class TestQuorumGate:
+    """Topology changes require a reachable majority (the etcd-raft role
+    for admin operations); force=True overrides for 2-node dead-peer
+    removal."""
+
+    @staticmethod
+    def _leave(tc, i, body):
+        import json as _json
+        import urllib.error
+        import urllib.request
+        req = urllib.request.Request(
+            tc.url(i) + "/internal/cluster/leave",
+            data=_json.dumps(body).encode(), method="POST")
+        try:
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                return resp.status, _json.loads(resp.read() or b"{}")
+        except urllib.error.HTTPError as e:
+            return e.code, _json.loads(e.read() or b"{}")
+
+    def test_minority_cannot_remove(self):
+        with TestCluster(3) as tc:
+            tc.stop_node(1)
+            tc.stop_node(2)
+            # node0 alone = 1/3 reachable: no quorum
+            code, out = self._leave(tc, 0, {"id": "node2"})
+            assert code == 503, out
+            assert "majority" in out.get("error", "")
+            ids = {n.id for n in tc[0].cluster.snapshot.nodes}
+            assert ids == {"node0", "node1", "node2"}
+
+    def test_majority_can_remove_dead_node(self):
+        with TestCluster(3) as tc:
+            tc.stop_node(2)
+            # node0 + node1 = 2/3: quorum holds, dead node2 retires
+            code, out = self._leave(tc, 0, {"id": "node2"})
+            assert code == 200, out
+            assert {n.id for n in tc[0].cluster.snapshot.nodes} == \
+                {"node0", "node1"}
+
+    def test_force_overrides_quorum(self):
+        with TestCluster(2) as tc:
+            tc.stop_node(1)
+            code, out = self._leave(tc, 0, {"id": "node1"})
+            assert code == 503
+            code, out = self._leave(tc, 0, {"id": "node1", "force": True})
+            assert code == 200, out
+            assert [n.id for n in tc[0].cluster.snapshot.nodes] == ["node0"]
