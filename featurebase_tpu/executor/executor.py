@@ -1228,7 +1228,8 @@ class Executor:
     # ------------------------------------------------------------- Rows
 
     def _execute_rows(self, index: Index, call: Call,
-                      shards: Optional[List[int]]) -> List[int]:
+                      shards: Optional[List[int]],
+                      verify_nonempty: bool = True) -> List[int]:
         """Rows(f, ...) row-id enumeration through the row-scan framework
         (reference executeRows executor.go:4077 drives a BitmapFilter
         stack; ops/rowscan.py is the dense-tile redesign — host key
@@ -1276,6 +1277,10 @@ class Executor:
             cand = host_prune(cand, spec)
             if not cand:
                 return []
+            if not verify_nonempty and limit is None:
+                # caller filters empties itself (GroupBy drops count==0
+                # combos), so skip the device round trip entirely
+                return cand
             tile_bytes = len(cand) * len(shard_list) * WORDS_PER_ROW * 4
             if tile_bytes <= self.ROWS_STACKED_MAX_BYTES:
                 pe = self.plan_executor
@@ -1338,7 +1343,8 @@ class Executor:
         # filtering (in/like/limit/previous/column/time range) applied
         # globally — reference precomputes nested Rows children
         # (executor.go:3987) before the iterator runs
-        dim_rows_global = [self._execute_rows(index, rc, shards)
+        dim_rows_global = [self._execute_rows(index, rc, shards,
+                                              verify_nonempty=False)
                            for rc in rows_calls]
         groups: Dict[tuple, List[int]] = {}  # key -> [count, agg]
 
