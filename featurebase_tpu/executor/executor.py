@@ -1446,9 +1446,8 @@ class Executor:
             bsi = pe.stacked_bsi(index, agg_field.name,
                                  max(agg_field.bit_depth, 1), shard_list)
             pp, nn, bsi_counts = agg.group_sums(pe.mesh, masks, bsi)
-            pp = np.asarray(pp)
-            nn = np.asarray(nn)
-            bsi_counts = np.asarray(bsi_counts)
+            import jax
+            pp, nn, bsi_counts = jax.device_get((pp, nn, bsi_counts))
             for gi, key in enumerate(prefixes):
                 c = int(bsi_counts[gi])
                 if c == 0:
@@ -1610,9 +1609,10 @@ class Executor:
                              max(agg_field.bit_depth, 1), shard_list)
         pp, nn, bsi_counts = bsiops.sum_groups_stacked(
             bsi, masks, max(agg_field.bit_depth, 1))
-        pp = np.asarray(pp)
-        nn = np.asarray(nn)
-        bsi_counts = np.asarray(bsi_counts)
+        import jax
+        # one batched transfer (three sequential np.asarray fetches cost a
+        # tunnel round trip each)
+        pp, nn, bsi_counts = jax.device_get((pp, nn, bsi_counts))
         from featurebase_tpu.parallel import agg as _agg
         for gi, key in enumerate(itertools.product(*dim_rows)):
             c = int(bsi_counts[gi])
@@ -1680,9 +1680,10 @@ class Executor:
         bsi = pe.stacked_bsi(index, agg_field.name,
                              max(agg_field.bit_depth, 1), shard_list)
         pp, nn, bsi_counts = agg.group_sums(mesh, masks, bsi)
-        pp = np.asarray(pp)
-        nn = np.asarray(nn)
-        bsi_counts = np.asarray(bsi_counts)
+        import jax
+        # one batched transfer (three sequential np.asarray fetches cost a
+        # tunnel round trip each)
+        pp, nn, bsi_counts = jax.device_get((pp, nn, bsi_counts))
         for gi, key in enumerate(itertools.product(*dim_rows)):
             c = int(bsi_counts[gi])
             if c == 0:
