@@ -691,9 +691,11 @@ def _primary(lx: Lexer) -> Expr:
                     break
         lx.expect_op(")")
         return Func(name, args, distinct)
-    # [table.]column
+    # [table.]column (or qualified star: table.*)
     name = lx.ident()
     if lx.try_op("."):
+        if lx.try_op("*"):
+            return Star(table=name)
         return Col(lx.ident(), table=name)
     return Col(name)
 

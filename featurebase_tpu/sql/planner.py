@@ -868,9 +868,13 @@ class SelectCompiler:
         items: List[Tuple[str, str, sa.Expr]] = []
         for it in sel.items:
             if isinstance(it.expr, sa.Star):
+                want_tbl = it.expr.table
                 for name, t in self._schema_of(op):
                     if name.startswith("$agg:"):
                         continue
+                    tbl = name.split(".", 1)[0] if "." in name else None
+                    if want_tbl is not None and tbl != want_tbl:
+                        continue  # qualified star: u.* (defs_join.go)
                     bare = name.split(".", 1)[1] if "." in name else name
                     items.append((bare, t, sa.Col(name)))
                 continue

@@ -321,3 +321,20 @@ class TestRangeQ:
             "tq", "Count(Rows(ev, from='2024-01-01T00:00', "
                   "to='2024-02-15T00:00'))")
         assert count == 2
+
+
+class TestQualifiedStar:
+    def test_table_star_in_join(self):
+        api = API()
+        q(api, "CREATE TABLE users (_id ID, age INT MIN 0 MAX 200)")
+        q(api, "CREATE TABLE orders (_id ID, userid INT MIN 0 MAX 1000)")
+        q(api, "INSERT INTO users (_id, age) VALUES (1, 30), (2, 15)")
+        q(api, "INSERT INTO orders (_id, userid) VALUES (10, 1)")
+        out = q(api, "SELECT DISTINCT u.* FROM users u "
+                     "JOIN orders o ON o.userid = u._id")
+        assert [f["name"] for f in out["schema"]["fields"]] == \
+            ["_id", "age"]
+        assert out["data"] == [[1, 30]]
+        out2 = q(api, "SELECT o.*, u.age FROM orders o "
+                      "JOIN users u ON o.userid = u._id")
+        assert out2["data"] == [[10, 1, 30]]
