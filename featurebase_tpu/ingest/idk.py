@@ -132,6 +132,55 @@ class GeneratorSource(Source):
         self._committed = self._cursor
 
 
+class SQLSource(Source):
+    """Incremental SQL-database source (reference: idk's molecula-consumer-
+    sql / sql source, idk/sql): polls rows past a monotonic cursor column
+    and commits the high-water mark, so a restarted ingester resumes after
+    the last durably imported batch.
+
+    db: a DB-API connection factory or sqlite path; query must select a
+    monotonically increasing cursor as its FIRST column, e.g.
+    `SELECT rowid, id, segment, value FROM events WHERE rowid > ?
+     ORDER BY rowid LIMIT ?`."""
+
+    def __init__(self, db, query: str, columns: List[str],
+                 checkpoint_path: Optional[str] = None):
+        if isinstance(db, str):
+            import sqlite3
+            self._conn = sqlite3.connect(db, check_same_thread=False)
+        else:
+            self._conn = db
+        self.query = query
+        self.columns = columns
+        self.checkpoint_path = checkpoint_path
+        self._committed = 0
+        if checkpoint_path and os.path.exists(checkpoint_path):
+            with open(checkpoint_path) as fh:
+                self._committed = int(json.load(fh)["cursor"])
+        self._pos = self._committed
+
+    def poll(self, max_records: int) -> List[dict]:
+        cur = self._conn.execute(self.query, (self._pos, max_records))
+        out = []
+        for row in cur.fetchall():
+            self._pos = max(self._pos, int(row[0]))
+            out.append({c: v for c, v in zip(self.columns, row[1:])})
+        return out
+
+    def checkpoint(self) -> int:
+        return self._committed
+
+    def commit(self) -> None:
+        self._committed = self._pos
+        if self.checkpoint_path:
+            tmp = self.checkpoint_path + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump({"cursor": self._committed}, fh)
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.replace(tmp, self.checkpoint_path)
+
+
 class Recordizer:
     """Maps one raw record onto (record_id, {field: value}) (reference:
     idk Recordizer closures, ingest.go:1710 batchFromSchema).

@@ -153,3 +153,79 @@ class TestRecordizer:
         rid, vals = rz({"pk": 7, "seg": 3, "value": 9, "junk": 1})
         assert rid == 7
         assert vals == {"segment": 3, "value": 9}
+
+
+class TestSQLSource:
+    """Incremental SQL-database ingest (reference: idk sql source) with
+    crash/resume through a persisted cursor."""
+
+    def _mk_db(self, path, n=30):
+        import sqlite3
+        conn = sqlite3.connect(path)
+        conn.execute("CREATE TABLE events (id INTEGER PRIMARY KEY, "
+                     "seg INTEGER, val INTEGER)")
+        conn.executemany("INSERT INTO events VALUES (?, ?, ?)",
+                         [(i, i % 3, i * 2) for i in range(1, n + 1)])
+        conn.commit()
+        conn.close()
+
+    def _api(self):
+        from featurebase_tpu.server.api import API
+        api = API()
+        api.create_index("s")
+        api.create_field("s", "seg", {"type": "set"})
+        api.create_field("s", "val", {"type": "int", "min": 0,
+                                      "max": 1000})
+        return api
+
+    def test_incremental_ingest(self, tmp_path):
+        from featurebase_tpu.ingest.idk import Ingester, SQLSource
+        db = str(tmp_path / "src.db")
+        self._mk_db(db)
+        src = SQLSource(
+            db, "SELECT rowid, id, seg, val FROM events WHERE rowid > ? "
+                "ORDER BY rowid LIMIT ?", ["id", "seg", "val"],
+            checkpoint_path=str(tmp_path / "cur.json"))
+        ing = Ingester(self._api(), "s", src, fields=["seg", "val"],
+                       batch_size=8)
+        stats = ing.run()
+        assert stats["records"] == 30
+        assert ing.api.query("s", "Count(Row(seg=0))") == [10]
+        # new rows appear -> next run picks up only those
+        import sqlite3
+        conn = sqlite3.connect(db)
+        conn.execute("INSERT INTO events VALUES (31, 0, 62)")
+        conn.commit()
+        conn.close()
+        assert ing.run()["records"] == 1
+        assert ing.api.query("s", "Count(Row(seg=0))") == [11]
+
+    def test_crash_resume_from_persisted_cursor(self, tmp_path):
+        from featurebase_tpu.ingest.idk import Ingester, SQLSource
+        db = str(tmp_path / "src.db")
+        cur = str(tmp_path / "cur.json")
+        self._mk_db(db, n=20)
+        api = self._api()
+        src = SQLSource(
+            db, "SELECT rowid, id, seg, val FROM events WHERE rowid > ? "
+                "ORDER BY rowid LIMIT ?", ["id", "seg", "val"],
+            checkpoint_path=cur)
+        ing = Ingester(api, "s", src, fields=["seg", "val"], batch_size=8)
+
+        def crash(bn):
+            if bn == 1:
+                raise RuntimeError("crash before cursor commit")
+        ing._post_import_hook = crash
+        import pytest as _pytest
+        with _pytest.raises(RuntimeError):
+            ing.run()
+        # resume with a FRESH source from the persisted cursor
+        src2 = SQLSource(
+            db, "SELECT rowid, id, seg, val FROM events WHERE rowid > ? "
+                "ORDER BY rowid LIMIT ?", ["id", "seg", "val"],
+            checkpoint_path=cur)
+        Ingester(api, "s", src2, fields=["seg", "val"],
+                 batch_size=8).run()
+        (sum_vc,) = api.query("s", "Sum(field=val)")
+        assert sum_vc.val == sum(i * 2 for i in range(1, 21))
+        assert sum_vc.count == 20
