@@ -997,6 +997,23 @@ class Executor:
         f, filt_call = self._agg_inputs(index, call, shards)
         from featurebase_tpu.utils.pool import map_shards
 
+        # stacked fast path: every shard in one fused program + one fetch
+        shard_list = list(self._shards(index, shards))
+        if shard_list and max(f.bit_depth, 1) <= 31:
+            filt = self._mesh_filter(
+                index, filt_call if isinstance(filt_call, Call) else None,
+                shard_list)
+            if filt is not None:
+                import jax
+                pe = self.plan_executor
+                depth = max(f.bit_depth, 1)
+                bsi = pe.stacked_bsi(index, f.name, depth, shard_list)
+                v, c = jax.device_get(bsiops.min_max_stacked(
+                    bsi, filt, depth, is_min))
+                if int(c) == 0:
+                    return self._wrap_valcount(f, 0, 0)
+                return self._wrap_valcount(f, int(v) + f.base, int(c))
+
         def one(shard):
             data = f.bsi_data(shard)
             if data is None:

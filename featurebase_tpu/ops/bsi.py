@@ -350,6 +350,25 @@ def sum_groups_host(slices, exists, sign, masks, depth: int):
     return sums, [int(c) for c in np.asarray(counts)]
 
 
+@partial(jax.jit, static_argnums=(2, 3))
+def min_max_stacked(bsi, filt, depth: int, is_min: bool):
+    """(extreme value, count at it) over a stacked (S, D+2, W) BSI group
+    under an (S, W) filter — ONE program + ONE fetch for every shard
+    (replaces the per-shard bit-descent loop; reference fragment.min/max
+    fragment.go:754,806).  count == 0 means no column matched."""
+    exists = jnp.bitwise_and(bsi[:, 0, :], filt)
+    sign = bsi[:, 1, :]
+    slices = bsi[:, 2:2 + depth, :]
+    vals = decode_values(slices, sign, depth)          # (S, C) int32
+    present = expand_bits(exists).astype(jnp.bool_)    # (S, C)
+    sent = jnp.int32(2**31 - 1) if is_min else jnp.int32(-(2**31))
+    masked = jnp.where(present, vals, sent)
+    m = jnp.min(masked) if is_min else jnp.max(masked)
+    cnt = jnp.sum(jnp.logical_and(present, vals == m),
+                  dtype=jnp.uint32)
+    return m, jnp.where(jnp.any(present), cnt, jnp.uint32(0))
+
+
 @partial(jax.jit, static_argnums=(2,))
 def sum_groups_stacked(bsi, masks, depth: int):
     """Batched GroupBy-Sum over a stacked (S, D+2, W) BSI group and
