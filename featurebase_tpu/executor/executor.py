@@ -1105,6 +1105,27 @@ class Executor:
         if desired_greater == 0:
             return max_vc
 
+        # device fast path: the whole bisection in one program + one fetch
+        # (the host loop costs 2 Count queries per pivot — ~2*log2(range)
+        # round trips)
+        depth = max(f.bit_depth, 1)
+        shard_list = list(self._shards(index, shards))
+        from featurebase_tpu.model.field import TYPE_INT
+        if (shard_list and depth <= 31 and f.options.type == TYPE_INT
+                and abs(f.base) + (1 << depth) < 2**31 - 2):
+            filt_words = self._mesh_filter(
+                index, filt if isinstance(filt, Call) else None, shard_list)
+            if filt_words is not None:
+                import jax
+                jnp = _jnp()
+                pe = self.plan_executor
+                bsi = pe.stacked_bsi(index, f.name, depth, shard_list)
+                poss = int(jax.device_get(bsiops.percentile_stacked(
+                    bsi, filt_words, depth, int(f.base),
+                    jnp.uint32(desired_less), jnp.uint32(desired_greater),
+                    int(min_vc.val), int(max_vc.val))))
+                return self._wrap_valcount(f, poss, 1)
+
         def _trunc_div(a: int, b: int) -> int:
             # Go-style integer division (truncates toward zero) so the
             # bisection pivots match reference executor.go:1497-1500 exactly.

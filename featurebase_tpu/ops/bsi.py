@@ -370,6 +370,54 @@ def min_max_stacked(bsi, filt, depth: int, is_min: bool):
 
 
 @partial(jax.jit, static_argnums=(2,))
+def percentile_stacked(bsi, filt, depth: int, base, desired_less,
+                       desired_greater, lo, hi):
+    """The reference's Percentile bisection (executor.go:1310) run
+    entirely ON DEVICE in one lax.while_loop — identical pivot
+    arithmetic (Go-style truncating division, executor.go:1497-1500) and
+    identical exit conditions, so results match the host loop bit-for-
+    bit, but the ~2*log2(range) per-pivot Count queries collapse into
+    one program + one fetch.  All value arithmetic is int32 in BASED
+    field units (caller guarantees |base| + 2^depth fits)."""
+    exists = jnp.bitwise_and(bsi[:, 0, :], filt)
+    sign = bsi[:, 1, :]
+    slices = bsi[:, 2:2 + depth, :]
+    vals = decode_values(slices, sign, depth) + jnp.int32(base)
+    present = expand_bits(exists).astype(jnp.bool_)
+
+    def tdiv2(a):
+        return jnp.where(a < 0, -((-a) // 2), a // 2).astype(jnp.int32)
+
+    def cond(state):
+        lo_, hi_, _poss, done = state
+        return jnp.logical_and(jnp.logical_not(done), lo_ < hi_)
+
+    def body(state):
+        lo_, hi_, _poss, _done = state
+        possible = (tdiv2(lo_) + tdiv2(hi_)
+                    + tdiv2(tdiv2(lo_) * -2 + lo_
+                            + tdiv2(hi_) * -2 + hi_))
+        left = jnp.sum(jnp.logical_and(present, vals < possible),
+                       dtype=jnp.uint32)
+        right = jnp.sum(jnp.logical_and(present, vals > possible),
+                        dtype=jnp.uint32)
+        go_hi = left > desired_less            # hi = possible - 1
+        go_lo = jnp.logical_and(jnp.logical_not(go_hi),
+                                right > desired_greater)
+        done = jnp.logical_and(jnp.logical_not(go_hi),
+                               jnp.logical_not(go_lo))
+        return (jnp.where(go_lo, possible + 1, lo_),
+                jnp.where(go_hi, possible - 1, hi_),
+                possible, done)
+
+    lo0 = jnp.asarray(lo, jnp.int32)
+    hi0 = jnp.asarray(hi, jnp.int32)
+    state = jax.lax.while_loop(
+        cond, body, (lo0, hi0, lo0, jnp.asarray(False)))
+    return state[2]
+
+
+@partial(jax.jit, static_argnums=(2,))
 def sum_groups_stacked(bsi, masks, depth: int):
     """Batched GroupBy-Sum over a stacked (S, D+2, W) BSI group and
     (S, G, W) combination masks -> (pos (G, D), neg (G, D), counts (G,))
