@@ -188,6 +188,8 @@ def engine_latencies(on_tpu: bool) -> dict:
         "groupby_sum_p50_ms": "GroupBy(Rows(f), Rows(g), "
                               "aggregate=Sum(field=v))",
         "sort_p50_ms": "Sort(All(), field=v, limit=10)",
+        "min_p50_ms": "Min(field=v)",
+        "percentile_p50_ms": "Percentile(field=v, nth=90)",
     }
     # kernel-stream lower bounds: bytes the fused device programs read,
     # at the measured fused AND+popcount rate (~720 GB/s on v5e; HBM
@@ -201,6 +203,8 @@ def engine_latencies(on_tpu: bool) -> dict:
         "topn_p50_ms": 9 * n_shards * W4,
         "groupby_sum_p50_ms": (8 * 4) * (2 * depth + 2) * n_shards * W4,
         "sort_p50_ms": (depth + 4 * 4) * n_shards * W4,  # decode + sort est
+        "min_p50_ms": depth * n_shards * W4,
+        "percentile_p50_ms": 3 * depth * n_shards * W4,
     }
     reps = 9 if on_tpu else 5
     budget_s = float(os.environ.get(

@@ -1897,9 +1897,10 @@ class Executor:
         f = self._field_or_err(index, fld)
         filt_call = call.children[0] if call.children else None
         if not f.is_bsi():
-            # distinct row ids with any column under filter
+            # distinct row ids with any column under filter: one stacked
+            # program + one fetch for every shard (mesh or single device)
             shard_list = self._shards(index, shards)
-            if self.mesh is not None and shard_list:
+            if shard_list:
                 filt = self._mesh_filter(index, filt_call, shard_list)
                 if filt is not None:
                     row_ids = sorted({
@@ -1909,12 +1910,17 @@ class Executor:
                         for r in fr.row_ids()})
                     if not row_ids:
                         return Row.from_columns([])
-                    from featurebase_tpu.parallel import agg
                     pe = self.plan_executor
                     tiles = pe.stacked_field_rows(
                         index, f.name, (VIEW_STANDARD,), tuple(row_ids),
                         shard_list)
-                    pc = np.asarray(agg.row_counts(pe.mesh, tiles, filt))
+                    if self.mesh is not None:
+                        from featurebase_tpu.parallel import agg
+                        pc = np.asarray(
+                            agg.row_counts(pe.mesh, tiles, filt))
+                    else:
+                        pc = np.asarray(
+                            bw.stacked_filtered_row_counts(tiles, filt))
                     return Row.from_columns(
                         [r for r, c in zip(row_ids, pc) if c])
             out: set = set()
