@@ -961,17 +961,23 @@ class Executor:
                      shards: Optional[List[int]]) -> ValCount:
         f, filt_call = self._agg_inputs(index, call, shards)
         total, count = 0, 0
-        if self.mesh is not None:
-            shard_list = self._shards(index, shards)
-            filt = self._mesh_filter(index, filt_call, shard_list) \
-                if shard_list else None
+        shard_list = self._shards(index, shards)
+        if shard_list:
+            filt = self._mesh_filter(index, filt_call, shard_list)
             if filt is not None:
-                # one shard_map program: per-plane popcounts psum-merged
+                # one program over every shard: per-plane popcounts (psum
+                # on a mesh; plain stacked reduce on a single device)
+                import jax
+
                 from featurebase_tpu.parallel import agg
                 pe = self.plan_executor
                 bsi = pe.stacked_bsi(index, f.name, max(f.bit_depth, 1),
                                      shard_list)
-                pp, nn, cnt = agg.sum_planes(pe.mesh, bsi, filt)
+                if self.mesh is not None:
+                    pp, nn, cnt = agg.sum_planes(pe.mesh, bsi, filt)
+                else:
+                    pp, nn, cnt = bsiops.sum_planes_stacked(bsi, filt)
+                pp, nn, cnt = jax.device_get((pp, nn, cnt))
                 count = int(cnt)
                 total = agg.finalize_sum(pp, nn) + f.base * count
                 return self._wrap_valcount(f, total, count)

@@ -350,6 +350,27 @@ def sum_groups_host(slices, exists, sign, masks, depth: int):
     return sums, [int(c) for c in np.asarray(counts)]
 
 
+@jax.jit
+def sum_planes_stacked(bsi, filt):
+    """Global Sum parts over a stacked (S, D+2, W) BSI group under an
+    (S, W) filter -> (pos_pops (D,), neg_pops (D,), count) uint32 — one
+    program for every shard (non-mesh analog of parallel/agg.sum_planes;
+    reference fragment.sum:724)."""
+    exists = jnp.bitwise_and(bsi[:, 0, :], filt)
+    sign = bsi[:, 1, :]
+    slices = bsi[:, 2:, :]
+    pos = jnp.bitwise_and(exists, jnp.bitwise_not(sign))
+    neg = jnp.bitwise_and(exists, sign)
+    pc = jax.lax.population_count
+
+    def pops(mask):
+        return jnp.sum(
+            pc(jnp.bitwise_and(slices, mask[:, None, :])).astype(jnp.uint32),
+            axis=(0, 2), dtype=jnp.uint32)
+    count = jnp.sum(pc(exists).astype(jnp.uint32), dtype=jnp.uint32)
+    return pops(pos), pops(neg), count
+
+
 @partial(jax.jit, static_argnums=(2, 3))
 def min_max_stacked(bsi, filt, depth: int, is_min: bool):
     """(extreme value, count at it) over a stacked (S, D+2, W) BSI group
