@@ -2091,9 +2091,19 @@ class Executor:
                         col_vals[ci].append(None)
                     return
                 slices, exists, sign, _ = data
-                vals_d = np.asarray(bsiops.decode_values(slices, sign, depth)
-                                    ).astype(np.int64)
-                exists_b = np.asarray(bsiops.expand_bits(exists)).astype(bool)
+                # device-side gather: fetch |cols| values, not the full
+                # 2^20 decode; cols padded to a power-of-two bucket so
+                # jit traces stay bounded
+                import jax
+                jnp = _jnp()
+                n = cols.size
+                cap = 1 << max(int(n - 1).bit_length(), 5)
+                padded = np.zeros(cap, dtype=np.int32)
+                padded[:n] = cols
+                va, ok = jax.device_get(bsiops.decode_gather(
+                    slices, exists, sign, jnp.asarray(padded), depth))
+                sel_val = va[:n].astype(np.int64)
+                sel_ok = ok[:n].astype(bool)
             else:
                 dense = f.values_dense_host(shard)
                 if dense is None:
@@ -2101,8 +2111,8 @@ class Executor:
                         col_vals[ci].append(None)
                     return
                 vals_d, exists_b = dense
-            sel_ok = exists_b[cols]
-            sel_val = vals_d[cols]
+                sel_ok = exists_b[cols]
+                sel_val = vals_d[cols]
             for ci in range(len(cols)):
                 col_vals[ci].append(
                     f.decode_value(int(sel_val[ci]) + f.base)

@@ -350,6 +350,18 @@ def sum_groups_host(slices, exists, sign, masks, depth: int):
     return sums, [int(c) for c in np.asarray(counts)]
 
 
+@partial(jax.jit, static_argnums=(4,))
+def decode_gather(slices, exists, sign, cols, depth: int):
+    """Decode a shard's BSI group and gather only the requested columns:
+    (vals (N,) int32, ok (N,) int32).  Transfers N elements to the host
+    instead of the full 2^20-wide decode (Extract's per-record values,
+    reference executeExtractShard executor.go:4758).  Callers pad `cols`
+    to a size bucket so jit traces stay bounded."""
+    vals = decode_values(slices, sign, depth)
+    present = expand_bits(exists)
+    return jnp.take(vals, cols), jnp.take(present, cols).astype(jnp.int32)
+
+
 @jax.jit
 def sum_planes_stacked(bsi, filt):
     """Global Sum parts over a stacked (S, D+2, W) BSI group under an
