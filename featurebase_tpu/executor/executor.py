@@ -1095,6 +1095,40 @@ class Executor:
             return self._execute_count(index, Call("Count", children=[inner]),
                                        shards)
 
+        # Device fast path: TWO programs total — one prep (total + min +
+        # max + counts) and one bisection in a lax.while_loop — vs the
+        # host flow's ~2*log2(range) + 3 separate queries (reference
+        # bisection: executor.go:1310).
+        depth = max(f.bit_depth, 1)
+        shard_list = list(self._shards(index, shards))
+        from featurebase_tpu.model.field import TYPE_INT
+        if (shard_list and depth <= 31 and f.options.type == TYPE_INT
+                and abs(f.base) + (1 << depth) < 2**31 - 2):
+            filt_words = self._mesh_filter(
+                index, filt if isinstance(filt, Call) else None, shard_list)
+            if filt_words is not None:
+                import jax
+                jnp = _jnp()
+                pe = self.plan_executor
+                bsi = pe.stacked_bsi(index, f.name, depth, shard_list)
+                total, mn, mnc, mx, mxc = jax.device_get(
+                    bsiops.percentile_prep_stacked(bsi, filt_words, depth))
+                total = int(total)
+                if total == 0:
+                    return None
+                desired_less = int(total * nth / 100.0)
+                desired_greater = int(total * (100 - nth) / 100.0)
+                mn_b, mx_b = int(mn) + f.base, int(mx) + f.base
+                if desired_greater != 0 and desired_less == 0:
+                    return self._wrap_valcount(f, mn_b, int(mnc))
+                if desired_greater == 0:
+                    return self._wrap_valcount(f, mx_b, int(mxc))
+                poss = int(jax.device_get(bsiops.percentile_stacked(
+                    bsi, filt_words, depth, int(f.base),
+                    jnp.uint32(desired_less), jnp.uint32(desired_greater),
+                    mn_b, mx_b)))
+                return self._wrap_valcount(f, poss, 1)
+
         total = count_of(None)
         if total == 0:
             return None
@@ -1110,27 +1144,6 @@ class Executor:
         max_vc = self._execute_min_max(index, maxc, shards, is_min=False)
         if desired_greater == 0:
             return max_vc
-
-        # device fast path: the whole bisection in one program + one fetch
-        # (the host loop costs 2 Count queries per pivot — ~2*log2(range)
-        # round trips)
-        depth = max(f.bit_depth, 1)
-        shard_list = list(self._shards(index, shards))
-        from featurebase_tpu.model.field import TYPE_INT
-        if (shard_list and depth <= 31 and f.options.type == TYPE_INT
-                and abs(f.base) + (1 << depth) < 2**31 - 2):
-            filt_words = self._mesh_filter(
-                index, filt if isinstance(filt, Call) else None, shard_list)
-            if filt_words is not None:
-                import jax
-                jnp = _jnp()
-                pe = self.plan_executor
-                bsi = pe.stacked_bsi(index, f.name, depth, shard_list)
-                poss = int(jax.device_get(bsiops.percentile_stacked(
-                    bsi, filt_words, depth, int(f.base),
-                    jnp.uint32(desired_less), jnp.uint32(desired_greater),
-                    int(min_vc.val), int(max_vc.val))))
-                return self._wrap_valcount(f, poss, 1)
 
         def _trunc_div(a: int, b: int) -> int:
             # Go-style integer division (truncates toward zero) so the

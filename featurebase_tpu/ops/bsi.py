@@ -403,6 +403,24 @@ def min_max_stacked(bsi, filt, depth: int, is_min: bool):
 
 
 @partial(jax.jit, static_argnums=(2,))
+def percentile_prep_stacked(bsi, filt, depth: int):
+    """One program computing everything the Percentile bisection needs up
+    front: (total, min, count_at_min, max, count_at_max) over the stacked
+    group under the filter — unbased int32 values."""
+    exists = jnp.bitwise_and(bsi[:, 0, :], filt)
+    sign = bsi[:, 1, :]
+    slices = bsi[:, 2:2 + depth, :]
+    vals = decode_values(slices, sign, depth)
+    present = expand_bits(exists).astype(jnp.bool_)
+    total = jnp.sum(present, dtype=jnp.uint32)
+    mn = jnp.min(jnp.where(present, vals, jnp.int32(2**31 - 1)))
+    mx = jnp.max(jnp.where(present, vals, jnp.int32(-(2**31))))
+    mnc = jnp.sum(jnp.logical_and(present, vals == mn), dtype=jnp.uint32)
+    mxc = jnp.sum(jnp.logical_and(present, vals == mx), dtype=jnp.uint32)
+    return total, mn, mnc, mx, mxc
+
+
+@partial(jax.jit, static_argnums=(2,))
 def percentile_stacked(bsi, filt, depth: int, base, desired_less,
                        desired_greater, lo, hi):
     """The reference's Percentile bisection (executor.go:1310) run
