@@ -184,6 +184,14 @@ def main(argv=None):
     qs.add_argument("sql", nargs="?", default=None,
                     help="statement; omit for the interactive fbsql shell")
 
+    ck = sub.add_parser(
+        "chksum", help="print per-fragment checksums of a live node "
+        "(reference: featurebase chksum, ctl/chksum.go — compare nodes "
+        "for divergence)")
+    ck.add_argument("--host", default=_env_default("host",
+                                                   "http://127.0.0.1:10101"))
+    ck.add_argument("--index", default=None)
+
     kc = sub.add_parser(
         "consume", help="Kafka consumer ingest into a durable data dir "
         "(reference: molecula-consumer-kafka, idk/cmd)")
@@ -222,7 +230,34 @@ def main(argv=None):
         return cmd_sql(args)
     if args.cmd == "consume":
         return cmd_consume(args)
+    if args.cmd == "chksum":
+        return cmd_chksum(args)
     return 2
+
+
+def cmd_chksum(args):
+    """Per-index/shard/fragment checksums over HTTP (reference:
+    ctl/chksum.go — xxhash over cluster data; here the engine's own
+    per-fragment block checksums, comparable across nodes)."""
+    import json as _json
+    import urllib.request
+
+    def get(path):
+        with urllib.request.urlopen(args.host + path, timeout=60) as r:
+            return _json.loads(r.read())
+
+    schema = get("/schema").get("indexes", [])
+    for idx in schema:
+        name = idx["name"]
+        if args.index and name != args.index:
+            continue
+        shards = get(f"/shards?index={name}").get("shards", [])
+        for s in shards:
+            info = get(f"/internal/index/{name}/shard/{s}/fragments")
+            for fr in info.get("fragments", []):
+                print(f"{name}\tshard={s}\t{fr['field']}/{fr['view']}\t"
+                      f"rows={fr['rows']}\tchksum={fr['checksum']:08x}")
+    return 0
 
 
 def cmd_consume(args):
