@@ -221,6 +221,19 @@ def engine_latencies(on_tpu: bool) -> dict:
         return round(sorted(samples)[len(samples) // 2], 2)
 
     out = {"records": n, "shards": n_shards}
+    # irreducible per-sync dispatch floor: p50 of fetching one tiny device
+    # scalar.  Engine p50s decompose as (#syncs x this) + kernel time; on
+    # a tunnelled chip this floor dominates every small-kernel query.
+    import jax
+    import jax.numpy as jnp
+    one = jax.device_put(jnp.ones((1,), jnp.int32))
+    sync_samples = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        int(jnp.sum(one))
+        sync_samples.append((time.perf_counter() - t0) * 1e3)
+    out["sync_rtt_ms"] = round(
+        sorted(sync_samples)[len(sync_samples) // 2], 2)
     for name, pql in queries.items():
         if time.perf_counter() - start > budget_s:
             out["truncated"] = True  # tunnel compile variance; never bust
