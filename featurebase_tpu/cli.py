@@ -184,6 +184,21 @@ def main(argv=None):
     qs.add_argument("sql", nargs="?", default=None,
                     help="statement; omit for the interactive fbsql shell")
 
+    pq = sub.add_parser(
+        "parquet-info", help="print a parquet file's schema + row count "
+        "(reference: featurebase parquet-info, cmd/)")
+    pq.add_argument("file")
+
+    dl = sub.add_parser(
+        "dataframe-csv-loader", help="load a CSV into an index's columnar "
+        "dataframe side-store (reference: featurebase "
+        "dataframe-csv-loader, cmd/)")
+    dl.add_argument("--host", default=_env_default("host",
+                                                   "http://127.0.0.1:10101"))
+    dl.add_argument("--index", required=True)
+    dl.add_argument("--id-column", default="id")
+    dl.add_argument("file")
+
     ck = sub.add_parser(
         "chksum", help="print per-fragment checksums of a live node "
         "(reference: featurebase chksum, ctl/chksum.go — compare nodes "
@@ -232,7 +247,61 @@ def main(argv=None):
         return cmd_consume(args)
     if args.cmd == "chksum":
         return cmd_chksum(args)
+    if args.cmd == "parquet-info":
+        return cmd_parquet_info(args)
+    if args.cmd == "dataframe-csv-loader":
+        return cmd_dataframe_csv_loader(args)
     return 2
+
+
+def cmd_parquet_info(args):
+    """Reference: featurebase parquet-info — schema + row count."""
+    import pyarrow.parquet as pq
+    f = pq.ParquetFile(args.file)
+    print(f"rows: {f.metadata.num_rows}")
+    print(f"row groups: {f.metadata.num_row_groups}")
+    for field in f.schema_arrow:
+        print(f"  {field.name}: {field.type}")
+    return 0
+
+
+def cmd_dataframe_csv_loader(args):
+    """Reference: featurebase dataframe-csv-loader — CSV rows into the
+    per-shard columnar side-store over /index/{i}/dataframe/{shard}."""
+    import csv
+    import json as _json
+    import urllib.request
+
+    from featurebase_tpu.core.consts import SHARD_WIDTH
+    by_shard: dict = {}
+    with open(args.file, newline="") as fh:
+        for row in csv.DictReader(fh):
+            rid = int(row[args.id_column])
+            cols = by_shard.setdefault(rid // SHARD_WIDTH, {})
+            cols.setdefault("_id", []).append(rid)
+            for k, v in row.items():
+                if k == args.id_column:
+                    continue
+                try:
+                    v = int(v)
+                except ValueError:
+                    try:
+                        v = float(v)
+                    except ValueError:
+                        pass
+                cols.setdefault(k, []).append(v)
+    total = 0
+    for shard, cols in sorted(by_shard.items()):
+        req = urllib.request.Request(
+            f"{args.host}/index/{args.index}/dataframe/{shard}",
+            data=_json.dumps({"columns": cols}).encode(), method="POST")
+        req.add_header("Content-Type", "application/json")
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            resp.read()
+        total += len(cols["_id"])
+    print(f"loaded {total} rows into {args.index} dataframe "
+          f"({len(by_shard)} shards)")
+    return 0
 
 
 def cmd_chksum(args):
