@@ -1136,6 +1136,42 @@ class API:
         REGISTRY.count("resync_fragments_pulled", n_frags)
         REGISTRY.count("resync_bytes_pulled", nbytes)
 
+    def mutex_check(self, index: str, field: str,
+                    limit: int = 1000) -> dict:
+        """Columns violating the mutex invariant (more than one row set)
+        per shard -> {column: [row ids]} (reference: api.go mutex-check,
+        http_handler.go /internal/index/{i}/field/{f}/mutex-check)."""
+        idx = self._index(index)
+        f = idx.field(field)
+        if f is None:
+            raise APIError(f"field not found: {field}", 404)
+        from featurebase_tpu.model.field import TYPE_BOOL, TYPE_MUTEX
+        if f.options.type not in (TYPE_MUTEX, TYPE_BOOL):
+            raise APIError(f"field {field} is not a mutex field", 400)
+        out: dict = {}
+        v = f.view("standard")
+        if v is None:
+            return out
+        for shard, frag in sorted(v.fragments.items()):
+            n = frag.num_rows
+            if n < 2:
+                continue
+            rows = frag.slot_rows()
+            words = frag._words[:n]
+            # per-column set-bit count across rows, vectorized on host
+            bits = np.unpackbits(
+                np.ascontiguousarray(words).view(np.uint8).reshape(n, -1),
+                axis=1, bitorder="little")
+            counts = bits.sum(axis=0)
+            bad = np.nonzero(counts > 1)[0]
+            for c in bad[:limit]:
+                col = int(c) + shard * (1 << 20)
+                out[col] = [int(rows[r]) for r in
+                            np.nonzero(bits[:, c])[0]]
+                if len(out) >= limit:
+                    return out
+        return out
+
     def translate_checksums(self) -> dict:
         """Per-store key counts + content checksums — the translate-store
         anti-entropy comparison unit (reference: holderSyncer's translate

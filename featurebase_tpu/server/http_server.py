@@ -542,6 +542,62 @@ class Handler(BaseHTTPRequestHandler):
         if path == "/internal/translate/checksums" and method == "GET":
             return self._send(self.api.translate_checksums())
 
+        if path == "/internal/nodes" and method == "GET":
+            # reference: /internal/nodes (http_handler.go)
+            if self.api.cluster is not None:
+                return self._send(
+                    [n.to_json() for n in self.api.cluster.nodes])
+            return self._send([{"id": "local", "uri": "",
+                                "state": "STARTED", "isPrimary": True}])
+
+        if path == "/internal/shards/max" and method == "GET":
+            # reference: /internal/shards/max — max shard per index
+            out = {}
+            for name in self.api.holder.indexes:
+                shards = self.api.available_shards(name)
+                out[name] = max(shards) if shards else 0
+            return self._send({"standard": out})
+
+        m = re.fullmatch(r"/internal/index/([^/]+)/shards", path)
+        if m and method == "GET":
+            return self._send(
+                {"shards": self.api.available_shards(m.group(1))})
+
+        if path == "/internal/fragment/nodes" and method == "GET":
+            # reference: /internal/fragment/nodes?index=&shard=
+            idx = query.get("index", "")
+            shard = int(query.get("shard", 0))
+            if self.api.cluster is not None:
+                nodes = self.api.cluster.snapshot.shard_nodes(idx, shard)
+                return self._send([n.to_json() for n in nodes])
+            return self._send([{"id": "local", "uri": "",
+                                "state": "STARTED", "isPrimary": True}])
+
+        if path == "/internal/partition/nodes" and method == "GET":
+            part = int(query.get("partition", 0))
+            if self.api.cluster is not None:
+                nodes = self.api.cluster.snapshot.partition_nodes(part)
+                return self._send([n.to_json() for n in nodes])
+            return self._send([])
+
+        m = re.fullmatch(
+            r"/internal/index/([^/]+)/field/([^/]+)/mutex-check", path)
+        if m and method == "GET":
+            return self._send(self.api.mutex_check(
+                m.group(1), m.group(2),
+                limit=int(query.get("limit", 1000))))
+
+        if path == "/internal/oauth-config" and method == "GET":
+            # reference: /internal/oauth-config (authn); secrets excluded
+            auth = getattr(self.api, "auth", None)
+            if auth is None:
+                return self._send({"enable": False})
+            v = auth.verifier
+            return self._send({"enable": True, "alg": v.alg,
+                               "issuer": v.issuer,
+                               "audience": v.audience,
+                               "groupsClaim": v.groups_claim})
+
         if path == "/internal/resync" and method == "POST":
             return self._send({"pulled": self.api.resync_shards()})
 

@@ -113,3 +113,55 @@ class TestMaxWritesPerRequest:
             api.query("w", "Set(1, f=1) Set(2, f=1) Set(3, f=1)")
         # reads unaffected
         assert api.query("w", "Count(Row(f=1))") == [2]
+
+
+class TestInternalInfoEndpoints:
+    """Internal ops endpoints parity (reference: http_handler.go
+    /internal/nodes, /internal/shards/max, fragment/partition nodes,
+    mutex-check, oauth-config)."""
+
+    def _srv(self):
+        from featurebase_tpu.server.api import API
+        from featurebase_tpu.server.http_server import Server
+        api = API()
+        api.create_index("i")
+        api.create_field("i", "m", {"type": "mutex"})
+        api.query("i", "Set(1, m=1) Set(2, m=2)")
+        return Server(api=api).start(), api
+
+    def _get(self, srv, path):
+        import json
+        import urllib.request
+        with urllib.request.urlopen(srv.url + path, timeout=15) as r:
+            return json.loads(r.read())
+
+    def test_info_endpoints(self):
+        srv, api = self._srv()
+        try:
+            nodes = self._get(srv, "/internal/nodes")
+            assert nodes and nodes[0]["state"] == "STARTED"
+            mx = self._get(srv, "/internal/shards/max")
+            assert mx["standard"]["i"] == 0
+            sh = self._get(srv, "/internal/index/i/shards")
+            assert sh["shards"] == [0]
+            fn = self._get(srv, "/internal/fragment/nodes?index=i&shard=0")
+            assert fn
+            oc = self._get(srv, "/internal/oauth-config")
+            assert oc == {"enable": False}
+        finally:
+            srv.stop()
+
+    def test_mutex_check(self):
+        srv, api = self._srv()
+        try:
+            assert self._get(
+                srv, "/internal/index/i/field/m/mutex-check") == {}
+            # violate the invariant behind the field API's back
+            frag = api.holder.index("i").field("m") \
+                .view("standard").fragment(0)
+            frag.set_bit(5, 1)   # col 1 now has rows {1, 5}
+            out = self._get(
+                srv, "/internal/index/i/field/m/mutex-check")
+            assert out == {"1": [1, 5]}
+        finally:
+            srv.stop()
