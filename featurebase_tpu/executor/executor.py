@@ -1204,54 +1204,99 @@ class Executor:
         # rankCache; exactness kept by only caching complete count sets)
         use_cache = filt_call is None and f.options.cache_type != CACHE_NONE
         counts: Dict[int, int] = {}
+        names = tuple(view_names)
+        missing: List[int] = []
+        miss_gens: Dict[int, tuple] = {}
         for shard in self._shards(index, shards):
             check_interrupt()
-            tiles = []
-            names = view_names
             if use_cache:
                 gens = tuple(fr.generation for vn in names
                              if (vv := f.view(vn)) is not None
                              and (fr := vv.fragment(shard)) is not None)
-                hit = f._topn_cache.get((shard, tuple(names)))
+                hit = f._topn_cache.get((shard, names))
                 if hit is not None and hit[0] == gens:
                     for rid, c in hit[1].items():
                         counts[rid] = counts.get(rid, 0) + c
                     continue
-            # union rows across selected views per row id
-            row_ids: List[int] = sorted({int(r)
-                                         for vn in names
-                                         if (vv := f.view(vn)) is not None
-                                         and (fr := vv.fragment(shard)) is not None
-                                         for r in fr.row_ids()})
-            if not row_ids:
+                miss_gens[shard] = gens
+            missing.append(shard)
+
+        if missing:
+            self._topn_count_shards(index, f, names, filt_call, missing,
+                                    miss_gens, use_cache, counts)
+        pairs = [Pair(id=rid, count=c) for rid, c in counts.items()]
+        pairs.sort(key=lambda p: (-p.count, p.id))
+        if n:
+            pairs = pairs[: int(n)]
+        return PairsField(pairs, fld)
+
+    def _topn_count_shards(self, index: Index, f: Field, names, filt_call,
+                           missing: List[int], miss_gens: Dict[int, tuple],
+                           use_cache: bool, counts: Dict[int, int]):
+        """Per-row counts for cache-missing shards: one stacked program +
+        one fetch over all of them (the old loop cost ~2 syncs per shard);
+        per-shard complete count sets refresh the rank cache exactly as
+        before.  Falls back to a per-shard loop for unplannable filters."""
+        row_ids = sorted({int(r) for s in missing for vn in names
+                          if (vv := f.view(vn)) is not None
+                          and (fr := vv.fragment(s)) is not None
+                          for r in fr.row_ids()})
+        if not row_ids:
+            return
+        tile_bytes = len(row_ids) * len(missing) * WORDS_PER_ROW * 4
+        filt = None
+        if tile_bytes <= self.ROWS_STACKED_MAX_BYTES:
+            filt = self._mesh_filter(
+                index,
+                filt_call if isinstance(filt_call, Call) else None,
+                missing)
+        if filt is not None:
+            pe = self.plan_executor
+            tiles = pe.stacked_field_rows(index, f.name, names,
+                                          tuple(row_ids), missing)
+            if filt_call is None:
+                pc = np.asarray(bw.per_shard_row_counts(tiles))
+            else:
+                pc = np.asarray(
+                    bw.per_shard_filtered_row_counts(tiles, filt))
+            for si, shard in enumerate(missing):
+                shard_counts = {rid: int(c)
+                                for rid, c in zip(row_ids, pc[si]) if c}
+                for rid, c in shard_counts.items():
+                    counts[rid] = counts.get(rid, 0) + c
+                if use_cache and \
+                        len(shard_counts) <= f.options.cache_size:
+                    f._topn_cache[(shard, names)] = \
+                        (miss_gens[shard], shard_counts)
+            return
+        for shard in missing:
+            srows = sorted({int(r) for vn in names
+                            if (vv := f.view(vn)) is not None
+                            and (fr := vv.fragment(shard)) is not None
+                            for r in fr.row_ids()})
+            if not srows:
                 continue
-            jnp = _jnp()
             acc = None
             for vn in names:
                 vv = f.view(vn)
                 fr = vv.fragment(shard) if vv else None
                 if fr is None:
                     continue
-                tile, _ = fr.device_rows(row_ids)
+                tile, _ = fr.device_rows(srows)
                 acc = tile if acc is None else bw.b_or(acc, tile)
             if acc is None:
                 continue
             if filt_call is not None:
-                filt = self._bitmap_call_shard(index, filt_call, shard)
-                pc = np.asarray(bw.count_and_rows(acc, filt[None, :]))
+                fw = self._bitmap_call_shard(index, filt_call, shard)
+                pc1 = np.asarray(bw.count_and_rows(acc, fw[None, :]))
             else:
-                pc = np.asarray(bw.popcount_rows(acc))
-            shard_counts = {rid: int(c) for rid, c in zip(row_ids, pc) if c}
+                pc1 = np.asarray(bw.popcount_rows(acc))
+            shard_counts = {rid: int(c) for rid, c in zip(srows, pc1) if c}
             for rid, c in shard_counts.items():
                 counts[rid] = counts.get(rid, 0) + c
             if use_cache and len(shard_counts) <= f.options.cache_size:
-                # only complete count sets are cached — exactness holds
-                f._topn_cache[(shard, tuple(names))] = (gens, shard_counts)
-        pairs = [Pair(id=rid, count=c) for rid, c in counts.items()]
-        pairs.sort(key=lambda p: (-p.count, p.id))
-        if n:
-            pairs = pairs[: int(n)]
-        return PairsField(pairs, fld)
+                f._topn_cache[(shard, names)] = \
+                    (miss_gens[shard], shard_counts)
 
     def _topn_mesh(self, index: Index, f: Field, fld: str, n, filt_call,
                    view_names: List[str], shard_list: List[int]

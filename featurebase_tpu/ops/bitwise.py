@@ -157,6 +157,21 @@ def stacked_filtered_row_counts(tiles, filt):
 
 
 @jax.jit
+def per_shard_row_counts(tiles):
+    """(S, R, W) -> (S, R) uint32 per-shard per-row popcounts."""
+    return jnp.sum(jax.lax.population_count(tiles).astype(jnp.uint32),
+                   axis=-1, dtype=jnp.uint32)
+
+
+@jax.jit
+def per_shard_filtered_row_counts(tiles, filt):
+    """(S, R, W) x (S, W) -> (S, R) uint32."""
+    x = jnp.bitwise_and(tiles, filt[:, None, :])
+    return jnp.sum(jax.lax.population_count(x).astype(jnp.uint32),
+                   axis=-1, dtype=jnp.uint32)
+
+
+@jax.jit
 def stacked_pair_counts(masks, tile):
     """(S, F, W) x (S, R, W) -> (F, R) uint32 fused cross-product counts."""
     return jnp.sum(
