@@ -178,3 +178,26 @@ class TestDifferential:
         (tbl,) = e.execute("fz", f"Extract(Row(f={a}), Rows(v))")
         got_vals = [c.rows[0] for c in tbl.columns]
         assert got_vals == [int(x) for x in v[sel]]
+
+
+class TestPercentileDifferential:
+    """The device while_loop bisection must match the host loop (and the
+    reference's arithmetic, executor.go:1310) for every nth and seed."""
+
+    @pytest.mark.parametrize("seed", range(min(N_SEEDS, 6)))
+    def test_device_vs_host_bisection(self, seed, monkeypatch):
+        e, d = dataset(seed)
+        rng = np.random.default_rng(seed + 7000)
+        nths = [0, 50, 90, 100] + [float(rng.integers(1, 100))
+                                   for _ in range(3)]
+        device_results = []
+        for nth in nths:
+            (vc,) = e.execute("fz", f"Percentile(field=v, nth={nth})")
+            device_results.append((vc.val, vc.count))
+        # force the host bisection: an unplannable filter disables every
+        # stacked fast path (percentile, min/max) without touching schema
+        monkeypatch.setattr(type(e), "_mesh_filter",
+                            lambda self, index, call, shards: None)
+        for nth, dev in zip(nths, device_results):
+            (vc,) = e.execute("fz", f"Percentile(field=v, nth={nth})")
+            assert (vc.val, vc.count) == dev, nth
