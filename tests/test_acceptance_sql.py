@@ -414,3 +414,38 @@ CAST_CASES = [
 def test_cast_corpus(db, sql, expected):
     got = execute_sql(db, sql)["data"]
     assert got == expected, sql
+
+
+class TestTimestampLiteralsAndKeyedInsert:
+    """defs_timestamp_literals.go + defs_keyed_insert.go semantics."""
+
+    def test_timestamp_literals(self):
+        api = API()
+        execute_sql(api, "CREATE TABLE ts (_id ID, t TIMESTAMP)")
+        execute_sql(api, "INSERT INTO ts (_id, t) VALUES "
+                         "(1, '2024-01-15T10:30:00Z'), (2, '2024-06-01')")
+        out = execute_sql(api, "SELECT _id, t FROM ts ORDER BY _id")
+        assert out["data"] == [[1, "2024-01-15T10:30:00"],
+                               [2, "2024-06-01T00:00:00"]]
+        assert execute_sql(
+            api, "SELECT _id FROM ts WHERE t > '2024-02-01T00:00:00Z'"
+        )["data"] == [[2]]
+        assert execute_sql(
+            api, "SELECT _id FROM ts WHERE t BETWEEN '2024-01-01' AND "
+                 "'2024-02-01'")["data"] == [[1]]
+
+    def test_keyed_insert_roundtrip(self):
+        api = API()
+        execute_sql(api, "CREATE TABLE k (_id STRING, seg STRINGSET, "
+                         "n INT MIN 0 MAX 100) WITH KEYS")
+        execute_sql(api, "INSERT INTO k (_id, seg, n) VALUES "
+                         "('alpha', ['x', 'y'], 5), ('beta', ['x'], 9)")
+        out = execute_sql(api, "SELECT _id, n FROM k ORDER BY n")
+        assert out["data"] == [["alpha", 5], ["beta", 9]]
+        assert execute_sql(
+            api, "SELECT _id FROM k WHERE seg = 'y'")["data"] == \
+            [["alpha"]]
+        # upsert on a string key replaces the BSI value
+        execute_sql(api, "INSERT INTO k (_id, n) VALUES ('alpha', 7)")
+        assert execute_sql(
+            api, "SELECT n FROM k WHERE _id = 'alpha'")["data"] == [[7]]
