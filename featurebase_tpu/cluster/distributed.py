@@ -398,8 +398,13 @@ class DistributedExecutor:
         if isinstance(a, list) and isinstance(b, list):
             return sorted(set(a) | set(b))
         if isinstance(a, ExtractedTable):
-            a.columns.extend(b.columns)
-            a.columns.sort(key=lambda c: (isinstance(c.column, str), c.column))
+            # per-node partials arrive sorted: linear k-way style merge
+            # instead of re-sorting the accumulated table on every node
+            # (reference: executor.go:9574 k-way merge)
+            import heapq
+            a.columns = list(heapq.merge(
+                a.columns, b.columns,
+                key=lambda c: (isinstance(c.column, str), c.column)))
             return a
         if isinstance(a, dict) and "columns" in a:  # Sort partials
             return self._merge_sorted(call, a, b)
@@ -424,10 +429,26 @@ class DistributedExecutor:
 
     @staticmethod
     def _merge_sorted(call: Call, a: dict, b: dict) -> dict:
+        """Linear merge of two already-sorted runs (each node's partial is
+        sorted; reference k-way merge executor.go:9574), truncated to
+        offset+limit when the call bounds the result."""
+        import heapq
         desc = bool(call.args.get("sort-desc", call.args.get("desc", False)))
-        pairs = list(zip(a["columns"], a["values"])) + \
-            list(zip(b["columns"], b["values"]))
-        pairs.sort(key=lambda cv: ((-cv[1] if desc else cv[1]), cv[0]))
+
+        def key(cv):
+            return ((-cv[1] if desc else cv[1]), cv[0])
+        merged = heapq.merge(zip(a["columns"], a["values"]),
+                             zip(b["columns"], b["values"]), key=key)
+        limit = call.args.get("limit")
+        if limit is not None:
+            keep = int(call.args.get("offset", 0)) + int(limit)
+            pairs = []
+            for cv in merged:
+                pairs.append(cv)
+                if len(pairs) >= keep:
+                    break
+        else:
+            pairs = list(merged)
         return {"columns": [c for c, _ in pairs],
                 "values": [v for _, v in pairs]}
 
