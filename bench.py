@@ -14,6 +14,14 @@ iteration can be elided or hoisted), forced to completion with a host
 transfer.  Each measurement includes a constant dispatch + tunnel-RTT
 overhead (~25 ms on the axon tunnel), so the per-iteration kernel time is
 recovered from a two-point fit: t = (T(K2) - T(K1)) / (K2 - K1).
+Robustness (round-4): the fit is repeated 5 independent times (each point
+best-of-3); the headline value is the MEDIAN fit, with all fits + spread
+recorded in extras.  Measured context: the kernel is DMA-bound and sits at
+the chip's effective ceiling — a zero-compute 2-stream ceiling kernel
+measures the same rate within noise — and the ceiling itself moves ±3%
+run-to-run on the tunnelled chip (observed fits 734-786 GB/s in one
+session), which is why a single fit (rounds 2-3) swung across the 0.90
+bar.
 
 Alongside the headline kernel metric, the BASELINE.json latency targets
 are measured through the real engine: p50 of Count / TopN / GroupBy /
@@ -110,26 +118,33 @@ def main():
         return loop
 
     k1, k2 = (50, 350) if on_tpu else (2, 8)
-    times = {}
-    for K in (k1, k2):
-        loop = make_loop(K)
+    loops = {K: make_loop(K) for K in (k1, k2)}
+    for loop in loops.values():
         int(loop(a, b)[0, 0])  # compile + warm (int() forces completion)
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            int(loop(a, b)[0, 0])
-            best = min(best, time.perf_counter() - t0)
-        times[K] = best
 
-    t_iter = (times[k2] - times[k1]) / (k2 - k1)
     bytes_touched = 2 * nbytes  # two input streams per iteration
-    gbps = bytes_touched / t_iter / 1e9
+    fits = []
+    for _ in range(5):  # 5 independent two-point fits (VERDICT r3 #1)
+        times = {}
+        for K in (k1, k2):
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                int(loops[K](a, b)[0, 0])
+                best = min(best, time.perf_counter() - t0)
+            times[K] = best
+        t_iter = (times[k2] - times[k1]) / (k2 - k1)
+        fits.append(bytes_touched / t_iter / 1e9)
+    fits.sort()
+    gbps = fits[len(fits) // 2]  # median fit is the headline
     roof = _roofline(dev)
     extras = {}
     try:
         extras = engine_latencies(on_tpu)
     except Exception as e:  # noqa: BLE001 — extras must not sink the bench
         extras = {"error": str(e)[:200]}
+    extras["kernel_fits_gbps"] = [round(f, 1) for f in fits]
+    extras["kernel_fit_spread_gbps"] = round(fits[-1] - fits[0], 1)
     print(json.dumps({
         "metric": "bitmap_and_popcount_throughput",
         "value": round(gbps, 2),
@@ -241,6 +256,82 @@ def engine_latencies(on_tpu: bool) -> dict:
         out[name] = measure(e, name, pql)
         out[name.replace("_p50_ms", "_kernel_est_ms")] = round(
             kernel_bytes[name] / kernel_gbps / 1e6, 3)
+    # measured device-time slopes for the two fused programs whose cost
+    # is NOT a single stream pass (Sort = blocked top_k, Percentile =
+    # speculative-tree bisection): K independent dispatches pipeline over
+    # the link, so t(K) = RTT + K*kernel and the slope is the real device
+    # time.  kernel_est for these becomes max(stream bound, measured).
+    try:
+        import jax as _jax
+
+        from featurebase_tpu.ops import bsi as _bsiops
+        pe = e.plan_executor
+        shard_list = idx.available_shards()
+        depth_v = max(idx.field("v").bit_depth, 1)
+        bsi_g = pe.stacked_bsi(idx, "v", depth_v, shard_list)
+        vals_g = pe.stacked_vals(idx, "v", depth_v, shard_list)
+        full_g = pe.stacked_full(idx, shard_list)
+        exists_g = _jax.jit(lambda b: b[:, 0, :])(bsi_g)
+        num_l, num2_l, den_l = _bsiops.nth_limbs(90)
+
+        def slope(dispatch, k1=1, k2=8):
+            best = {}
+            for k in (k1, k2):
+                b = float("inf")
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    r = None
+                    for _ in range(k):
+                        r = dispatch()
+                    _jax.block_until_ready(r)
+                    b = min(b, time.perf_counter() - t0)
+                best[k] = b
+            return (best[k2] - best[k1]) / (k2 - k1) * 1e3
+
+        s_sort = slope(lambda: _bsiops.sort_bsi_stacked(
+            vals_g, exists_g, False, 10, full_g))
+        s_pctl = slope(lambda: _bsiops.percentile_fused(
+            vals_g, exists_g, full_g, 0, num_l, num2_l, den_l))
+        out["sort_kernel_est_ms"] = round(
+            max(out.get("sort_kernel_est_ms", 0), s_sort), 3)
+        out["percentile_kernel_est_ms"] = round(
+            max(out.get("percentile_kernel_est_ms", 0), s_pctl), 3)
+    except Exception as ex:  # noqa: BLE001
+        out["kernel_slope_error"] = str(ex)[:120]
+
+    # cold TopN: the steady-state number above serves from the
+    # incrementally-maintained rank cache; this one clears the cache
+    # before every execution so the stacked counting path is what's
+    # measured (VERDICT r3 weak #3)
+    if time.perf_counter() - start <= budget_s:
+        fobj = idx.field("f")
+        pql = queries["topn_p50_ms"]
+        fobj._topn_cache.clear()
+        e.execute("bench", pql)  # warm the cold-path compile
+        samples = []
+        for _ in range(reps):
+            fobj._topn_cache.clear()
+            t0 = time.perf_counter()
+            e.execute("bench", pql)
+            samples.append((time.perf_counter() - t0) * 1e3)
+        out["topn_cold_p50_ms"] = round(sorted(samples)[len(samples) // 2], 2)
+    # Apply vs Extract over ~1M records (VERDICT r3 #6 done criterion:
+    # vectorized Apply within ~10x an equivalent Extract p50)
+    if time.perf_counter() - start <= budget_s:
+        try:
+            def p50_shard(pql, reps3=3):
+                e.execute("bench", pql, shards=[0, 1])
+                ts = []
+                for _ in range(reps3):
+                    t0 = time.perf_counter()
+                    e.execute("bench", pql, shards=[0, 1])
+                    ts.append((time.perf_counter() - t0) * 1e3)
+                return round(sorted(ts)[len(ts) // 2], 1)
+            out["extract_1m_p50_ms"] = p50_shard("Extract(All(), Rows(v))")
+            out["apply_1m_p50_ms"] = p50_shard(
+                'Apply(All(), "v * 2", "sum")')
+        except Exception as ex:  # noqa: BLE001
+            out["apply_error"] = str(ex)[:120]
     if out.get("count_p50_ms"):
         out["count_rows_per_sec"] = round(
             n / (out["count_p50_ms"] / 1e3))

@@ -305,6 +305,19 @@ class PlanExecutor:
 
     # -- leaf gathering -----------------------------------------------------
 
+    @staticmethod
+    def _pin_diverged(frags) -> bool:
+        """True when an active snapshot pin no longer matches these
+        fragments' live generations: the generation-keyed caches then
+        belong to live readers, so the gather must go uncached through the
+        pin-aware Fragment.host_row (model/snapshot.py)."""
+        from featurebase_tpu.model.snapshot import current_pin
+        pin = current_pin()
+        if pin is None:
+            return False
+        return any(fr is not None and not fr.pin_current(pin)
+                   for fr in frags)
+
     def _gather_leaf(self, index: Index, leaf: _Leaf, shards: List[int]):
         S = len(shards)
         if leaf.kind == "const":
@@ -318,7 +331,12 @@ class PlanExecutor:
         if leaf.kind == "full":
             def fill_full(si, out):
                 out[:] = ~np.uint32(0)
-            return self._put_lazy((S, WORDS_PER_ROW), fill_full)
+            # constant content: cache it (gen=()) — rebuilding uploaded a
+            # fresh (S, W) array over the link on EVERY unfiltered
+            # aggregate, costing a full extra sync per query (r3 bench:
+            # Min/Percentile/GroupBy all ~1 sync over their floor)
+            return self._cached_stack(("full", tuple(shards)), (),
+                                      (S, WORDS_PER_ROW), fill_full)
         if leaf.kind == "existence":
             ef = index.existence_field()
             if ef is None:
@@ -330,6 +348,8 @@ class PlanExecutor:
             def fill_ex(si, out):
                 if frags[si] is not None:
                     out[:] = frags[si].host_row(0)
+            if self._pin_diverged(frags):
+                return self._put_lazy((S, WORDS_PER_ROW), fill_ex)
             return self._cached_stack(ck, gen, (S, WORDS_PER_ROW), fill_ex)
         if leaf.kind == "row":
             f = index.field(leaf.field)
@@ -344,6 +364,8 @@ class PlanExecutor:
                 for fr in frag_sets[si]:
                     if fr is not None:
                         np.bitwise_or(out, fr.host_row(leaf.row), out=out)
+            if self._pin_diverged([fr for frs in frag_sets for fr in frs]):
+                return self._put_lazy((S, WORDS_PER_ROW), fill_row)
             return self._cached_stack(ck, gen, (S, WORDS_PER_ROW), fill_row)
         if leaf.kind == "bsi":
             f = index.field(leaf.field)
@@ -361,6 +383,8 @@ class PlanExecutor:
                 out[1] = fr.host_row(BSI_SIGN_ROW)
                 for d in range(D):
                     out[2 + d] = fr.host_row(BSI_OFFSET + d)
+            if self._pin_diverged(frags):
+                return self._put_lazy((S, D + 2, WORDS_PER_ROW), fill_bsi)
             return self._cached_stack(ck, gen, (S, D + 2, WORDS_PER_ROW),
                                       fill_bsi)
         raise PlanError(f"bad leaf kind {leaf.kind}")
@@ -468,6 +492,9 @@ class PlanExecutor:
                 for ri, r in enumerate(row_ids):
                     if fr.has_row(r):
                         np.bitwise_or(out[ri], fr.host_row(r), out=out[ri])
+        if self._pin_diverged([fr for frs in frag_sets for fr in frs]):
+            return self._put_lazy(
+                (len(shards), len(row_ids), WORDS_PER_ROW), fill_rowset)
         return self._cached_stack(
             ck, gen, (len(shards), len(row_ids), WORDS_PER_ROW),
             fill_rowset)
@@ -481,6 +508,39 @@ class PlanExecutor:
     def stacked_full(self, index: Index, shards: List[int]):
         """(S, W) all-ones filter, sharded over the mesh."""
         return self._gather_leaf(index, _Leaf("full"), shards)
+
+    def stacked_vals(self, index: Index, fname: str, depth: int,
+                     shards: List[int]):
+        """(S, SHARD_WIDTH) int32 decoded BSI values, cached on device by
+        fragment generation.  Materializing the decode costs ~15 ms on v5e
+        (the bit-expansion pattern lowers poorly when written to HBM, while
+        reduce consumers fuse it away) — Sort/Percentile consume the values
+        through lax.top_k / multi-pivot passes that force materialization,
+        so they read this cache instead of re-decoding per query.  Values
+        are unbased and undefined where the exists bit is clear (callers
+        mask with the exists plane)."""
+        from featurebase_tpu.ops import bsi as bsiops
+        from featurebase_tpu.storage.residency import residency
+        f = index.field(fname)
+        vname = view_bsi_group(fname)
+        frags = [self._frag(f, vname, s) for s in shards]
+        gen = tuple(fr.generation if fr else -1 for fr in frags)
+        key = ("vals", index.name, fname, depth, tuple(shards))
+        hit = self._leaf_cache.get(key)
+        if not self._pin_diverged(frags) and hit is not None \
+                and hit[0] == gen:
+            residency().touch(("leaf", id(self), key))
+            return hit[1]
+        bsi = self.stacked_bsi(index, fname, depth, shards)
+        arr = bsiops.decode_values_jit(bsi)
+        if self._pin_diverged(frags):
+            return arr  # pinned gather: do not publish to the cache
+        S = arr.shape[0]
+        self._leaf_cache[key] = (gen, arr)
+        rkey = ("leaf", id(self), key)
+        residency().add(rkey, S * arr.shape[-1] * 4,
+                        lambda: self._leaf_cache.pop(key, None))
+        return arr
 
     # -- plan execution -----------------------------------------------------
 

@@ -76,6 +76,11 @@ class Fragment:
         # changed value as "unstable — retry" (the reference gets this from
         # RBF page-map snapshot isolation instead, rbf/page_map.go:1).
         self.generation = 0
+        # MVCC overlay: row -> [(even-gen tag, words copy)] ascending; rows
+        # are preserved first-touch while snapshot pins are active so
+        # pinned readers see the row as of their pin (model/snapshot.py;
+        # reference analog: RBF page-map snapshots, rbf/page_map.go:1)
+        self._overlay: Dict[int, list] = {}
         self._register_host()
 
     @contextmanager
@@ -86,6 +91,65 @@ class Fragment:
             yield
         finally:
             self.generation += 1
+
+    def _cow(self, slot: int):
+        """Preserve a row about to mutate for active snapshot pins
+        (first-touch copy-on-write; caller holds self._lock, inside or
+        just before the _mutating window).  The overlay insert happens
+        strictly before the row's words change, which is what lets pinned
+        readers verify a lock-free live read afterwards."""
+        from featurebase_tpu.model.snapshot import active_pins
+        pins = active_pins(self.index)
+        if not pins:
+            if self._overlay:
+                self._overlay.clear()
+            return
+        row = self._row_of_slot[slot]
+        e = self.generation & ~1  # committed generation being overwritten
+        tags = self._overlay.get(row)
+        need = False
+        for pin in pins:
+            p = pin.gen_for(self.field, self.view, self.shard)
+            if p is None or p > e:
+                continue  # fragment absent at pin (reads as empty) / newer
+            if tags is not None and any(p <= t for t, _ in tags):
+                continue  # an existing copy already serves this pin
+            need = True
+            break
+        if need:
+            self._overlay.setdefault(row, []).append(
+                (e, self._words[slot].copy()))
+
+    def _pinned_row(self, pin, row: int) -> np.ndarray:
+        """Row words as of `pin`'s snapshot ((W,) uint32; callers must not
+        mutate).  Lock-free: a live read is verified against the overlay
+        after copying — any post-pin mutation batch inserted its copy
+        before touching the words."""
+        p = pin.gen_for(self.field, self.view, self.shard)
+        if p is None:
+            return np.zeros(WORDS_PER_ROW, dtype=np.uint32)
+
+        def overlay_copy():
+            for t, wcopy in self._overlay.get(row, ()):
+                if t >= p:
+                    return wcopy
+            return None
+
+        pre = overlay_copy()
+        if pre is not None:
+            return pre
+        slot = self._slot_of_row.get(row)
+        if slot is None:
+            return np.zeros(WORDS_PER_ROW, dtype=np.uint32)
+        live = self._words[slot].copy()
+        post = overlay_copy()  # appeared mid-copy -> live may be torn
+        return post if post is not None else live
+
+    def pin_current(self, pin) -> bool:
+        """True when the fragment is unchanged since `pin` (live reads and
+        generation-keyed device caches are valid for this reader)."""
+        return pin.gen_for(self.field, self.view, self.shard) == \
+            self.generation
 
     # -- host-DRAM residency (the RBF page-cache/mmap role) -----------------
 
@@ -206,7 +270,13 @@ class Fragment:
         return slot
 
     def host_row(self, row: int) -> np.ndarray:
-        """Host words for a row ((W,) uint32); zeros if absent."""
+        """Host words for a row ((W,) uint32); zeros if absent.  Under an
+        active snapshot pin whose generation this fragment has moved past,
+        serves the row as of the pin (MVCC overlay, model/snapshot.py)."""
+        from featurebase_tpu.model.snapshot import current_pin
+        pin = current_pin()
+        if pin is not None and not self.pin_current(pin):
+            return self._pinned_row(pin, row)
         slot = self._slot_of_row.get(row)
         if slot is None:
             return np.zeros(WORDS_PER_ROW, dtype=np.uint32)
@@ -223,6 +293,7 @@ class Fragment:
             old = self._words[slot, w]
             if old & b:
                 return False
+            self._cow(slot)
             with self._mutating():
                 self._words[slot, w] = old | b
             self._dirty.add(slot)
@@ -238,6 +309,7 @@ class Fragment:
             old = self._words[slot, w]
             if not (old & b):
                 return False
+            self._cow(slot)
             with self._mutating():
                 self._words[slot, w] = old & ~b
             self._dirty.add(slot)
@@ -245,6 +317,11 @@ class Fragment:
 
     def get_bit(self, row: int, col: int) -> bool:
         col %= SHARD_WIDTH
+        from featurebase_tpu.model.snapshot import current_pin
+        pin = current_pin()
+        if pin is not None and not self.pin_current(pin):
+            w = self._pinned_row(pin, row)
+            return bool((w[col >> 5] >> (col & 31)) & 1)
         slot = self._slot_of_row.get(row)
         if slot is None:
             return False
@@ -259,11 +336,13 @@ class Fragment:
                 slot = self._slot_of_row.get(row)
                 if slot is None:
                     return
+                self._cow(slot)
                 with self._mutating():
                     np.bitwise_and(self._words[slot], ~words,
                                    out=self._words[slot])
             else:
                 slot = self._ensure_slot(row)
+                self._cow(slot)
                 with self._mutating():
                     np.bitwise_or(self._words[slot], words,
                                   out=self._words[slot])
@@ -273,6 +352,7 @@ class Fragment:
         """Replace a row wholesale (reference Store / ClearRow+Set)."""
         with self._lock:
             slot = self._ensure_slot(row)
+            self._cow(slot)
             with self._mutating():
                 self._words[slot] = words
             self._dirty.add(slot)
@@ -281,6 +361,7 @@ class Fragment:
         with self._lock:
             slot = self._slot_of_row.get(row)
             if slot is not None:
+                self._cow(slot)
                 with self._mutating():
                     self._words[slot] = 0
                 self._dirty.add(slot)
@@ -298,6 +379,7 @@ class Fragment:
                 for i, r in enumerate(uniq):
                     c = cols[bounds[i]:bounds[i + 1]]
                     slot = self._ensure_slot(int(r))
+                    self._cow(slot)
                     tgt = self._words[slot]
                     vals = np.uint32(1) << (c & 31).astype(np.uint32)
                     if clear:
@@ -316,6 +398,8 @@ class Fragment:
             n = self.num_rows
             if n == 0:
                 return
+            for slot in range(n):
+                self._cow(slot)
             with self._mutating():
                 np.bitwise_and(self._words[:n], ~col_mask[None, :],
                                out=self._words[:n])
@@ -355,7 +439,16 @@ class Fragment:
                             self._evict_device)
         elif self._dirty:
             slots = np.array(sorted(self._dirty), dtype=np.int32)
-            self._dev = self._dev.at[slots].set(jax.device_put(self._words[slots]))
+            # pad the slot vector to a power-of-2 bucket (repeating slot 0
+            # with its own row data — idempotent) so the scatter program
+            # compiles once per bucket, not once per distinct dirty count
+            # (point-write churn otherwise compiles endlessly)
+            k = len(slots)
+            cap = 1 << max(int(k - 1).bit_length(), 2)
+            padded = np.full(cap, slots[0], dtype=np.int32)
+            padded[:k] = slots
+            self._dev = self._dev.at[padded].set(
+                jax.device_put(self._words[padded]))
             residency().touch(self._residency_key())
         self._dev_rows = n
         self._dirty.clear()
@@ -363,7 +456,19 @@ class Fragment:
         return self._dev
 
     def device_tile(self):
-        """(num_rows, W) uint32 device array of all rows (slot order)."""
+        """(num_rows, W) uint32 device array of all rows (slot order).
+        Under a diverged snapshot pin, builds an uncached upload of the
+        pinned row states (the generation-keyed mirror belongs to live
+        readers)."""
+        from featurebase_tpu.model.snapshot import current_pin
+        pin = current_pin()
+        if pin is not None and not self.pin_current(pin):
+            import jax.numpy as jnp
+            rows = list(self._row_of_slot[: self.num_rows])
+            if not rows:
+                return jnp.zeros((0, WORDS_PER_ROW), dtype=jnp.uint32)
+            host = np.stack([self._pinned_row(pin, r) for r in rows])
+            return jnp.asarray(host)
         from featurebase_tpu.storage.residency import residency
         with self._lock:
             if self._all_dirty or self._dirty or self._dev is None or \
@@ -389,6 +494,13 @@ class Fragment:
         Returns (tile (len(rows), W), present mask np.ndarray bool).
         """
         import jax.numpy as jnp
+        from featurebase_tpu.model.snapshot import current_pin
+        pin = current_pin()
+        if pin is not None and not self.pin_current(pin):
+            host = np.stack([self._pinned_row(pin, int(r)) for r in rows])
+            present = np.array([self._slot_of_row.get(int(r)) is not None
+                                for r in rows])
+            return jnp.asarray(host), present
         tile = self.device_tile()
         slots = np.array([self._slot_of_row.get(int(r), -1) for r in rows],
                          dtype=np.int32)

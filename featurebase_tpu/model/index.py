@@ -116,6 +116,15 @@ class Index:
     def row_translation(self, field: str) -> Optional[FieldTranslateStore]:
         return self.field_translate_stores.get(field)
 
+    def iter_fragments(self):
+        """Yields ((field, view, shard), fragment) for every fragment
+        (snapshot pin capture; list() copies guard concurrent schema/view
+        creation)."""
+        for fname, f in list(self.fields.items()):
+            for vname, v in list(f.views.items()):
+                for shard, frag in list(v.fragments.items()):
+                    yield (fname, vname, shard), frag
+
     def fragment_generations(self, keys=None) -> dict:
         """Snapshot of fragment mutation (seqlock) counters, used by the
         executor's optimistic read validation (the reference pins reads to

@@ -23,6 +23,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _u32 = jnp.uint32
 _ZERO = jnp.uint32(0)
@@ -402,70 +403,196 @@ def min_max_stacked(bsi, filt, depth: int, is_min: bool):
     return m, jnp.where(jnp.any(present), cnt, jnp.uint32(0))
 
 
-@partial(jax.jit, static_argnums=(2,))
-def percentile_prep_stacked(bsi, filt, depth: int):
-    """One program computing everything the Percentile bisection needs up
-    front: (total, min, count_at_min, max, count_at_max) over the stacked
-    group under the filter — unbased int32 values."""
-    exists = jnp.bitwise_and(bsi[:, 0, :], filt)
-    sign = bsi[:, 1, :]
-    slices = bsi[:, 2:2 + depth, :]
-    vals = decode_values(slices, sign, depth)
+# -- exact 16-bit-limb integer helpers (scalar math inside jit) --------------
+#
+# The Percentile thresholds are `left > floor(total*nth/100)` style tests.
+# Cross-multiplying turns them into exact integer compares —
+# left*D > total*num with nth/100 == num/D — but the products need up to
+# ~2^91, far past int32.  These helpers do the products in little-endian
+# 16-bit limbs held in uint32 lanes (partial products of two 16-bit digits
+# can't overflow uint32), unrolled at trace time: a handful of scalar ops.
+
+_CL = 5            # constant limbs: 80 bits, covers any float-derived nth
+_PL = _CL + 3      # product limbs: u32 (2 limbs) x _CL + carry headroom
+
+
+def nth_limbs(nth) -> tuple:
+    """Exact rational encoding of a Percentile nth for percentile_fused:
+    (num, D-num, D) as (_CL,) uint32 16-bit-limb arrays with
+    nth/100 == num/D exactly (num, den = float(nth).as_integer_ratio())."""
+    import math
+    num0, den0 = float(nth).as_integer_ratio()
+    D = den0 * 100
+    g = math.gcd(num0, D)
+    num0, D = num0 // g, D // g
+    if D >= 1 << (16 * _CL) or num0 >= 1 << (16 * _CL):
+        raise ValueError("nth fraction too wide for limb encoding")
+
+    def limbs(v):
+        return np.array([(v >> (16 * i)) & 0xFFFF for i in range(_CL)],
+                        dtype=np.uint32)
+    return limbs(num0), limbs(D - num0), limbs(D)
+
+
+def _mul_u32_limbs(x, c):
+    """x (uint32 scalar) * c ((_CL,) 16-bit limbs) -> (_PL,) 16-bit limbs."""
+    xl = jnp.bitwise_and(x, jnp.uint32(0xFFFF))
+    xh = jnp.right_shift(x, 16)
+    acc = [jnp.uint32(0)] * _PL
+    for i in range(_CL):
+        lo = xl * c[i]
+        hi = xh * c[i]
+        acc[i] = acc[i] + jnp.bitwise_and(lo, jnp.uint32(0xFFFF))
+        acc[i + 1] = (acc[i + 1] + jnp.right_shift(lo, 16)
+                      + jnp.bitwise_and(hi, jnp.uint32(0xFFFF)))
+        acc[i + 2] = acc[i + 2] + jnp.right_shift(hi, 16)
+    carry = jnp.uint32(0)
+    out = []
+    for i in range(_PL):
+        v = acc[i] + carry
+        out.append(jnp.bitwise_and(v, jnp.uint32(0xFFFF)))
+        carry = jnp.right_shift(v, 16)
+    return jnp.stack(out)
+
+
+def _limbs_gt(a, b):
+    """a > b over (_PL,) little-endian limb arrays."""
+    gt = jnp.bool_(False)
+    lt = jnp.bool_(False)
+    for i in reversed(range(_PL)):
+        und = jnp.logical_not(jnp.logical_or(gt, lt))
+        gt = jnp.logical_or(gt, jnp.logical_and(und, a[i] > b[i]))
+        lt = jnp.logical_or(lt, jnp.logical_and(und, a[i] < b[i]))
+    return gt
+
+
+@jax.jit
+def decode_values_jit(bsi):
+    """Decoded (S, SHARD_WIDTH) int32 values from a stacked (S, D+2, W)
+    BSI group (plane 0 exists, 1 sign, 2.. magnitude) — the device-cached
+    form consumed by Sort/Percentile (plan.PlanExecutor.stacked_vals)."""
+    depth = bsi.shape[1] - 2
+    return decode_values(bsi[:, 2:2 + depth, :], bsi[:, 1, :], depth)
+
+
+@jax.jit
+def percentile_fused(vals, exists_words, filt, base, num_l, num2_l, den_l):
+    """Percentile in ONE device program + ONE fetch: prep (total/min/max +
+    counts), the desired-count threshold cases, and the reference's
+    bisection (executor.go:1310; Go-truncating pivot arithmetic,
+    executor.go:1497-1500) all fused into a single lax.while_loop program
+    (the r3 two-program flow cost two link round trips).
+
+    desired_less = floor(total*num/D) never materializes: every test is an
+    exact cross-multiplied limb compare (left*D > total*num), so no float
+    rounding can diverge from the host fallback, which computes the same
+    thresholds with Python big ints.  (Deviation from the Go reference
+    noted: the reference computes the thresholds in float64
+    (executor.go:1462); we define them exact-rational on both paths.)
+
+    All value arithmetic is int32 in BASED field units (caller guarantees
+    |base| + 2^depth fits).  `vals` is the cached unbased decode
+    (plan.stacked_vals); `exists_words`/`filt` are (S, W) planes.
+    Returns (val int32, count uint32); count == 0 <=> no matching row."""
+    exists = jnp.bitwise_and(exists_words, filt)
+    vals = vals + jnp.int32(base)
     present = expand_bits(exists).astype(jnp.bool_)
     total = jnp.sum(present, dtype=jnp.uint32)
     mn = jnp.min(jnp.where(present, vals, jnp.int32(2**31 - 1)))
     mx = jnp.max(jnp.where(present, vals, jnp.int32(-(2**31))))
     mnc = jnp.sum(jnp.logical_and(present, vals == mn), dtype=jnp.uint32)
     mxc = jnp.sum(jnp.logical_and(present, vals == mx), dtype=jnp.uint32)
-    return total, mn, mnc, mx, mxc
 
-
-@partial(jax.jit, static_argnums=(2,))
-def percentile_stacked(bsi, filt, depth: int, base, desired_less,
-                       desired_greater, lo, hi):
-    """The reference's Percentile bisection (executor.go:1310) run
-    entirely ON DEVICE in one lax.while_loop — identical pivot
-    arithmetic (Go-style truncating division, executor.go:1497-1500) and
-    identical exit conditions, so results match the host loop bit-for-
-    bit, but the ~2*log2(range) per-pivot Count queries collapse into
-    one program + one fetch.  All value arithmetic is int32 in BASED
-    field units (caller guarantees |base| + 2^depth fits)."""
-    exists = jnp.bitwise_and(bsi[:, 0, :], filt)
-    sign = bsi[:, 1, :]
-    slices = bsi[:, 2:2 + depth, :]
-    vals = decode_values(slices, sign, depth) + jnp.int32(base)
-    present = expand_bits(exists).astype(jnp.bool_)
+    den_pad = jnp.concatenate([den_l.astype(jnp.uint32),
+                               jnp.zeros((_PL - _CL,), jnp.uint32)])
+    t_num = _mul_u32_limbs(total, num_l)     # total * num
+    t_num2 = _mul_u32_limbs(total, num2_l)   # total * (D - num)
+    dl_zero = _limbs_gt(den_pad, t_num)      # desired_less == 0
+    dg_zero = _limbs_gt(den_pad, t_num2)     # desired_greater == 0
 
     def tdiv2(a):
         return jnp.where(a < 0, -((-a) // 2), a // 2).astype(jnp.int32)
+
+    def pivot(a, b):
+        return (tdiv2(a) + tdiv2(b)
+                + tdiv2(tdiv2(a) * -2 + a + tdiv2(b) * -2 + b))
 
     def cond(state):
         lo_, hi_, _poss, done = state
         return jnp.logical_and(jnp.logical_not(done), lo_ < hi_)
 
-    def body(state):
-        lo_, hi_, _poss, _done = state
-        possible = (tdiv2(lo_) + tdiv2(hi_)
-                    + tdiv2(tdiv2(lo_) * -2 + lo_
-                            + tdiv2(hi_) * -2 + hi_))
-        left = jnp.sum(jnp.logical_and(present, vals < possible),
-                       dtype=jnp.uint32)
-        right = jnp.sum(jnp.logical_and(present, vals > possible),
-                        dtype=jnp.uint32)
-        go_hi = left > desired_less            # hi = possible - 1
-        go_lo = jnp.logical_and(jnp.logical_not(go_hi),
-                                right > desired_greater)
-        done = jnp.logical_and(jnp.logical_not(go_hi),
-                               jnp.logical_not(go_lo))
-        return (jnp.where(go_lo, possible + 1, lo_),
-                jnp.where(go_hi, possible - 1, hi_),
-                possible, done)
+    # Speculative breadth-_SPEC_LEVELS bisection: one sequential probe per
+    # data pass measured ~2 ms of loop overhead per iteration on v5e
+    # (~14 iterations for a 10^4 value range).  Instead, each while
+    # iteration evaluates the full depth-L tree of pivots the next L
+    # sequential probes COULD visit (2^L - 1 candidates; left/right counts
+    # for all of them are sibling-fused reduces over one read of `vals`),
+    # then resolves the L bisection levels with pure scalar logic — the
+    # probe sequence, pivot arithmetic, and exit conditions are identical
+    # to the reference's one-at-a-time loop (executor.go:1310), just
+    # batched.
+    L = 5
 
-    lo0 = jnp.asarray(lo, jnp.int32)
-    hi0 = jnp.asarray(hi, jnp.int32)
-    state = jax.lax.while_loop(
-        cond, body, (lo0, hi0, lo0, jnp.asarray(False)))
-    return state[2]
+    def body(state):
+        lo_, hi_, poss_, done_ = state
+        # pivot tree: node k at level l covers the interval reached by the
+        # l go_hi/go_lo decisions encoded in k's bits (go_hi child = 2k,
+        # go_lo child = 2k+1); invalid (collapsed) intervals produce
+        # garbage pivots that the gated walk below never selects
+        level = [(lo_, hi_)]
+        pivots = []
+        for _ in range(L):
+            nxt = []
+            for a, b in level:
+                p = pivot(a, b)
+                pivots.append(p)
+                nxt.append((a, p - 1))
+                nxt.append((p + 1, b))
+            level = nxt
+        piv = jnp.stack(pivots)
+        lefts = jnp.stack([
+            jnp.sum(jnp.logical_and(present, vals < p), dtype=jnp.uint32)
+            for p in pivots])
+        rights = jnp.stack([
+            jnp.sum(jnp.logical_and(present, vals > p), dtype=jnp.uint32)
+            for p in pivots])
+        # scalar walk of the tree — exact replica of L sequential probes
+        k = jnp.int32(0)
+        for lvl in range(L):
+            node = (1 << lvl) - 1 + k
+            p = piv[node]
+            left = lefts[node]
+            right = rights[node]
+            active = jnp.logical_and(jnp.logical_not(done_), lo_ < hi_)
+            # left > desired_less  <=>  left*D > total*num (exact)
+            go_hi = _limbs_gt(_mul_u32_limbs(left, den_l), t_num)
+            go_lo = jnp.logical_and(
+                jnp.logical_not(go_hi),
+                _limbs_gt(_mul_u32_limbs(right, den_l), t_num2))
+            fin = jnp.logical_and(jnp.logical_not(go_hi),
+                                  jnp.logical_not(go_lo))
+            poss_ = jnp.where(active, p, poss_)
+            done_ = jnp.where(active, fin, done_)
+            lo_ = jnp.where(jnp.logical_and(active, go_lo), p + 1, lo_)
+            hi_ = jnp.where(jnp.logical_and(active, go_hi), p - 1, hi_)
+            k = jnp.where(active,
+                          2 * k + jnp.where(go_lo, 1, 0), k)
+        return lo_, hi_, poss_, done_
+
+    # host-flow case order (executor.go:1470-1480): empty -> None;
+    # desired_greater != 0 and desired_less == 0 -> min; dg == 0 -> max
+    min_case = jnp.logical_and(jnp.logical_not(dg_zero), dl_zero)
+    max_case = dg_zero
+    skip = jnp.logical_or(jnp.logical_or(min_case, max_case), total == 0)
+    state = jax.lax.while_loop(cond, body, (mn, mx, mn, skip))
+    poss = state[2]
+    val = jnp.where(total == 0, jnp.int32(0),
+                    jnp.where(min_case, mn,
+                              jnp.where(max_case, mx, poss)))
+    cnt = jnp.where(total == 0, jnp.uint32(0),
+                    jnp.where(min_case, mnc,
+                              jnp.where(max_case, mxc, jnp.uint32(1))))
+    return val, cnt
 
 
 @partial(jax.jit, static_argnums=(2,))
@@ -518,21 +645,49 @@ def sort_bsi_kernel(slices, exists, sign, depth: int, desc: bool, filt=None):
     return _sort_core(slices, exists, sign, depth, desc, filt)
 
 
-@partial(jax.jit, static_argnums=(1, 2, 3))
-def sort_bsi_stacked(bsi, depth: int, desc: bool, cut: int, filt=None):
-    """All shards' BSI sorts in ONE program over a stacked (S, D+2, W)
-    group (layout: plane 0 exists, 1 sign, 2.. magnitude — the stacked_bsi
-    leaf).  Returns (idx (S, cut) int32, key (S, cut) int32, n_present
-    (S,)).  One dispatch + one host fetch replaces a per-shard
-    dispatch/sync loop (reference contrast: executor.go:9321 sorts per
-    shard in goroutines then k-way merges at the coordinator)."""
-    def one(b, ft):
-        idx_s, key_s, n = _sort_core(b[2:2 + depth], b[0], b[1], depth,
-                                     desc, ft)
-        return idx_s[:cut], key_s[:cut], n
-    if filt is None:
-        return jax.vmap(lambda b: one(b, None))(bsi)
-    return jax.vmap(one)(bsi, filt)
+@partial(jax.jit, static_argnums=(2, 3))
+def sort_bsi_stacked(vals, exists_words, desc: bool, cut: int, filt=None):
+    """All shards' top-`cut` BSI orders in ONE program.  `vals` is the
+    device-cached unbased decode (plan.stacked_vals — materializing the
+    decode inline cost ~15 ms/query on v5e); `exists_words` the (S, W)
+    exists plane.  Returns (idx (S, cut) int32, key (S, cut) int32 sort
+    keys (negated values when desc, matching sort_bsi_kernel), n_present
+    (S,)).
+
+    Uses lax.top_k instead of a full lax.sort: only the per-shard
+    top-(offset+limit) prefix can survive the coordinator merge
+    (executor.go:9321 per-shard cut), and a full 2^20-element 3-operand
+    sort measured ~58 ms/16 shards on v5e vs ~4 ms for blocked top_k.
+    Ties break by ascending column id exactly as the lexicographic sort
+    did: XLA TopK is documented to prefer the lower index on equal values.
+    Absent columns get a -2^31 sentinel score; magnitudes are
+    sign-magnitude with |v| <= 2^31-1 so no real score reaches it."""
+    exists = exists_words
+    if filt is not None:
+        exists = jnp.bitwise_and(exists, filt)
+    present = expand_bits(exists).astype(jnp.bool_)
+    score = jnp.where(present, vals if desc else -vals,
+                      jnp.int32(-(2**31)))
+    n_present = jnp.sum(present, axis=-1)
+    B = 1024
+    S, C = score.shape
+    if cut <= B and C % B == 0:
+        # two-stage exact top-k: per-1024-block top_k, then top_k over the
+        # (C/B)*cut candidates (measured ~4 ms vs ~28 ms for one flat
+        # lax.top_k over 16 x 2^20 on v5e).  Exactness: the global top-cut
+        # is a subset of the per-block top-cuts.  Tie-break: candidates are
+        # laid out block-major with blocks in column order and ties within
+        # a block already column-ascending, so stage-2's lower-index-first
+        # rule again resolves equal scores to the lowest column id.
+        nb = C // B
+        sc, ix = jax.lax.top_k(score.reshape(S, nb, B), cut)
+        gcol = ix + (jnp.arange(nb, dtype=jnp.int32) * B)[None, :, None]
+        sc2, ix2 = jax.lax.top_k(sc.reshape(S, nb * cut), cut)
+        top_idx = jnp.take_along_axis(gcol.reshape(S, nb * cut), ix2,
+                                      axis=1)
+        return top_idx, -sc2, n_present
+    top_scores, top_idx = jax.lax.top_k(score, cut)
+    return top_idx, -top_scores, n_present
 
 
 def decode_values(slices, sign, depth: int):

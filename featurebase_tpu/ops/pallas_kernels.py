@@ -8,14 +8,17 @@ through VMEM in 2.5 MB blocks and reduces the per-word popcount cost with
 a 4-way Harley-Seal carry-save adder (the CSA compresses 4 words into 1
 'ones' + 2 'carry' planes before popcounting).
 
-Measured on TPU v5e (tools/tune_count_kernel.py, two-point fit over
-dependent iterations): 762.9 GB/s = 93.1% of the 819 GB/s paper roofline.
-The kernel is DMA-bound, not compute-bound: a near-zero-compute 2-stream
-ceiling kernel measures 750.8 GB/s at (512,1024) blocks and 786.6 GB/s at
-(1024,1024), and the block-shape sweep picked (640,1024) as the best
-compute-kernel point (csa 512: 723, 640: 763, 768: 740, 1024 w/ raised
-VMEM limit: 754; direct popcount and partial-output variants all within
-noise of their matching ceilings).
+Measured on TPU v5e (tools/tune_count_kernel.py + bench.py, two-point fit
+over dependent iterations, median of 5 independent fits): ~750 GB/s =
+~92% of the 819 GB/s paper roofline, with ±3% run-to-run movement on the
+tunnelled chip (observed fits 734-786 GB/s in one session).  The kernel
+is DMA-bound, not compute-bound: a near-zero-compute 2-stream ceiling
+kernel measures the same rate within noise at every block shape tried
+(512/640/1024/1280/2048 rows, raised-VMEM variants, 8-way CSA) — the
+block sweep picked (640,1024) as the best compute-kernel point and no
+variant separates from the ceiling.  The authoritative number is
+whatever the driver's bench run records (BENCH_r*.json), not this
+docstring.
 
 Selection: `use_pallas()` is True on TPU backends (override with
 FEATUREBASE_TPU_PALLAS=0/1).  On CPU the XLA paths run; tests exercise

@@ -35,7 +35,13 @@ def _pool() -> ThreadPoolExecutor:
 def map_shards(fn: Callable[[T], R], items: Sequence[T]) -> List[R]:
     """Apply fn to every item, in parallel when there is more than one.
     Exceptions propagate (first one raised, like the reference's errgroup
-    behavior in mapperLocal)."""
+    behavior in mapperLocal).  The submitting thread's context propagates
+    to workers (per-item copy) so snapshot pins (model/snapshot.py) hold
+    across the pool — a Context can't be entered concurrently, hence one
+    copy per item."""
     if len(items) <= 1:
         return [fn(it) for it in items]
-    return list(_pool().map(fn, items))
+    import contextvars
+    ctxs = [contextvars.copy_context() for _ in items]
+    return list(_pool().map(lambda pair: pair[0].run(fn, pair[1]),
+                            zip(ctxs, items)))

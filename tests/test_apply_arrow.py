@@ -38,6 +38,73 @@ class TestApply:
         with pytest.raises(APIError):
             api.query("i", 'Apply(All(), "qty +")')
 
+    def test_apply_gathers_only_referenced_fields(self, api, monkeypatch):
+        """VERDICT r3 #6 done criterion: the program references `qty`
+        only, so `f` must never be gathered (reference contrast: apply.go
+        extracts every field)."""
+        from featurebase_tpu.executor.executor import Executor
+        gathered = []
+        real = Executor._field_shard_columns
+
+        def spy(self, f, shard, cols):
+            gathered.append(f.name)
+            return real(self, f, shard, cols)
+
+        monkeypatch.setattr(Executor, "_field_shard_columns", spy)
+        real_ext = Executor._execute_extract
+
+        def spy_ext(self, index, call, shards):
+            gathered.extend(
+                c.args.get("_field") for c in call.children[1:]
+                if c.name == "Rows")
+            return real_ext(self, index, call, shards)
+
+        monkeypatch.setattr(Executor, "_execute_extract", spy_ext)
+        (vals,) = api.query("i", 'Apply(Row(f=1), "qty * 2")')
+        assert vals == [20, 40]
+        assert "qty" in gathered and "f" not in gathered
+
+    def test_apply_vectorized_matches_scalar(self, api):
+        """The columnar evaluator and the per-record fallback agree on
+        null propagation, comparisons, CASE, and reduces."""
+        from featurebase_tpu.executor.executor import Executor
+        api.import_bits("i", "f", [3], [9])   # col 9: f=3 but NO qty
+        programs = [
+            ('"qty + 1"', None),
+            ('"qty / 7"', None),
+            ('"-qty"', None),
+            ('"qty > 15"', None),
+            ('"qty = 20"', None),
+            ('"qty != 20"', None),
+            ('"case when qty > 15 then 1 else 0 end"', None),
+            ('"qty between 10 and 20"', None),
+            ('"qty is null"', None),
+            ('"qty in (10, 30)"', None),
+            ('"qty"', '"sum"'),
+            ('"qty"', '"mean"'),
+            ('"qty"', '"count"'),
+            ('"qty * qty"', '"max"'),
+        ]
+        for prog, red in programs:
+            q = (f'Apply(All(), {prog}, {red})' if red
+                 else f'Apply(All(), {prog})')
+            (vec,) = api.query("i", q)
+            # force the per-record path by disabling vectorization
+            orig = Executor._apply_vectorized
+            Executor._apply_vectorized = \
+                lambda self, *a, **kw: None
+            try:
+                (scalar,) = api.query("i", q)
+            finally:
+                Executor._apply_vectorized = orig
+            assert vec == scalar, (prog, red, vec, scalar)
+
+    def test_apply_set_field_falls_back(self, api):
+        """Programs over set fields use the per-record evaluator but are
+        still restricted to referenced fields."""
+        (vals,) = api.query("i", 'Apply(All(), "f = 1")')
+        assert vals == [True, True, False]
+
     def test_apply_distributed(self):
         from featurebase_tpu.testing import TestCluster
         with TestCluster(2) as tc:

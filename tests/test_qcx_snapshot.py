@@ -1,11 +1,12 @@
 """Snapshot-consistent reads (the Qcx / RBF-MVCC role).
 
 The reference pins every read Tx to an RBF page-map snapshot (reference:
-rbf/db.go:45, txfactory.go:84 Qcx).  The TPU engine instead validates
-fragment generations around a read and retries, escalating to a brief
-write freeze (executor.Executor.execute, utils/rwlock.py).  These tests
-assert the observable contract: a multi-call read query never sees a torn
-state across concurrent writers.
+rbf/db.go:45, txfactory.go:84 Qcx).  The TPU engine pins reads to an MVCC
+row-overlay snapshot (model/snapshot.py): writers preserve rows
+first-touch while pins are active, readers never retry and never freeze
+writers.  These tests assert the observable contract: a multi-call read
+query never sees a torn state across concurrent writers, and the pinned
+state is exactly the committed state at pin time.
 """
 import threading
 import time
@@ -82,24 +83,38 @@ class TestShardedGate:
 
 
 class TestSnapshotReads:
-    def test_generation_validation_retries(self, monkeypatch):
-        """A mutation that lands mid-read forces a re-execution."""
+    def test_pinned_read_sees_snapshot_not_racing_write(self):
+        """A write landing after the pin is invisible to the pinned read
+        (MVCC overlay) but visible to the next read."""
+        from featurebase_tpu.model import snapshot
+        from featurebase_tpu.pql.parser import parse as pql_parse
         holder, idx, e = make_env()
         e.execute("snap", "Set(1, f=1)")
-        calls = {"n": 0}
-        real = idx.fragment_generations
-
-        def racing(*a, **kw):
-            calls["n"] += 1
-            if calls["n"] == 2:  # first post-validation: simulate a racer
-                idx.field("f").set_bit(1, 2)   # mutate, THEN report gens
-            return real()
-
-        monkeypatch.setattr(idx, "fragment_generations", racing)
+        pin = snapshot.pin_index(idx)
+        try:
+            # racing write lands AFTER the pin
+            e.execute("snap", "Set(2, f=1)")
+            call = pql_parse("Count(Row(f=1))").calls[0]
+            with snapshot.pinned(pin):
+                count = e._execute_call(idx, call, None)
+            assert count == 1      # pinned state
+        finally:
+            snapshot.release(pin)
         (count,) = e.execute("snap", "Count(Row(f=1))")
-        # the retry re-read the fragment, so the raced write is visible
-        assert count == 2
-        assert calls["n"] >= 3   # initial + dirty validation + clean pass
+        assert count == 2          # live state
+
+    def test_overlay_cleared_after_pins_release(self):
+        """Writers GC the overlay once no pins are active."""
+        from featurebase_tpu.model import snapshot
+        holder, idx, e = make_env()
+        e.execute("snap", "Set(1, f=1)")
+        pin = snapshot.pin_index(idx)
+        e.execute("snap", "Set(2, f=1)")   # forces a COW copy
+        frag = idx.field("f").view("standard").fragment(0)
+        assert frag._overlay, "write under a pin must preserve the row"
+        snapshot.release(pin)
+        e.execute("snap", "Set(3, f=1)")   # next write GCs the overlay
+        assert not frag._overlay
 
     def test_no_torn_reads_under_concurrent_writes(self):
         """Two Counts of the same row inside one read query must agree even
@@ -187,52 +202,49 @@ class TestSnapshotReads:
 
 
 class TestLeafGranularValidation:
-    def test_unrelated_field_writes_never_retry(self):
-        """A read touching field f must not re-execute because a concurrent
-        write landed on field g (leaf-granular validation; reference:
-        per-shard write scopes, querycontext/doc.go)."""
+    def test_unrelated_field_writes_cost_nothing(self):
+        """A write on field g while a pin reads field f neither perturbs
+        the read nor forces f's fragments to preserve anything."""
+        from featurebase_tpu.model import snapshot
+        from featurebase_tpu.pql.parser import parse as pql_parse
         holder, idx, e = make_env()
         idx.create_field("g")
         e.execute("snap", "Set(1, f=1)")
         e.execute("snap", "Set(1, g=1)")
-        validations = {"n": 0}
-        real = idx.fragment_generations
+        pin = snapshot.pin_index(idx)
+        try:
+            e.execute("snap", "Set(2, g=1)")   # unrelated write under pin
+            call = pql_parse("Count(Row(f=1))").calls[0]
+            with snapshot.pinned(pin):
+                count = e._execute_call(idx, call, None)
+            assert count == 1
+            f_frag = idx.field("f").view("standard").fragment(0)
+            assert not f_frag._overlay   # f untouched: no copies made
+        finally:
+            snapshot.release(pin)
 
-        def spy(keys=None):
-            validations["n"] += 1
-            if validations["n"] % 2 == 0:
-                # every post-run validation: race a write on UNRELATED g
-                idx.field("g").set_bit(1, validations["n"])
-            return real(keys)
-
-        idx.fragment_generations = spy
-        (count,) = e.execute("snap", "Count(Row(f=1))")
-        assert count == 1
-        # exactly one attempt: before-snapshot + one validation
-        assert validations["n"] == 2
-
-    def test_odd_generation_forces_retry(self):
-        """A fragment mid-mutation (odd seqlock generation) at validation
-        time forces a retry even if the counter value is unchanged."""
+    def test_pin_waits_out_inflight_write(self):
+        """pin_index captures only committed (even) generations: an odd
+        in-flight seqlock window is waited out, never pinned."""
+        from featurebase_tpu.model import snapshot
         holder, idx, e = make_env()
         e.execute("snap", "Set(1, f=1)")
         frag = idx.field("f").view("standard").fragment(0)
-        attempts = {"n": 0}
-        real = idx.fragment_generations
+        frag.generation |= 1     # simulate an in-flight write batch
 
-        def spy(keys=None):
-            attempts["n"] += 1
-            if attempts["n"] <= 2:
-                # freeze the counter at an odd value for attempt #1
-                frag.generation |= 1
-            else:
-                frag.generation &= ~1
-            return real(keys)
+        def finish():
+            time.sleep(0.05)
+            frag.generation += 1  # commit
 
-        idx.fragment_generations = spy
-        (count,) = e.execute("snap", "Count(Row(f=1))")
-        assert count == 1
-        assert attempts["n"] >= 3  # first attempt rejected on odd gen
+        t = threading.Thread(target=finish)
+        t.start()
+        pin = snapshot.pin_index(idx)
+        t.join(timeout=2)
+        try:
+            for g in pin.gens.values():
+                assert g % 2 == 0
+        finally:
+            snapshot.release(pin)
 
     def test_seqlock_generation_is_even_when_quiescent(self):
         holder, idx, e = make_env()
