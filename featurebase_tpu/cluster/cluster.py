@@ -210,6 +210,17 @@ class Cluster:
         if ev is not None:
             ev.set()
 
+    def schema_leader(self) -> Optional[Node]:
+        """Deterministic reachable leader for schema ops: the lowest node
+        id that answers /health (self counts as reachable).  Commit safety
+        comes from the leader's quorum check, not from uniqueness — a
+        minority partition may pick its own leader but that leader cannot
+        commit (cluster/schemalog.py)."""
+        for n in sorted(self.nodes, key=lambda x: x.id):
+            if self.is_self(n) or self.client.health(n.uri):
+                return n
+        return None
+
     def first_live(self, owners: List[Node]) -> Optional[Node]:
         """First non-DOWN owner — replica failover order (reference:
         executor.go:6503)."""
@@ -334,6 +345,17 @@ class Cluster:
                     snap = self.client._call(n.uri, "GET",
                                              "/internal/translate/snapshot")
                     api.apply_translate_snapshot(snap)
+                    try:
+                        # adopt the peer's schema-log position WITHOUT
+                        # replaying (the schema pull above already reflects
+                        # the log's end state; replaying old entries could
+                        # resurrect deleted objects)
+                        log = self.client._call(
+                            n.uri, "GET", "/internal/schema/log?from=0")
+                        api.schema_log.install(log.get("entries", []),
+                                               log.get("applied", 0))
+                    except (NodeUnreachable, RemoteError):
+                        pass
                     return True
                 except (NodeUnreachable, RemoteError):
                     continue

@@ -420,6 +420,10 @@ class Executor:
             return self._execute_min_max_row(index, call, shards, is_min=False)
         if name == "Percentile":
             return self._execute_percentile(index, call, shards)
+        if name == "Var":
+            return self._execute_var(index, call, shards)
+        if name == "Corr":
+            return self._execute_corr(index, call, shards)
         if name in ("TopN", "TopK"):
             return self._execute_topn(index, call, shards)
         if name == "Rows":
@@ -781,9 +785,17 @@ class Executor:
     # ----------------------------------------------------- bitmap calls
 
     def _shards(self, index: Index, shards: Optional[List[int]]) -> List[int]:
-        if shards is not None:
-            return list(shards)
-        return index.available_shards()
+        base = list(shards) if shards is not None else \
+            index.available_shards()
+        if self.mesh is not None:
+            from featurebase_tpu.parallel import placement
+            if placement.active():
+                # owner-aligned mesh layout: each process's owned shards
+                # at its device-block positions, -1 = empty-shard padding
+                # (parallel/placement.py; VERDICT r3 #3)
+                return placement.layout(index.name, base,
+                                        self.mesh.devices.size)
+        return base
 
     def _execute_bitmap_call(self, index: Index, call: Call,
                              shards: Optional[List[int]]) -> Row:
@@ -792,7 +804,8 @@ class Executor:
         plan = self._try_compile(index, call)
         if plan is not None and shard_list:
             stacked = self.plan_executor.run_bitmap(index, plan, shard_list)
-            return Row({s: stacked[i] for i, s in enumerate(shard_list)})
+            return Row({s: stacked[i] for i, s in enumerate(shard_list)
+                        if s >= 0})
         segs = {}
         for shard in shard_list:
             words = self._bitmap_call_shard(index, call, shard)
@@ -1280,6 +1293,132 @@ class Executor:
             break
         return self._wrap_valcount(f, possible, 1)
 
+    # --------------------------------------------------- Var / Corr (SQL)
+
+    def _var_moments(self, index: Index, f: Field, filt,
+                     shards: Optional[List[int]]):
+        """(n, Sum x, Sum x^2) of TRUE stored-unit values (exact Python
+        ints): fused device program over the stacked BSI group when the
+        filter is plannable, float64 host fallback otherwise (the
+        reference accumulates in float64 anyway, expressionagg.go:1130)."""
+        shard_list = list(self._shards(index, shards))
+        depth = max(f.bit_depth, 1)
+        if shard_list and depth <= 31:
+            filt_words = self._mesh_filter(
+                index, filt if isinstance(filt, Call) else None, shard_list)
+            if filt_words is not None:
+                import jax
+                pe = self.plan_executor
+                bsi = pe.stacked_bsi(index, f.name, depth, shard_list)
+                cnt, p, n_, sq = jax.device_get(
+                    bsiops.var_moments_stacked(bsi, filt_words))
+                return bsiops.finalize_var_moments(cnt, p, n_, sq, f.base)
+        n, tot, tot_sq = 0, 0, 0.0
+        for shard in shard_list:
+            dense = f.values_dense_host(shard)
+            if dense is None:
+                continue
+            vals_d, exists_b = dense
+            mask = exists_b
+            if isinstance(filt, Call):
+                fw = np.asarray(self._bitmap_call_shard(index, filt, shard))
+                mask = mask & bsiops.expand_bits_host(fw)
+            v = vals_d[mask].astype(np.float64) + f.base
+            n += int(mask.sum())
+            tot += float(v.sum())
+            tot_sq += float((v * v).sum())
+        return n, tot, tot_sq
+
+    def _execute_var(self, index: Index, call: Call,
+                     shards: Optional[List[int]]):
+        """Var(field=v[, filter=...]) — population variance, 6 decimal
+        places (reference: sql3 VAR aggregate, expressionagg.go:1110;
+        variance/n and decimal scale 6 at :1183-1190).  Engine-internal
+        PQL call backing the SQL pushdown — the fused BSI dot-product
+        program computes Sum x and Sum x^2 in one device round trip."""
+        fld = call.args.get("_field") or call.args.get("field")
+        f = self._field_or_err(index, fld)
+        if not f.is_bsi():
+            raise ExecError("Var() requires an int-like field")
+        n, tot, tot_sq = self._var_moments(index, f,
+                                           call.args.get("filter"), shards)
+        if n == 0:
+            return None
+        scale = 10.0 ** f.options.scale
+        mean = tot / n / scale
+        var = tot_sq / n / (scale * scale) - mean * mean
+        return round(max(var, 0.0), 6)
+
+    def _execute_corr(self, index: Index, call: Call,
+                      shards: Optional[List[int]]):
+        """Corr(field=a, field2=b[, filter=...]) — Pearson correlation of
+        rows where both values exist, 6 decimal places (reference: sql3
+        CORR aggregate, expressionagg.go:950-1045)."""
+        fx_name = call.args.get("_field") or call.args.get("field")
+        fy_name = call.args.get("field2") or call.args.get("other")
+        if not fx_name or not fy_name:
+            raise ExecError("Corr() requires field= and field2=")
+        fx = self._field_or_err(index, fx_name)
+        fy = self._field_or_err(index, fy_name)
+        if not fx.is_bsi() or not fy.is_bsi():
+            raise ExecError("Corr() requires int-like fields")
+        filt = call.args.get("filter")
+        shard_list = list(self._shards(index, shards))
+        dx, dy = max(fx.bit_depth, 1), max(fy.bit_depth, 1)
+        n = tx = ty = txy = txx = tyy = 0
+        done = False
+        if shard_list and dx <= 31 and dy <= 31:
+            filt_words = self._mesh_filter(
+                index, filt if isinstance(filt, Call) else None, shard_list)
+            if filt_words is not None:
+                import jax
+                pe = self.plan_executor
+                bx = pe.stacked_bsi(index, fx.name, dx, shard_list)
+                by = pe.stacked_bsi(index, fy.name, dy, shard_list)
+                (cnt, xp, xn, yp, yn, sqx, sqy,
+                 pp, pm, mp, mm) = jax.device_get(
+                    bsiops.corr_moments_stacked(bx, by, filt_words))
+                n = int(cnt)
+                _, _, txx = bsiops.finalize_var_moments(cnt, xp, xn, sqx,
+                                                        fx.base)
+                _, _, tyy = bsiops.finalize_var_moments(cnt, yp, yn, sqy,
+                                                        fy.base)
+                tx, ty, txy = bsiops.finalize_cross_moments(
+                    xp, xn, yp, yn, (pp, pm, mp, mm), fx.base, fy.base, n)
+                done = True
+        if not done:
+            for shard in shard_list:
+                d1 = fx.values_dense_host(shard)
+                d2 = fy.values_dense_host(shard)
+                if d1 is None or d2 is None:
+                    continue
+                v1, e1 = d1
+                v2, e2 = d2
+                mask = e1 & e2
+                if isinstance(filt, Call):
+                    fw = np.asarray(
+                        self._bitmap_call_shard(index, filt, shard))
+                    mask = mask & bsiops.expand_bits_host(fw)
+                a = v1[mask].astype(np.float64) + fx.base
+                b = v2[mask].astype(np.float64) + fy.base
+                n += int(mask.sum())
+                tx += float(a.sum())
+                ty += float(b.sum())
+                txy += float((a * b).sum())
+                txx += float((a * a).sum())
+                tyy += float((b * b).sum())
+        if n == 0:
+            return None
+        sx = 10.0 ** fx.options.scale
+        sy = 10.0 ** fy.options.scale
+        num = (n * txy - tx * ty) / (sx * sy)
+        den2 = (n * txx - tx * tx) / (sx * sx) \
+            * ((n * tyy - ty * ty) / (sy * sy))
+        if den2 <= 0:
+            return None  # zero variance: the reference divides to NaN
+        import math
+        return round(num / math.sqrt(den2), 6)
+
     # ------------------------------------------------------- TopN / TopK
 
     def _execute_topn(self, index: Index, call: Call,
@@ -1352,7 +1491,7 @@ class Executor:
         row_ids = sorted({int(r) for s in missing for vn in names
                           if (vv := f.view(vn)) is not None
                           and (fr := vv.fragment(s)) is not None
-                          for r in fr.row_ids()})
+                          for r in fr.row_ids()} | f.meta_rows(names))
         if not row_ids:
             return
         tile_bytes = len(row_ids) * len(missing) * WORDS_PER_ROW * 4
@@ -1425,7 +1564,8 @@ class Executor:
         row_ids = sorted({int(r) for vn in view_names for s in shard_list
                           if (vv := f.view(vn)) is not None
                           and (fr := vv.fragment(s)) is not None
-                          for r in fr.row_ids()})
+                          for r in fr.row_ids()}
+                         | f.meta_rows(view_names))
         if not row_ids:
             return PairsField([], fld)
         from featurebase_tpu.parallel import agg
@@ -1487,7 +1627,7 @@ class Executor:
             cand = sorted({int(r) for s in shard_list for vn in names
                            if (vv := f.view(vn)) is not None
                            and (fr := vv.fragment(s)) is not None
-                           for r in fr.row_ids()})
+                           for r in fr.row_ids()} | f.meta_rows(names))
             cand = host_prune(cand, spec)
             if not cand:
                 return []
@@ -2083,7 +2223,8 @@ class Executor:
                         int(r) for s in shard_list
                         if (vv := f.view(VIEW_STANDARD)) is not None
                         and (fr := vv.fragment(s)) is not None
-                        for r in fr.row_ids()})
+                        for r in fr.row_ids()}
+                        | f.meta_rows((VIEW_STANDARD,)))
                     if not row_ids:
                         return Row.from_columns([])
                     pe = self.plan_executor

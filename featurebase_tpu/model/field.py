@@ -121,6 +121,13 @@ class Field:
         # cached per shard keyed by fragment generation, honoring
         # cache_type/cache_size)
         self._topn_cache: Dict = {}
+        # owner-placed host masters (parallel/placement.py): shards seen
+        # in gated (unowned) writes and row-id metadata per view, kept so
+        # every process agrees on the global shard set and candidate row
+        # ids without holding the data (reference: shard metadata lives in
+        # etcd via Sharder, disco/disco.go:113)
+        self._known_shards: set = set()
+        self._meta_rows: Dict[str, set] = {}
         # dynamic bit depth for BSI fields (grows with observed magnitudes,
         # reference fragment.go importValue bitDepth growth)
         self.bit_depth = 0
@@ -204,10 +211,51 @@ class Field:
         return self.create_view_if_not_exists(VIEW_STANDARD)
 
     def available_shards(self) -> List[int]:
-        shards = set()
+        shards = set(self._known_shards)
         for v in self.views.values():
             shards.update(v.available_shards())
         return sorted(shards)
+
+    # -- owner placement (multi-host mesh mode; parallel/placement.py) ------
+
+    def _writable(self, shard: int) -> bool:
+        """False when an ownership policy is active and this process does
+        not own the shard — the caller records metadata and drops the
+        payload (reference: a computer only loads directive-assigned
+        shards, api_directive.go:559)."""
+        from featurebase_tpu.parallel import placement
+        if not placement.active() or placement.owns(self.index, int(shard)):
+            return True
+        self._known_shards.add(int(shard))
+        return False
+
+    def note_shard(self, view_name: str, shard: int, rows) -> None:
+        """Record shard + row-id metadata without data (gated writes and
+        ownership handoff drops)."""
+        self._known_shards.add(int(shard))
+        self._meta_rows.setdefault(view_name, set()).update(
+            int(r) for r in rows)
+
+    def _meta_note(self, view_name: str, rows) -> None:
+        """Row-id metadata for owned writes too — only while a placement
+        policy is active (all processes see the same write stream, so the
+        union agrees globally)."""
+        from featurebase_tpu.parallel import placement
+        if placement.active():
+            self._meta_rows.setdefault(view_name, set()).update(
+                int(r) for r in rows)
+
+    def meta_rows(self, view_names) -> set:
+        """Globally-agreed candidate row ids for the given views (empty
+        unless an ownership policy is active); may include rows whose bits
+        were since cleared — the same caveat as Fragment.row_ids."""
+        from featurebase_tpu.parallel import placement
+        if not placement.active():
+            return set()
+        out: set = set()
+        for vn in view_names:
+            out |= self._meta_rows.get(vn, set())
+        return out
 
     def delete_view(self, name: str):
         with self._lock:
@@ -219,6 +267,15 @@ class Field:
         """Reference field.SetBit field.go:1301."""
         o = self.options
         shard = col >> 20
+        self._meta_note(VIEW_STANDARD, (row,))
+        if not self._writable(shard):
+            vns = [VIEW_STANDARD]
+            if o.type == TYPE_TIME and timestamp is not None:
+                vns += views_by_time(VIEW_STANDARD, parse_time(timestamp),
+                                     o.time_quantum)
+            for vn in vns:
+                self.note_shard(vn, shard, (row,))
+            return False
         changed = False
         if o.type in (TYPE_MUTEX, TYPE_BOOL):
             self._clear_mutex_col(col, keep_row=row)
@@ -230,6 +287,7 @@ class Field:
                 t = parse_time(timestamp)
                 views.extend(views_by_time(VIEW_STANDARD, t, o.time_quantum))
             for vn in views:
+                self._meta_note(vn, (row,))
                 frag = self.create_view_if_not_exists(vn).create_fragment_if_not_exists(shard)
                 if frag.set_bit(row, col):
                     changed = True
@@ -314,6 +372,11 @@ class Field:
     def set_value(self, col: int, value) -> bool:
         stored = self.encode_value(value) - self.base
         shard = col >> 20
+        if not self._writable(shard):
+            self.note_shard(view_bsi_group(self.name), shard, ())
+            mag = abs(stored)
+            self.bit_depth = max(self.bit_depth, mag.bit_length(), 1)
+            return False
         frag = self.bsi_view().create_fragment_if_not_exists(shard)
         mag = abs(stored)
         depth = max(self.bit_depth, mag.bit_length(), 1)
@@ -371,6 +434,15 @@ class Field:
         for s in np.unique(shards):
             m = shards == s
             r, c = rows[m], cols[m] % SHARD_WIDTH
+            self._meta_note(VIEW_STANDARD, np.unique(r))
+            if not self._writable(int(s)):
+                self.note_shard(VIEW_STANDARD, int(s), np.unique(r))
+                if o.type == TYPE_TIME and timestamps is not None:
+                    for t in np.asarray(timestamps)[m]:
+                        for vn in views_by_time(VIEW_STANDARD, parse_time(t),
+                                                o.time_quantum):
+                            self.note_shard(vn, int(s), np.unique(r))
+                continue
             if o.type in (TYPE_MUTEX, TYPE_BOOL) and not clear:
                 # clear the imported columns across all rows first
                 from featurebase_tpu.ops.bitwise import cols_to_words
@@ -407,6 +479,9 @@ class Field:
             c = cols[m] % SHARD_WIDTH
             v = stored[m]
             mg = mags[m]
+            if not self._writable(int(s)):
+                self.note_shard(view_bsi_group(self.name), int(s), ())
+                continue
             frag = self.bsi_view().create_fragment_if_not_exists(int(s))
             # clear previous values on these columns, then write
             col_mask = cols_to_words(np.unique(c))

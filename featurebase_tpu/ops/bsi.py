@@ -706,3 +706,121 @@ def decode_values(slices, sign, depth: int):
         acc = acc + (expand_bits(slices[..., i, :]).astype(jnp.int32) << i)
     s = expand_bits(sign).astype(jnp.int32)
     return jnp.where(s == 1, -acc, acc)
+
+
+# -- statistical moments (SQL VAR/CORR pushdown; reference aggregators:
+# sql3/planner/expressionagg.go:1110 aggregateVar, :950 aggregateCorr) ------
+
+
+@jax.jit
+def var_moments_stacked(bsi, filt):
+    """One fused program computing everything VAR(x) needs over a stacked
+    (S, D+2, W) BSI group under an (S, W) filter:
+      cnt           -- matching rows
+      pos, neg (D,) -- per-plane popcounts split by sign (-> exact sum)
+      sq (D, D)     -- pc(plane_i & plane_j & exists) cross matrix
+                       (-> exact sum of squares: sign squares away)
+    All uint32 raw counts; the host finalizes with exact Python ints
+    (sums of 2^(i+j)-weighted counts overflow any device dtype)."""
+    D = bsi.shape[1] - 2
+    exists = jnp.bitwise_and(bsi[:, 0, :], filt)
+    sign = bsi[:, 1, :]
+    slices = bsi[:, 2:, :]
+    pos = jnp.bitwise_and(exists, jnp.bitwise_not(sign))
+    neg = jnp.bitwise_and(exists, sign)
+    pc = jax.lax.population_count
+
+    def tot(x):
+        return jnp.sum(pc(x).astype(jnp.uint32), dtype=jnp.uint32)
+    cnt = tot(exists)
+    p = jnp.stack([tot(jnp.bitwise_and(slices[:, i, :], pos))
+                   for i in range(D)])
+    n = jnp.stack([tot(jnp.bitwise_and(slices[:, i, :], neg))
+                   for i in range(D)])
+    sq = jnp.stack([
+        jnp.stack([tot(jnp.bitwise_and(
+            jnp.bitwise_and(slices[:, i, :], slices[:, j, :]), exists))
+            for j in range(D)])
+        for i in range(D)])
+    return cnt, p, n, sq
+
+
+@jax.jit
+def corr_moments_stacked(bsi_x, bsi_y, filt):
+    """One fused program computing everything CORR(x, y) needs: rows where
+    BOTH values exist under the filter (reference skips a row when either
+    argument is NULL, expressionagg.go:950), per-plane sign-split counts
+    for each field, per-field square matrices, and the (Dx, Dy) cross
+    matrix split by the four sign combinations."""
+    Dx = bsi_x.shape[1] - 2
+    Dy = bsi_y.shape[1] - 2
+    present = jnp.bitwise_and(jnp.bitwise_and(bsi_x[:, 0, :],
+                                              bsi_y[:, 0, :]), filt)
+    sx, sy = bsi_x[:, 1, :], bsi_y[:, 1, :]
+    X = bsi_x[:, 2:, :]
+    Y = bsi_y[:, 2:, :]
+    pc = jax.lax.population_count
+
+    def tot(v):
+        return jnp.sum(pc(v).astype(jnp.uint32), dtype=jnp.uint32)
+
+    def sign_split(splanes, D, sgn):
+        p_ = jnp.bitwise_and(present, jnp.bitwise_not(sgn))
+        n_ = jnp.bitwise_and(present, sgn)
+        return (jnp.stack([tot(jnp.bitwise_and(splanes[:, i, :], p_))
+                           for i in range(D)]),
+                jnp.stack([tot(jnp.bitwise_and(splanes[:, i, :], n_))
+                           for i in range(D)]))
+
+    def sq_mat(splanes, D):
+        return jnp.stack([
+            jnp.stack([tot(jnp.bitwise_and(
+                jnp.bitwise_and(splanes[:, i, :], splanes[:, j, :]),
+                present)) for j in range(D)])
+            for i in range(D)])
+
+    cnt = tot(present)
+    xp, xn = sign_split(X, Dx, sx)
+    yp, yn = sign_split(Y, Dy, sy)
+    sqx = sq_mat(X, Dx)
+    sqy = sq_mat(Y, Dy)
+    classes = []
+    for mx in (False, True):
+        for my in (False, True):
+            m = present
+            m = jnp.bitwise_and(m, sx if mx else jnp.bitwise_not(sx))
+            m = jnp.bitwise_and(m, sy if my else jnp.bitwise_not(sy))
+            classes.append(jnp.stack([
+                jnp.stack([tot(jnp.bitwise_and(
+                    jnp.bitwise_and(X[:, i, :], Y[:, j, :]), m))
+                    for j in range(Dy)])
+                for i in range(Dx)]))
+    xy_pp, xy_pm, xy_mp, xy_mm = classes
+    return cnt, xp, xn, yp, yn, sqx, sqy, xy_pp, xy_pm, xy_mp, xy_mm
+
+
+def finalize_var_moments(cnt, p, n, sq, base: int):
+    """Exact (n, sum, sum-of-squares) of TRUE values from raw counts
+    (Python big ints; x = stored + base, stored sign-magnitude)."""
+    cnt = int(cnt)
+    s_stored = sum((1 << i) * (int(p[i]) - int(n[i])) for i in range(len(p)))
+    sq_stored = sum((1 << (i + j)) * int(sq[i][j])
+                    for i in range(len(p)) for j in range(len(p)))
+    total = s_stored + base * cnt
+    total_sq = sq_stored + 2 * base * s_stored + base * base * cnt
+    return cnt, total, total_sq
+
+
+def finalize_cross_moments(xp, xn, yp, yn, classes, base_x: int,
+                           base_y: int, cnt: int):
+    """Exact (sum_x, sum_y, sum_xy) of TRUE values from raw counts."""
+    sx = sum((1 << i) * (int(xp[i]) - int(xn[i])) for i in range(len(xp)))
+    sy = sum((1 << j) * (int(yp[j]) - int(yn[j])) for j in range(len(yp)))
+    pp, pm, mp, mm = classes
+    sxy = sum((1 << (i + j)) * (int(pp[i][j]) - int(pm[i][j])
+                                - int(mp[i][j]) + int(mm[i][j]))
+              for i in range(len(xp)) for j in range(len(yp)))
+    tx = sx + base_x * cnt
+    ty = sy + base_y * cnt
+    txy = sxy + base_x * sy + base_y * sx + base_x * base_y * cnt
+    return tx, ty, txy

@@ -45,6 +45,9 @@ class API:
         self.wal = None
         self._replaying = False
         self.cluster = cluster
+        from featurebase_tpu.cluster.schemalog import SchemaLog
+        self.schema_log = SchemaLog()
+        self._schema_commit_lock = __import__("threading").Lock()
         self.distributed = None
         self.auth = None        # OIDC authn + group authz (server/auth.py)
         self.logger = default_logger
@@ -191,30 +194,134 @@ class API:
                 and not getattr(self, "_from_broadcast", False):
             self.cluster.broadcast(msg)
 
+    # -- replicated schema log (cluster/schemalog.py; reference: etcd-raft
+    # Schemator, disco/disco.go:92) ----------------------------------------
+
+    def _should_route_schema(self) -> bool:
+        # only the monolith Cluster runs the log; DAX topologies have the
+        # controller's Schemar as their schema authority (dax/controller.py)
+        return (self.cluster is not None
+                and hasattr(self.cluster, "schema_leader")
+                and not self._replaying
+                and not getattr(self, "_from_broadcast", False))
+
+    def _schema_op(self, op: dict):
+        """Route a schema mutation through the replicated log: propose to
+        the reachable leader; the leader quorum-gates, applies (validating),
+        appends, and synchronously broadcasts the entry."""
+        from featurebase_tpu.cluster.client import (NodeUnreachable,
+                                                    RemoteError)
+        leader = self.cluster.schema_leader()
+        if leader is None:
+            raise APIError("no reachable schema leader", 503)
+        if self.cluster.is_self(leader):
+            return self._commit_schema_op(op)
+        try:
+            self.cluster.client.cluster_message(
+                leader.uri, {"type": "schema_propose", "op": op})
+        except NodeUnreachable as e:
+            raise APIError(f"schema leader unreachable: {e}", 503)
+        except RemoteError as e:
+            raise APIError(str(e), e.status)
+        return self._schema_result(op)
+
+    def _commit_schema_op(self, op: dict):
+        """Leader-side commit: quorum -> validate+apply -> log+broadcast.
+        Nothing is logged when the apply raises (a 409 etc. reaches the
+        proposer with the log untouched)."""
+        from featurebase_tpu.cluster.cluster import ClusterQuorumError
+        try:
+            self.cluster._require_quorum("commit a schema change")
+        except ClusterQuorumError as e:
+            raise APIError(str(e), 503)
+        with self._schema_commit_lock:
+            result = self._apply_schema_msg(op)
+            entry = self.schema_log.append(op)
+            self.cluster.broadcast(
+                {"type": "schema_entry", **entry,
+                 "origin_uri": self.cluster.self_node.uri})
+        return result
+
+    def _schema_result(self, op: dict):
+        """Proposer-visible result after the leader's ack (the entry was
+        applied locally during the leader's synchronous broadcast)."""
+        t = op["type"]
+        if t == "create_index":
+            return self.holder.index(op["name"])
+        if t == "create_field":
+            idx = self.holder.index(op["index"])
+            return idx.field(op["field"]) if idx is not None else None
+        return None
+
+    def _apply_schema_msg(self, msg: dict, lenient: bool = False):
+        """Apply one schema op locally.  lenient=True (log replay /
+        legacy peer broadcast) makes it idempotent; otherwise the original
+        call's strictness flags apply and errors propagate."""
+        t = msg["type"]
+        prev = getattr(self, "_from_broadcast", False)
+        self._from_broadcast = True
+        try:
+            if t == "create_index":
+                return self.create_index(
+                    msg["name"], msg.get("options"),
+                    if_not_exists=lenient or msg.get("ifNotExists", False))
+            if t == "delete_index":
+                if lenient and self.holder.index(msg["name"]) is None:
+                    return None
+                return self.delete_index(msg["name"])
+            if t == "create_field":
+                return self.create_field(
+                    msg["index"], msg["field"], msg.get("options"),
+                    if_not_exists=lenient or msg.get("ifNotExists", False))
+            if t == "delete_field":
+                idx = self.holder.index(msg["index"])
+                if lenient and (idx is None
+                                or idx.field(msg["field"]) is None):
+                    return None
+                return self.delete_field(msg["index"], msg["field"])
+            if t == "create_view":
+                return self.create_sql_view(
+                    msg["name"], msg["sql"],
+                    if_not_exists=lenient or msg.get("ifNotExists", False))
+            if t == "delete_view":
+                return self.delete_sql_view(msg["name"], if_exists=lenient)
+            raise APIError(f"unknown schema op: {t}", 400)
+        finally:
+            self._from_broadcast = prev
+
     def handle_cluster_message(self, msg: dict):
         """Apply a peer's broadcast without re-broadcasting (reference:
         server.go:995 receiveMessage dispatch)."""
         t = msg.get("type")
         self._from_broadcast = True
         try:
-            if t == "create_index":
-                self.create_index(msg["name"], msg.get("options"),
-                                  if_not_exists=True)
-            elif t == "delete_index":
-                if self.holder.index(msg["name"]) is not None:
-                    self.delete_index(msg["name"])
-            elif t == "create_field":
-                self.create_field(msg["index"], msg["field"],
-                                  msg.get("options"), if_not_exists=True)
-            elif t == "delete_field":
-                idx = self.holder.index(msg["index"])
-                if idx is not None and idx.field(msg["field"]) is not None:
-                    self.delete_field(msg["index"], msg["field"])
-            elif t == "create_view":
-                self.create_sql_view(msg["name"], msg["sql"],
-                                     if_not_exists=True)
-            elif t == "delete_view":
-                self.delete_sql_view(msg["name"], if_exists=True)
+            if t in ("create_index", "delete_index", "create_field",
+                     "delete_field", "create_view", "delete_view"):
+                # legacy direct broadcast (pre-log peers); idempotent apply
+                self._apply_schema_msg(msg, lenient=True)
+            elif t == "schema_propose":
+                # we are the proposer's view of the leader
+                self._from_broadcast = False
+                try:
+                    self._commit_schema_op(msg["op"])
+                finally:
+                    self._from_broadcast = True
+            elif t == "schema_entry":
+                entry = {"idx": msg["idx"], "op": msg["op"]}
+                origin = msg.get("origin_uri")
+
+                def fetch(frm):
+                    if not origin:
+                        return []
+                    try:
+                        resp = self.cluster.client._call(
+                            origin, "GET",
+                            f"/internal/schema/log?from={frm}")
+                        return resp.get("entries", [])
+                    except Exception:  # noqa: BLE001
+                        return []
+                for e in self.schema_log.receive(entry, fetch):
+                    self._apply_schema_msg(e["op"], lenient=True)
             elif t == "topology":
                 if self.cluster is not None:
                     prev = self.cluster.apply_topology(
@@ -377,6 +484,10 @@ class API:
 
     def create_index(self, name: str, options: Optional[dict] = None,
                      if_not_exists: bool = False) -> Index:
+        if self._should_route_schema():
+            return self._schema_op({"type": "create_index", "name": name,
+                                    "options": options,
+                                    "ifNotExists": if_not_exists})
         try:
             idx = self.holder.create_index(
                 name, IndexOptions.from_json(options or {}),
@@ -389,6 +500,10 @@ class API:
         return idx
 
     def delete_index(self, name: str):
+        if self._should_route_schema():
+            if self.holder.index(name) is None:
+                raise APIError(f"index not found: {name}", 404)
+            return self._schema_op({"type": "delete_index", "name": name})
         if self.holder.index(name) is None:
             raise APIError(f"index not found: {name}", 404)
         self.holder.delete_index(name)
@@ -400,6 +515,11 @@ class API:
     def create_field(self, index: str, field: str,
                      options: Optional[dict] = None,
                      if_not_exists: bool = False):
+        if self._should_route_schema():
+            self._index(index)  # local validation before proposing
+            return self._schema_op({"type": "create_field", "index": index,
+                                    "field": field, "options": options,
+                                    "ifNotExists": if_not_exists})
         idx = self._index(index)
         opts = FieldOptions.from_json(options or {})
         if opts.foreign_index and self.holder.index(opts.foreign_index) \
@@ -418,6 +538,12 @@ class API:
         return f
 
     def delete_field(self, index: str, field: str):
+        if self._should_route_schema():
+            idx0 = self._index(index)
+            if idx0.field(field) is None:
+                raise APIError(f"field not found: {field}", 404)
+            return self._schema_op({"type": "delete_field", "index": index,
+                                    "field": field})
         idx = self._index(index)
         if idx.field(field) is None:
             raise APIError(f"field not found: {field}", 404)
@@ -430,6 +556,10 @@ class API:
                         if_not_exists: bool = False):
         """Register a SQL view (reference: sql3 CREATE VIEW; stored on the
         holder, snapshot-persisted, WAL-logged, broadcast to peers)."""
+        if self._should_route_schema():
+            return self._schema_op({"type": "create_view", "name": name,
+                                    "sql": select_sql,
+                                    "ifNotExists": if_not_exists})
         if name in self.holder.sql_views and not if_not_exists:
             raise APIError(f"view already exists: {name}", 409)
         self.holder.sql_views[name] = select_sql
@@ -438,6 +568,12 @@ class API:
                          "sql": select_sql})
 
     def delete_sql_view(self, name: str, if_exists: bool = False):
+        if self._should_route_schema():
+            if name not in self.holder.sql_views:
+                if if_exists:
+                    return
+                raise APIError(f"view not found: {name}", 404)
+            return self._schema_op({"type": "delete_view", "name": name})
         if name not in self.holder.sql_views:
             if if_exists:
                 return

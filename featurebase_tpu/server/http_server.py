@@ -450,6 +450,14 @@ class Handler(BaseHTTPRequestHandler):
             self.api.handle_cluster_message(self._json())
             return self._send({})
 
+        if path == "/internal/schema/log" and method == "GET":
+            # ordered schema-log suffix for follower catch-up
+            # (cluster/schemalog.py; reference: etcd watch/get on /schema)
+            frm = int(query.get("from", "0"))
+            log = self.api.schema_log
+            return self._send({"entries": log.suffix(frm),
+                               "applied": log.applied})
+
         if path == "/internal/cluster/join" and method == "POST":
             return self._send(self.api.cluster_join(self._json()))
 

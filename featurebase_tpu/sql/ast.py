@@ -142,14 +142,18 @@ class SelectItem:
 
 
 class TableRef:
-    """FROM item: a named table/view, or a subquery, each with an alias."""
-    __slots__ = ("name", "subquery", "alias")
+    """FROM item: a named table/view, a subquery, or a table-valued
+    function call (fn_args is not None), each with an alias.  Reference:
+    the sql3 planner plans TVFs (optablevaluedfunction.go) but its
+    iterator is unimplemented; here they execute."""
+    __slots__ = ("name", "subquery", "alias", "fn_args")
 
     def __init__(self, name: Optional[str] = None, subquery=None,
-                 alias: Optional[str] = None):
+                 alias: Optional[str] = None, fn_args=None):
         self.name = name
         self.subquery = subquery
         self.alias = alias or name
+        self.fn_args = fn_args
 
     def __repr__(self):
         return f"TableRef({self.name or '<subquery>'} as {self.alias})"

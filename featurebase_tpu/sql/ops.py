@@ -471,8 +471,29 @@ class AggAcc:
         self.min = None
         self.max = None
         self.values: List[Any] = []
+        # corr accumulators (reference: aggregateCorr sums,
+        # expressionagg.go:1027-1035)
+        self.sum_y = 0.0
+        self.sum_xy = 0.0
+        self.sq_x = 0.0
+        self.sq_y = 0.0
 
     def add(self, env):
+        if self.kind == "corr":
+            if len(self.f.args) != 2:
+                raise SQLRuntimeError("corr() takes two arguments")
+            x = eval_expr(self.f.args[0], env)
+            y = eval_expr(self.f.args[1], env)
+            if x is None or y is None:
+                return
+            x, y = float(x), float(y)
+            self.count += 1
+            self.sum += x
+            self.sum_y += y
+            self.sum_xy += x * y
+            self.sq_x += x * x
+            self.sq_y += y * y
+            return
         arg = self.f.args[0] if self.f.args else Star()
         if isinstance(arg, Star):
             v = 1
@@ -516,8 +537,22 @@ class AggAcc:
             i = min(int(len(vs) * nth / 100.0), len(vs) - 1)
             return vs[i]
         if self.kind == "var":
-            if self.count < 2:
+            # population variance, 6dp (reference expressionagg.go:1183:
+            # variance/n, decimal scale 6)
+            if self.count == 0:
                 return None
             mean = self.sum / self.count
-            return sum((x - mean) ** 2 for x in self.values) / self.count
+            return round(sum((x - mean) ** 2
+                             for x in self.values) / self.count, 6)
+        if self.kind == "corr":
+            n = self.count
+            if n == 0:
+                return None
+            num = n * self.sum_xy - self.sum * self.sum_y
+            den2 = (n * self.sq_x - self.sum * self.sum) * \
+                (n * self.sq_y - self.sum_y * self.sum_y)
+            if den2 <= 0:
+                return None  # zero variance: the reference yields NaN
+            import math
+            return round(num / math.sqrt(den2), 6)
         raise SQLRuntimeError(f"unknown aggregate {self.kind}")

@@ -293,13 +293,23 @@ def _table_ref(lx: Lexer) -> TableRef:
             alias = lx.ident()
         return TableRef(subquery=sub, alias=alias or "_sub")
     name = lx.ident()
+    fn_args = None
+    if lx.try_op("("):
+        # table-valued function: name(arg, ...) in FROM (reference:
+        # optablevaluedfunction.go plumbing; executed here)
+        fn_args = []
+        if not lx.try_op(")"):
+            fn_args.append(_expr(lx))
+            while lx.try_op(","):
+                fn_args.append(_expr(lx))
+            lx.expect_op(")")
     alias = None
     if lx.try_kw("as"):
         alias = lx.ident()
     elif lx.peek()[0] == "word" and \
             lx.peek()[1].lower() not in _RESERVED_AFTER_SELECT:
         alias = lx.ident()
-    return TableRef(name=name, alias=alias)
+    return TableRef(name=name, alias=alias, fn_args=fn_args)
 
 
 # -- DDL --------------------------------------------------------------------------

@@ -530,6 +530,16 @@ def _agg_to_call(a: sa.Func, filt: Optional[Call]) -> Call:
         if filt is not None:
             args["filter"] = filt
         return Call("Percentile", args)
+    if a.name == "var":
+        args = {"_field": col}
+        if filt is not None:
+            args["filter"] = filt
+        return Call("Var", args)
+    if a.name == "corr":
+        args = {"_field": col, "field2": a.args[1].name}
+        if filt is not None:
+            args["filter"] = filt
+        return Call("Corr", args)
     raise SQLRuntimeError(f"cannot push down aggregate {a.name}")
 
 
@@ -538,6 +548,8 @@ def _agg_result_value(a: sa.Func, r):
         return int(r)
     if r is None:
         return None
+    if a.name in ("var", "corr"):
+        return r  # already a rounded float (executor Var/Corr)
     if a.name == "avg":
         return r.val / r.count if r.count else None
     if r.float_val is not None:
@@ -932,8 +944,9 @@ class SelectCompiler:
                     return t
             return ""
         if isinstance(e, sa.Func) and e.name in sa.AGGREGATES:
-            return "int" if e.name in ("count",) else "decimal" \
-                if e.name == "avg" else "int"
+            if e.name in ("avg", "var", "corr"):
+                return "decimal"
+            return "int"
         if isinstance(e, sa.Lit):
             if isinstance(e.value, bool):
                 return "bool"
@@ -1072,13 +1085,24 @@ class SelectCompiler:
                 return not a.distinct
             col = a.args[0]
             return isinstance(col, sa.Col) and idx.field(col.name) is not None
-        if a.name in ("sum", "min", "max", "avg", "percentile"):
+        if a.name in ("sum", "min", "max", "avg", "percentile", "var"):
             if not a.args or not isinstance(a.args[0], sa.Col):
                 return False
             if a.distinct:
                 return False
+            if a.name == "var" and self.api.cluster is not None:
+                return False  # local fused program only; see corr below
             f = idx.field(a.args[0].name)
             return f is not None and f.is_bsi()
+        if a.name == "corr":
+            # fused BSI dot-product program (executor._execute_corr);
+            # local-only — clustered plans aggregate at the coordinator
+            # like the reference (expressionagg.go:950)
+            if len(a.args) != 2 or a.distinct or self.api.cluster is not None:
+                return False
+            fs = [idx.field(x.name) if isinstance(x, sa.Col) else None
+                  for x in a.args]
+            return all(f is not None and f.is_bsi() for f in fs)
         return False
 
     def _is_agg_only_item(self, it: sa.SelectItem, aggs) -> bool:

@@ -5,9 +5,13 @@ Each of 2 processes owns 4 virtual CPU devices; together they form one
 reference: multi-node mapReduce executor.go:6449; here cross-process
 psum via the Gloo CPU collectives backend stands in for ICI/DCN).
 
-Both processes hold identical host data (the control plane replicates
-writes); stacked tiles are block-sharded so each process uploads only its
-addressable shard range, and every aggregate result is fully replicated.
+Host masters are OWNER-PLACED (parallel/placement.py; VERDICT r3 #3):
+both processes receive the same write stream (the control plane
+replicates writes), but each stores host fragments only for shards it
+owns by the jump-hash placement — unowned writes record shard/row
+metadata only.  Stacked mesh arrays are laid out so each process's owned
+shards sit exactly at its device-block positions; every aggregate result
+is still fully replicated and globally correct.
 """
 import sys
 
@@ -33,6 +37,8 @@ def main():
     from featurebase_tpu.model.index import Holder
 
     mesh = multihost.global_mesh()
+    from featurebase_tpu.parallel import placement
+    placement.configure(n_processes=2, process_id=pid)
     holder = Holder()
     idx = holder.create_index("mh")
     idx.create_field("f")
@@ -69,10 +75,20 @@ def main():
     assert count == int((fr == 1).sum()), count
 
     Fragment.host_row = real_host_row
-    # 16 shards over 8 devices, 4 per process: pid0 owns shards 0-7,
-    # pid1 owns 8-15 (block sharding over the sorted shard list)
-    local = set(range(8)) if pid == 0 else set(range(8, 16))
-    assert touched and touched <= local, (pid, sorted(touched))
+    # owner-placed: reads AND storage are scoped to the jump-hash owned set
+    owned = {s for s in range(16) if placement.owns("mh", s)}
+    assert touched and touched <= owned, (pid, sorted(touched), owned)
+
+    # host STORAGE is owner-scoped too: materialized fragments only for
+    # owned shards; per-process host bytes ~= owned share (VERDICT r3 #3
+    # done criterion, asserted via hostmem stats in the parent test)
+    held = {sh for f in idx.fields.values()
+            for v in f.views.values() for sh in v.fragments}
+    assert held and held <= owned, (pid, sorted(held), sorted(owned))
+    assert set(idx.available_shards()) == set(range(16))  # metadata global
+    from featurebase_tpu.storage.hostmem import hostmem
+    print(f"MULTIHOST_BYTES {pid} {hostmem().stats()['bytes']} "
+          f"{len(owned)}", flush=True)
 
     (sum_vc,) = ex.execute("mh", "Sum(field=v)")
     assert sum_vc.val == int(vv.sum()), (sum_vc.val, int(vv.sum()))

@@ -43,6 +43,24 @@ def test_two_process_mesh_aggregates():
         for p in procs:
             if p.poll() is None:
                 p.kill()
+    bytes_by_pid = {}
+    owned_by_pid = {}
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
         assert f"MULTIHOST_OK {pid}" in out
+        for line in out.splitlines():
+            if line.startswith("MULTIHOST_BYTES"):
+                _, wpid, nbytes, nowned = line.split()
+                bytes_by_pid[int(wpid)] = int(nbytes)
+                owned_by_pid[int(wpid)] = int(nowned)
+    # owner-placed host masters: per-process host bytes ~= owned share
+    # (VERDICT r3 #3 done criterion)
+    assert set(bytes_by_pid) == {0, 1}
+    total_b = sum(bytes_by_pid.values())
+    total_o = sum(owned_by_pid.values())
+    assert total_o == 16
+    for pid in (0, 1):
+        share = bytes_by_pid[pid] / total_b
+        owned_share = owned_by_pid[pid] / total_o
+        assert abs(share - owned_share) < 0.15, \
+            (pid, share, owned_share, bytes_by_pid, owned_by_pid)

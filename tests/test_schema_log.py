@@ -1,0 +1,135 @@
+"""Replicated-log schema ops under partitions (cluster/schemalog.py).
+
+VERDICT r3 #5 done criterion: split nodes, issue conflicting CreateField
+on both sides, heal, assert one schema everywhere.  Reference: schema in
+etcd-raft via Schemator (disco/disco.go:92, etcd/embed.go:31).
+"""
+import pytest
+
+from featurebase_tpu.cluster.client import NodeUnreachable
+from featurebase_tpu.server.api import APIError
+from featurebase_tpu.testing import TestCluster
+
+
+def partition(tc, groups):
+    """Block HTTP between nodes in different groups by wrapping each
+    node's InternalClient (the pumba/docker-pause role of the reference's
+    clustertests, internal/clustertests/pause_node_test.go:46)."""
+    url_group = {}
+    for gi, g in enumerate(groups):
+        for i in g:
+            url_group[tc.url(i)] = gi
+    originals = []
+    for i, api in enumerate(tc.apis):
+        client = api.cluster.client
+        my_group = url_group[tc.url(i)]
+        real_call = client._call
+        real_raw = client._call_raw
+        real_health = client.health
+
+        def make(fn, mg=my_group):
+            def wrapped(uri, *a, **kw):
+                if url_group.get(uri, mg) != mg:
+                    raise NodeUnreachable(f"partitioned: {uri}")
+                return fn(uri, *a, **kw)
+            return wrapped
+
+        def health(uri, *a, _mg=my_group, _real=real_health, **kw):
+            if url_group.get(uri, _mg) != _mg:
+                return False
+            return _real(uri, *a, **kw)
+
+        client._call = make(real_call)
+        client._call_raw = make(real_raw)
+        client.health = health
+        originals.append((client, real_call, real_raw, real_health))
+    return originals
+
+
+def heal(originals):
+    for client, c, r, h in originals:
+        client._call = c
+        client._call_raw = r
+        client.health = h
+
+
+def fields_of(api, index):
+    idx = api.holder.index(index)
+    if idx is None:
+        return None
+    return sorted(f.name for f in idx.public_fields())
+
+
+class TestSchemaLog:
+    def test_ops_replicate_in_order(self):
+        with TestCluster(3) as tc:
+            tc[1].create_index("t", {})       # proposed via the leader
+            tc[2].create_field("t", "a", {"type": "set"})
+            tc[0].create_field("t", "b", {"type": "set"})
+            for api in tc.apis:
+                assert fields_of(api, "t") is not None
+                assert {"a", "b"} <= set(fields_of(api, "t"))
+            logs = [api.schema_log.to_json() for api in tc.apis]
+            assert logs[0]["applied"] == 3
+            assert all(lg == logs[0] for lg in logs)
+
+    def test_even_split_rejects_both_sides(self):
+        """2/2: neither side has a majority -> both CreateFields fail,
+        schema identical everywhere after heal."""
+        with TestCluster(4) as tc:
+            tc[0].create_index("t", {})
+            before = fields_of(tc[0], "t")
+            originals = partition(tc, [{0, 1}, {2, 3}])
+            try:
+                with pytest.raises(APIError):
+                    tc[0].create_field("t", "left", {"type": "set"})
+                with pytest.raises(APIError):
+                    tc[2].create_field("t", "right", {"type": "set"})
+            finally:
+                heal(originals)
+            for api in tc.apis:
+                assert fields_of(api, "t") == before
+            assert all(api.schema_log.applied == 1 for api in tc.apis)
+
+    def test_majority_wins_minority_catches_up(self):
+        """3/1: the majority side commits, the isolated node's op is
+        rejected; after heal the next entry's gap-fetch converges it."""
+        with TestCluster(4) as tc:
+            tc[0].create_index("t", {})
+            originals = partition(tc, [{0, 1, 2}, {3}])
+            try:
+                tc[1].create_field("t", "a", {"type": "set"})
+                with pytest.raises(APIError):
+                    tc[3].create_field("t", "b", {"type": "set"})
+                assert fields_of(tc[3], "t") == []
+            finally:
+                heal(originals)
+            # next committed entry reaches node3 with an index gap -> it
+            # fetches the missing suffix from the origin and applies both
+            tc[0].create_field("t", "c", {"type": "set"})
+            for api in tc.apis:
+                assert set(fields_of(api, "t")) == {"a", "c"}
+                assert "b" not in fields_of(api, "t")
+            assert all(api.schema_log.applied == 3 for api in tc.apis)
+
+    def test_conflicting_same_name_resolves_to_one_definition(self):
+        """Same field name proposed from two nodes: the leader serializes;
+        the second proposal gets 409, every node holds ONE definition."""
+        with TestCluster(3) as tc:
+            tc[0].create_index("t", {})
+            tc[1].create_field("t", "f", {"type": "int", "min": 0,
+                                          "max": 10})
+            with pytest.raises(APIError):
+                tc[2].create_field("t", "f", {"type": "set"})
+            for api in tc.apis:
+                f = api.holder.index("t").field("f")
+                assert f.options.type == "int"
+
+    def test_strict_errors_propagate_to_proposer(self):
+        with TestCluster(2) as tc:
+            tc[0].create_index("t", {})
+            with pytest.raises(APIError):
+                tc[1].create_index("t", {})   # duplicate, strict
+            tc[1].create_index("t", {}, if_not_exists=True)  # lenient ok
+            with pytest.raises(APIError):
+                tc[1].delete_field("t", "missing")

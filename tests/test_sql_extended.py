@@ -338,3 +338,71 @@ class TestQualifiedStar:
         out2 = q(api, "SELECT o.*, u.age FROM orders o "
                       "JOIN users u ON o.userid = u._id")
         assert out2["data"] == [[10, 1, 30]]
+
+
+class TestVarCorr:
+    """VAR/CORR aggregates (reference: sql3/planner/expressionanalyzercall.go
+    case "VAR"/"CORR"; aggregators expressionagg.go:950,1110).  Differential
+    against numpy on both the fused-BSI pushdown path and the volcano
+    accumulator (GROUP BY forces the latter)."""
+
+    @pytest.fixture()
+    def stats(self, api):
+        import numpy as np
+        rng = np.random.default_rng(11)
+        n = 500
+        a = rng.integers(-50, 200, size=n)
+        b = (a * 3 + rng.integers(-20, 20, size=n)).astype(int)
+        g = rng.integers(0, 3, size=n)
+        q(api, "CREATE TABLE s (_id ID, a INT MIN -100 MAX 1000, "
+               "b INT MIN -1000 MAX 1000, g INT MIN 0 MAX 10)")
+        rows = ", ".join(f"({i+1}, {int(a[i])}, {int(b[i])}, {int(g[i])})"
+                         for i in range(n))
+        q(api, f"INSERT INTO s (_id, a, b, g) VALUES {rows}")
+        return api, a, b, g
+
+    def test_var_pushdown_matches_numpy(self, stats):
+        import numpy as np
+        api, a, b, g = stats
+        out = q(api, "SELECT VAR(a) FROM s")
+        got = out["data"][0][0]
+        assert got == pytest.approx(float(np.var(a)), abs=1e-4)
+
+    def test_corr_pushdown_matches_numpy(self, stats):
+        import numpy as np
+        api, a, b, g = stats
+        out = q(api, "SELECT CORR(a, b) FROM s")
+        got = out["data"][0][0]
+        want = float(np.corrcoef(a, b)[0, 1])
+        assert got == pytest.approx(want, abs=1e-5)
+
+    def test_var_corr_with_where(self, stats):
+        import numpy as np
+        api, a, b, g = stats
+        out = q(api, "SELECT VAR(a), CORR(a, b) FROM s WHERE g = 1")
+        m = g == 1
+        assert out["data"][0][0] == pytest.approx(float(np.var(a[m])),
+                                                  abs=1e-4)
+        assert out["data"][0][1] == pytest.approx(
+            float(np.corrcoef(a[m], b[m])[0, 1]), abs=1e-5)
+
+    def test_var_corr_volcano_group_by(self, stats):
+        import numpy as np
+        api, a, b, g = stats
+        out = q(api, "SELECT g, VAR(a), CORR(a, b) FROM s "
+                     "GROUP BY g ORDER BY g")
+        for row in out["data"]:
+            gv = row[0]
+            m = g == gv
+            assert row[1] == pytest.approx(float(np.var(a[m])), abs=1e-4)
+            assert row[2] == pytest.approx(
+                float(np.corrcoef(a[m], b[m])[0, 1]), abs=1e-5)
+
+    def test_var_empty_and_constant(self, api):
+        q(api, "CREATE TABLE e (_id ID, v INT MIN 0 MAX 10)")
+        out = q(api, "SELECT VAR(v) FROM e")
+        assert out["data"][0][0] is None
+        q(api, "INSERT INTO e (_id, v) VALUES (1, 5), (2, 5)")
+        out = q(api, "SELECT VAR(v), CORR(v, v) FROM e")
+        assert out["data"][0][0] == 0.0
+        assert out["data"][0][1] is None  # zero variance
