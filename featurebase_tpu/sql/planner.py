@@ -619,6 +619,78 @@ class PlanOpSystemTable(PlanOp):
         return [(f"{self.alias}.{n}", t) for n, t in schema], rows
 
 
+class PlanOpTableValuedFunction(PlanOp):
+    """FROM-clause function call (reference: optablevaluedfunction.go —
+    the sql3 planner plans these but its Iterator returns 'not yet
+    implemented'; here they execute).  Registry below; each entry maps
+    arg values -> (schema, rows)."""
+
+    def __init__(self, fn_name: str, arg_values: list, alias: str):
+        self.fn_name = fn_name.lower()
+        self.arg_values = arg_values
+        self.alias = alias or fn_name
+
+    def name(self):
+        return f"TableValuedFunction({self.fn_name})"
+
+    def _materialize(self):
+        if not hasattr(self, "_result"):
+            fn = _TVF_REGISTRY.get(self.fn_name)
+            if fn is None:
+                raise APIError(
+                    f"unknown table-valued function: {self.fn_name}", 400)
+            self._result = fn(self.arg_values)
+        return self._result
+
+    def run(self):
+        schema, rows = self._materialize()
+        return [(f"{self.alias}.{n}", t) for n, t in schema], rows
+
+
+def _tvf_generate_series(args: list):
+    """generate_series(start, stop[, step]) -> one INT column `value`
+    (inclusive bounds, postgres-style)."""
+    if len(args) not in (2, 3):
+        raise APIError("generate_series(start, stop[, step])", 400)
+    try:
+        start, stop = int(args[0]), int(args[1])
+        step = int(args[2]) if len(args) == 3 else 1
+    except (TypeError, ValueError):
+        raise APIError("generate_series() arguments must be integers", 400)
+    if step == 0:
+        raise APIError("generate_series() step must not be zero", 400)
+    out = []
+    v = start
+    if step > 0:
+        while v <= stop:
+            out.append([v])
+            v += step
+    else:
+        while v >= stop:
+            out.append([v])
+            v += step
+    if len(out) > 10_000_000:
+        raise APIError("generate_series() result too large", 400)
+    return [("value", "int")], out
+
+
+def _tvf_split_string(args: list):
+    """split_string(text, sep) -> STRING column `value`, one row per
+    part (SQL Server STRING_SPLIT analog)."""
+    if len(args) != 2:
+        raise APIError("split_string(text, separator)", 400)
+    text, sep = str(args[0]), str(args[1])
+    if sep == "":
+        raise APIError("split_string() separator must not be empty", 400)
+    return [("value", "string")], [[part] for part in text.split(sep)]
+
+
+_TVF_REGISTRY = {
+    "generate_series": _tvf_generate_series,
+    "split_string": _tvf_split_string,
+}
+
+
 class PlanOpPQLDistinctScan(PlanOp):
     """SELECT DISTINCT col pushdown (reference: oppqldistinctscan.go;
     planoptimizer.go:753)."""
@@ -896,6 +968,12 @@ class SelectCompiler:
         return items
 
     def _schema_of(self, op: PlanOp) -> List[Tuple[str, str]]:
+        if isinstance(op, PlanOpTableValuedFunction):
+            try:
+                schema, _ = op._materialize()
+            except APIError:
+                return []
+            return [(f"{op.alias}.{n}", t) for n, t in schema]
         if isinstance(op, PlanOpPQLTableScan):
             idx = self.api.holder.index(op.table)
             out = [(f"{op.alias}._id",
@@ -967,6 +1045,10 @@ class SelectCompiler:
             op = _QualifyOp(inner, ref.alias)
             return op, None
         name = ref.name
+        if ref.fn_args is not None:
+            from featurebase_tpu.sql.ops import eval_expr
+            vals = [eval_expr(a, {}) for a in ref.fn_args]
+            return PlanOpTableValuedFunction(name, vals, ref.alias), None
         if is_system_table(name):
             return PlanOpSystemTable(self.api, name, ref.alias), None
         views = getattr(self.api.holder, "sql_views", {})
@@ -1267,8 +1349,10 @@ class SelectCompiler:
                 return a.value if isinstance(a, sa.Lit) else None
             frm, to = bound(1), bound(2)
             if frm is None and to is None:
-                raise SQLError(
-                    "rangeq: from and to cannot both be null")
+                # user-facing 400 (reference: 'from' and 'to' cannot both
+                # be null, defs_timequantum.go)
+                raise APIError(
+                    "rangeq: from and to cannot both be null", 400)
             args = {"_field": col}
             if frm is not None:
                 args["from"] = frm
@@ -1330,6 +1414,12 @@ class SelectCompiler:
                 inner = Call("Union", children=[Call("Row", {col: v})
                                                 for v in vals])
             if e.negated:
+                if f.is_bsi():
+                    # BSI not-null is a Condition row, not Rows()
+                    # (row ids of a BSI view are bit planes)
+                    notnull = Call("Row", {col: Condition("!=", None)})
+                    return Call("Intersect", children=[
+                        Call("Not", children=[inner]), notnull])
                 return self._and_not_null(
                     col, Call("Not", children=[inner]))
             return inner

@@ -406,3 +406,40 @@ class TestVarCorr:
         out = q(api, "SELECT VAR(v), CORR(v, v) FROM e")
         assert out["data"][0][0] == 0.0
         assert out["data"][0][1] is None  # zero variance
+
+
+class TestTableValuedFunctions:
+    """FROM-clause function calls (reference: optablevaluedfunction.go has
+    the plumbing with an unimplemented iterator; these execute)."""
+
+    def test_generate_series(self, api):
+        out = q(api, "SELECT value FROM generate_series(1, 5)")
+        assert out["data"] == [[1], [2], [3], [4], [5]]
+
+    def test_generate_series_step_and_alias(self, api):
+        out = q(api, "SELECT g.value * 10 AS x FROM "
+                     "generate_series(0, 10, 5) AS g")
+        assert out["data"] == [[0], [50], [100]]
+
+    def test_generate_series_descending(self, api):
+        out = q(api, "SELECT value FROM generate_series(3, 1, -1)")
+        assert out["data"] == [[3], [2], [1]]
+
+    def test_tvf_with_where_and_agg(self, api):
+        out = q(api, "SELECT SUM(value) FROM generate_series(1, 100) "
+                     "WHERE value % 2 = 0")
+        assert out["data"] == [[2550]]
+
+    def test_split_string(self, api):
+        out = q(api, "SELECT value FROM split_string('a,b,c', ',')")
+        assert out["data"] == [["a"], ["b"], ["c"]]
+
+    def test_unknown_tvf_errors(self, api):
+        with pytest.raises(APIError):
+            q(api, "SELECT * FROM no_such_fn(1)")
+
+    def test_join_table_with_series(self, shop):
+        out = q(shop, "SELECT s.value FROM generate_series(1, 3) AS s "
+                      "INNER JOIN orders AS o ON s.value = o._id "
+                      "ORDER BY s.value")
+        assert out["data"] == [[1], [2], [3]]
