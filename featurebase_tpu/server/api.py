@@ -1402,6 +1402,31 @@ class API:
     def available_shards(self, index: str) -> List[int]:
         return self._index(index).available_shards()
 
+    def fragments_info(self, index: str) -> list:
+        """Per-fragment inspector rows for the admin console (the
+        lattice role's data browser; reference: /internal/fragment/*
+        endpoints, http_handler.go:557): field, view, shard, rows, seqlock
+        generation, host bytes + spill state, device-mirror residency, and
+        MVCC overlay size."""
+        idx = self._index(index)
+        out = []
+        for f in idx.fields.values():
+            for vname, v in f.views.items():
+                for shard, frag in sorted(v.fragments.items()):
+                    w = frag._words_mem
+                    out.append({
+                        "field": f.name, "view": vname, "shard": shard,
+                        "rows": frag.num_rows,
+                        "generation": frag.generation,
+                        "hostBytes": int(w.nbytes) if w is not None else 0,
+                        "spilled": w is None,
+                        "deviceResident": frag._dev is not None,
+                        "deviceRows": max(frag._dev_rows, 0),
+                        "dirtySlots": len(frag._dirty),
+                        "overlayRows": len(frag._overlay),
+                    })
+        return out
+
     def status(self) -> dict:
         import jax
         out = {

@@ -76,6 +76,14 @@ class Handler(BaseHTTPRequestHandler):
     def _err(self, msg: str, status: int = 400):
         self._send({"error": msg}, status)
 
+    def _send_text(self, text: str, status: int = 200):
+        data = text.encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "text/plain; charset=utf-8")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
     # -- routing ------------------------------------------------------------
 
     def do_GET(self):
@@ -449,6 +457,29 @@ class Handler(BaseHTTPRequestHandler):
         if path == "/internal/cluster/message" and method == "POST":
             self.api.handle_cluster_message(self._json())
             return self._send({})
+
+        if path.startswith("/debug/pprof") and method == "GET":
+            # live profiling (reference: Go pprof + fgprof endpoints,
+            # http_handler.go:493-494; utils/profiling.py)
+            from featurebase_tpu.utils import profiling
+            kind = path[len("/debug/pprof"):].strip("/")
+            if kind in ("", "index"):
+                return self._send({"profiles": [
+                    "/debug/pprof/stacks",
+                    "/debug/pprof/profile?seconds=1",
+                    "/debug/pprof/heap"]})
+            if kind == "stacks":
+                return self._send_text(profiling.thread_stacks())
+            if kind == "profile":
+                secs = float(query.get("seconds", "1"))
+                return self._send_text(profiling.cpu_profile(secs))
+            if kind == "heap":
+                return self._send_text(profiling.heap_profile())
+            return self._err(f"unknown profile: {kind}", 404)
+
+        if path == "/internal/fragments" and method == "GET":
+            return self._send(
+                {"fragments": self.api.fragments_info(query.get("index"))})
 
         if path == "/internal/schema/log" and method == "GET":
             # ordered schema-log suffix for follower catch-up

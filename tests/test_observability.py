@@ -128,3 +128,47 @@ class TestAuth:
             assert "indexes" in out
         finally:
             s.stop()
+
+
+class TestPprofEndpoints:
+    """Live profiling surface (reference: pprof/fgprof endpoints,
+    http_handler.go:493-494; utils/profiling.py)."""
+
+    def test_index_lists_profiles(self, srv):
+        out = _http(srv.url + "/debug/pprof")
+        assert any("stacks" in p for p in out["profiles"])
+
+    def _text(self, url):
+        req = urllib.request.Request(url)
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return resp.read().decode()
+
+    def test_thread_stacks(self, srv):
+        txt = self._text(srv.url + "/debug/pprof/stacks")
+        assert "--- thread" in txt
+        assert "MainThread" in txt or "Thread" in txt
+
+    def test_cpu_profile_samples_busy_thread(self, srv):
+        import threading
+        import time as _time
+        stop = threading.Event()
+
+        def busy_spinner_for_profile():
+            while not stop.is_set():
+                sum(i * i for i in range(200))
+
+        t = threading.Thread(target=busy_spinner_for_profile)
+        t.start()
+        try:
+            txt = self._text(srv.url + "/debug/pprof/profile?seconds=0.3")
+        finally:
+            stop.set()
+            t.join(timeout=5)
+        assert txt.startswith("# wall-clock samples")
+        assert "busy_spinner_for_profile" in txt
+
+    def test_heap_profile(self, srv):
+        first = self._text(srv.url + "/debug/pprof/heap")
+        assert "tracemalloc" in first or "heap:" in first
+        second = self._text(srv.url + "/debug/pprof/heap")
+        assert "heap:" in second

@@ -92,7 +92,25 @@ class TestWebConsole:
             html = urllib.request.urlopen(srv.url + "/ui",
                                           timeout=30).read().decode()
             assert "featurebase-tpu console" in html
-            assert "/sql" in html and "/schema" in html
+            # the console must exercise every public API family
+            # (VERDICT r3 #7): query, plan graph, schema editing,
+            # fragments inspector, cluster admin, metrics, history,
+            # profiling
+            for ep in ["/sql", "/sql-exec-graph", "/schema", "/status",
+                       "/shards?index=", "/metrics.json",
+                       "/query-history", "/queries",
+                       "/internal/fragments?index=", "/internal/resync",
+                       "/internal/cluster/join", "/debug/pprof",
+                       "/index/", "field"]:
+                assert ep in html, ep
+            # every GET endpoint the console polls responds
+            for ep in ["/schema", "/status", "/shards?index=c",
+                       "/metrics.json", "/query-history", "/queries",
+                       "/internal/fragments?index=c",
+                       "/debug/pprof/stacks"]:
+                with urllib.request.urlopen(srv.url + ep,
+                                            timeout=30) as r:
+                    assert r.status == 200, ep
             # root also serves the console
             html2 = urllib.request.urlopen(srv.url + "/",
                                            timeout=30).read().decode()
