@@ -207,6 +207,27 @@ def main(argv=None):
                                                    "http://127.0.0.1:10101"))
     ck.add_argument("--index", default=None)
 
+    dg = sub.add_parser(
+        "datagen", help="generate synthetic data into an index or a "
+        "kafka topic (reference: idk/datagen)")
+    dg.add_argument("--source", default="",
+                    help="generator: customer|equipment|kitchen-sink|"
+                    "custom (empty lists available sources)")
+    dg.add_argument("--index", default="", help="target index name")
+    dg.add_argument("--host", default="http://127.0.0.1:10101",
+                    help="server URL (index target)")
+    dg.add_argument("--start-from", type=int, default=0)
+    dg.add_argument("--end-at", type=int, default=999)
+    dg.add_argument("--seed", type=int, default=0)
+    dg.add_argument("--batch-size", type=int, default=10000)
+    dg.add_argument("--target", default="index",
+                    choices=["index", "kafka"])
+    dg.add_argument("--kafka-host", default="127.0.0.1")
+    dg.add_argument("--kafka-port", type=int, default=9092)
+    dg.add_argument("--topic", default="datagen")
+    dg.add_argument("--custom-config", default="",
+                    help="JSON schema file for --source custom")
+
     kc = sub.add_parser(
         "consume", help="Kafka consumer ingest into a durable data dir "
         "(reference: molecula-consumer-kafka, idk/cmd)")
@@ -251,7 +272,46 @@ def main(argv=None):
         return cmd_parquet_info(args)
     if args.cmd == "dataframe-csv-loader":
         return cmd_dataframe_csv_loader(args)
+    if args.cmd == "datagen":
+        return cmd_datagen(args)
     return 2
+
+
+def cmd_datagen(args):
+    import json as _json
+
+    from featurebase_tpu.ingest import datagen as dg
+    if not args.source:
+        print("available sources:",
+              ", ".join(sorted(dg.builtin_sources())), "or custom")
+        return 0
+    custom = None
+    if args.custom_config:
+        with open(args.custom_config) as fh:
+            custom = _json.load(fh)
+    if args.target == "kafka":
+        from featurebase_tpu.ingest.kafka_source import KafkaClient
+        c = KafkaClient(args.kafka_host, args.kafka_port)
+        try:
+            c.negotiate()
+            n = dg.load_kafka(c, args.topic, args.source,
+                              args.start_from, args.end_at, args.seed,
+                              batch_size=args.batch_size, custom=custom)
+        finally:
+            c.close()
+        print(f"produced {n} records to {args.topic}")
+        return 0
+    if not args.index:
+        print("datagen: --index required for the index target")
+        return 2
+    from featurebase_tpu.client import Client
+    cl = Client(args.host)  # mirrors the API import/schema surface
+    n = dg.load_index(cl, args.index, args.source, args.start_from,
+                      args.end_at, args.seed, args.batch_size,
+                      custom=custom,
+                      progress=lambda t: print(f"\r{t} records", end=""))
+    print(f"\ngenerated {n} records into {args.index}")
+    return 0
 
 
 def cmd_parquet_info(args):

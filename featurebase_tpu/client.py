@@ -208,6 +208,25 @@ class Client:
             self._request("POST", f"/index/{index.name}/field/{f.name}",
                           {"options": f.options})
 
+    def create_index(self, name: str, options: Optional[dict] = None,
+                     if_not_exists: bool = False):
+        try:
+            self._request("POST", f"/index/{name}",
+                          {"options": options or {}})
+        except ClientError as e:
+            if not (if_not_exists and e.status == 409):
+                raise
+
+    def create_field(self, index: str, field: str,
+                     options: Optional[dict] = None,
+                     if_not_exists: bool = False):
+        try:
+            self._request("POST", f"/index/{index}/field/{field}",
+                          {"options": options or {}})
+        except ClientError as e:
+            if not (if_not_exists and e.status == 409):
+                raise
+
     def schema(self) -> list:
         return self._request("GET", "/schema").get("indexes", [])
 

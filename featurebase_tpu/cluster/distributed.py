@@ -252,6 +252,16 @@ class DistributedExecutor:
             post["offset"] = fanout.args.pop("offset", 0)
             post["desc"] = bool(fanout.args.get("sort-desc",
                                                 fanout.args.get("desc", False)))
+            if post["limit"] is not None:
+                # per-node top-(offset+limit) pushdown: the global cut is
+                # a subset of each node's prefix (executor.go:9321)
+                fanout.args["limit"] = int(post["offset"]) \
+                    + int(post["limit"])
+            else:
+                # unlimited: chunked streaming instead of one message
+                # holding every (col, val) pair per node (r3 weak #9)
+                result = self._sort_unlimited(index_name, fanout, shards)
+                return self._post_process(index, call, result, post)
         elif name == "Apply":
             # reduce at the coordinator after gather (reference: IvyReduce,
             # apply.go:50)
@@ -426,6 +436,58 @@ class DistributedExecutor:
                 if gc.decimal_agg is not None:
                     cur.decimal_agg = (cur.decimal_agg or 0) + gc.decimal_agg
         return [merged[k] for k in sorted(merged)]
+
+    # page size for unlimited distributed Sort streaming; tests shrink it
+    SORT_STREAM_CHUNK = 100_000
+
+    def _sort_unlimited(self, index_name: str, fanout: Call,
+                        shards: Optional[List[int]]) -> dict:
+        """Chunked streaming for UNLIMITED distributed Sort (r3 weak #9):
+        every node ships bounded pages (limit/offset pagination over its
+        deterministic (value, column) order) rather than serializing the
+        whole sorted shard set into one response; pages concatenate in
+        order per node and the runs k-way merge at the coordinator
+        (reference merge: executor.go:9574).  A node failure mid-stream
+        re-streams that node's shards from their next live replicas."""
+        import heapq
+        if shards is None:
+            shards = self.cluster.all_shards(self.api, index_name)
+        pending = self._group_shards(index_name, shards)
+        runs: List[tuple] = []
+        for nid, node_shards in pending.items():
+            cols: Optional[list] = []
+            vals: list = []
+            page = 0
+            while True:
+                pc = copy.deepcopy(fanout)
+                pc.args["limit"] = self.SORT_STREAM_CHUNK
+                pc.args["offset"] = page * self.SORT_STREAM_CHUNK
+                node = self.cluster.snapshot.node(nid)
+                try:
+                    part = self._exec_on_node(node, index_name, pc,
+                                              node_shards)
+                except NodeUnreachable:
+                    self.cluster.mark_down(nid)
+                    sub = self._sort_unlimited(index_name, fanout,
+                                               node_shards)
+                    runs.append((sub["columns"], sub["values"]))
+                    cols = None
+                    break
+                cols.extend(part["columns"])
+                vals.extend(part["values"])
+                if len(part["columns"]) < self.SORT_STREAM_CHUNK:
+                    break
+                page += 1
+            if cols is not None:
+                runs.append((cols, vals))
+        desc = bool(fanout.args.get("sort-desc",
+                                    fanout.args.get("desc", False)))
+
+        def key(cv):
+            return ((-cv[1] if desc else cv[1]), cv[0])
+        merged = list(heapq.merge(*[zip(c, v) for c, v in runs], key=key))
+        return {"columns": [c for c, _ in merged],
+                "values": [v for _, v in merged]}
 
     @staticmethod
     def _merge_sorted(call: Call, a: dict, b: dict) -> dict:

@@ -71,8 +71,16 @@ class _Handler(socketserver.BaseRequestHandler):
                 r = kw.Reader(frame)
                 api_key, api_version, corr, _client = \
                     kw.decode_request_header(r)
+                if kw.is_flexible(api_key, api_version):
+                    r.tags()  # request header v2 tagged fields
                 body = self._dispatch(st, api_key, api_version, r)
-                sock.sendall(kw.encode_response(corr, body))
+                # flexible responses use header v1 (corr + tags) — except
+                # ApiVersions, whose response header stays v0 so clients
+                # can always parse it (the protocol's bootstrap quirk)
+                hdr_tags = kw.is_flexible(api_key, api_version) \
+                    and api_key != kw.API_API_VERSIONS
+                sock.sendall(kw.encode_response(corr, body,
+                                                header_tags=hdr_tags))
         except (ConnectionError, OSError):
             return
 
@@ -89,15 +97,138 @@ class _Handler(socketserver.BaseRequestHandler):
     # -- API impls -----------------------------------------------------------
 
     def _dispatch(self, st, api_key, api_version, r) -> bytes:
+        flexible_broker = getattr(self.server, "flexible", True)
         if api_key == kw.API_API_VERSIONS:
-            w = kw.Writer().i16(ERR_NONE)
-            apis = [(kw.API_PRODUCE, 0, 0), (kw.API_FETCH, 0, 0),
-                    (kw.API_LIST_OFFSETS, 0, 0), (kw.API_METADATA, 0, 0),
+            fx = flexible_broker
+            apis = [(kw.API_PRODUCE, 0, 0),
+                    (kw.API_FETCH, 0, 12 if fx else 0),
+                    (kw.API_LIST_OFFSETS, 0, 0),
+                    (kw.API_METADATA, 0, 9 if fx else 0),
                     (kw.API_OFFSET_COMMIT, 0, 0),
                     (kw.API_OFFSET_FETCH, 0, 0),
-                    (kw.API_API_VERSIONS, 0, 0)]
+                    (kw.API_API_VERSIONS, 0, 3 if fx else 0)]
+            if api_version >= 3:
+                # flexible request body: client software name/version
+                r.compact_string()
+                r.compact_string()
+                r.tags()
+                w = kw.Writer().i16(ERR_NONE)
+                w.compact_array(apis, lambda w2, a:
+                                w2.i16(a[0]).i16(a[1]).i16(a[2]).tags())
+                w.i32(0)  # throttle_time_ms
+                w.tags()
+                return w.build()
+            w = kw.Writer().i16(ERR_NONE)
             w.array(apis, lambda w2, a:
                     w2.i16(a[0]).i16(a[1]).i16(a[2]))
+            return w.build()
+        if api_key == kw.API_METADATA and api_version >= 9:
+            t_entries = r.compact_array(
+                lambda rr: (rr.compact_string(), rr.tags())[0])
+            r.i8()  # allow_auto_topic_creation
+            r.i8()  # include_cluster_authorized_operations
+            r.i8()  # include_topic_authorized_operations
+            r.tags()
+            topics = list(t_entries) if t_entries else []
+            with st.lock:
+                if not topics:
+                    topics = sorted({t for (t, _p) in st.logs})
+                for t in topics:
+                    st.ensure_topic(t)
+                host, port = self.server.server_address[:2]
+                w = kw.Writer()
+                w.i32(0)  # throttle
+                w.compact_array([(0, "127.0.0.1", port)], lambda w2, b:
+                                w2.i32(b[0]).compact_string(b[1])
+                                .i32(b[2]).compact_string(None).tags())
+                w.compact_string("fb-tpu-cluster")
+                w.i32(0)  # controller id
+
+                def enc_topic9(w2, t):
+                    w2.i16(ERR_NONE).compact_string(t).i8(0)
+                    parts = list(range(st.num_partitions))
+                    w2.compact_array(parts, lambda w3, p:
+                                     w3.i16(ERR_NONE).i32(p).i32(0).i32(0)
+                                     .compact_array([0],
+                                                    lambda w4, x: w4.i32(x))
+                                     .compact_array([0],
+                                                    lambda w4, x: w4.i32(x))
+                                     .compact_array([],
+                                                    lambda w4, x: w4.i32(x))
+                                     .tags())
+                    w2.i32(-2147483648).tags()  # topic_authorized_ops
+                w.compact_array(topics, enc_topic9)
+                w.tags()
+            return w.build()
+        if api_key == kw.API_FETCH and api_version >= 12:
+            r.i32()  # replica_id
+            r.i32()  # max_wait
+            r.i32()  # min_bytes
+            r.i32()  # max_bytes
+            r.i8()   # isolation_level
+            r.i32()  # session_id
+            r.i32()  # session_epoch
+
+            def dec_topic(rr):
+                topic = rr.compact_string()
+                parts = rr.compact_array(lambda r3: (
+                    r3.i32(), r3.i32(), r3.i64(), r3.i32(), r3.i64(),
+                    r3.i32(), r3.tags())[0:6:])
+                rr.tags()
+                return topic, parts or []
+            req_topics = r.compact_array(dec_topic) or []
+            r.compact_array(lambda rr: (rr.compact_string(),
+                                        rr.compact_array(
+                                            lambda r3: r3.i32()),
+                                        rr.tags()))  # forgotten
+            r.compact_string()  # rack
+            r.tags()
+            out_topics = []
+            with st.lock:
+                for topic, parts in req_topics:
+                    out_parts = []
+                    for (part, _epoch, offset, _lfe, _lso, max_bytes) \
+                            in parts:
+                        log = st.logs.get((topic, part))
+                        if log is None:
+                            out_parts.append(
+                                (part, ERR_UNKNOWN_TOPIC, 0, b""))
+                            continue
+                        hw = len(log)
+                        if offset > hw:
+                            out_parts.append(
+                                (part, ERR_OFFSET_OUT_OF_RANGE, hw, b""))
+                            continue
+                        msgs = []
+                        size = 0
+                        for i in range(offset, hw):
+                            key, value, ts = log[i]
+                            size += 32 + len(key or b"") \
+                                + len(value or b"")
+                            if msgs and size > max_bytes:
+                                break
+                            msgs.append((key, value, ts))
+                        recs = kw.encode_record_batch(offset, msgs) \
+                            if msgs else b""
+                        out_parts.append((part, ERR_NONE, hw, recs))
+                    out_topics.append((topic, out_parts))
+            w = kw.Writer()
+            w.i32(0)        # throttle
+            w.i16(ERR_NONE)  # top-level error
+            w.i32(0)        # session id
+            w.compact_array(out_topics, lambda w2, tp:
+                            w2.compact_string(tp[0])
+                            .compact_array(tp[1], lambda w3, pr:
+                                           w3.i32(pr[0]).i16(pr[1])
+                                           .i64(pr[2]).i64(pr[2])
+                                           .i64(0)
+                                           .compact_array(
+                                               [], lambda w4, x: None)
+                                           .i32(-1)
+                                           .compact_bytes(pr[3] or None)
+                                           .tags())
+                            .tags())
+            w.tags()
             return w.build()
         if api_key == kw.API_METADATA:
             topics = r.array(lambda rr: rr.string())
@@ -264,12 +395,16 @@ class KafkaBroker:
 
     def __init__(self, host: str = "127.0.0.1", port: int = 0,
                  num_partitions: int = 2,
-                 offsets_path: Optional[str] = None):
+                 offsets_path: Optional[str] = None,
+                 flexible: bool = True):
         class _Srv(socketserver.ThreadingTCPServer):
             allow_reuse_address = True
             daemon_threads = True
         self.server = _Srv((host, port), _Handler)
         self.server.state = _State(num_partitions, offsets_path)
+        # flexible=False caps advertised versions at the legacy set
+        # (KIP-482 off: a pre-compact broker stand-in for tests)
+        self.server.flexible = flexible
         self.port = self.server.server_address[1]
         self._thread: Optional[threading.Thread] = None
 

@@ -39,6 +39,10 @@ class KafkaClient:
         self.client_id = client_id
         self._corr = 0
         self._lock = threading.Lock()
+        # negotiated per-API max versions (ApiVersions v0 is safe against
+        # every broker generation; flexible paths switch on when the
+        # broker advertises them — KIP-482, VERDICT r3 #10)
+        self.api_versions = {}
         self._sock = socket.create_connection((host, port), timeout=timeout)
 
     def close(self):
@@ -49,11 +53,13 @@ class KafkaClient:
 
     def _request(self, api_key: int, api_version: int, body: bytes
                  ) -> kw.Reader:
+        flexible = kw.is_flexible(api_key, api_version)
         with self._lock:
             self._corr += 1
             corr = self._corr
-            frame = kw.encode_request(api_key, api_version, corr,
-                                      self.client_id, body)
+            enc = kw.encode_request_flexible if flexible \
+                else kw.encode_request
+            frame = enc(api_key, api_version, corr, self.client_id, body)
             self._sock.sendall(frame)
             hdr = self._read_exact(4)
             (size,) = struct.unpack(">i", hdr)
@@ -62,7 +68,25 @@ class KafkaClient:
         got_corr = r.i32()
         if got_corr != corr:
             raise KafkaError(f"correlation mismatch {got_corr} != {corr}")
+        if flexible and api_key != kw.API_API_VERSIONS:
+            r.tags()  # response header v1 (ApiVersions stays v0)
         return r
+
+    def negotiate(self) -> dict:
+        """ApiVersions handshake (v0 — parseable by every broker
+        generation); records each API's advertised max version so
+        metadata()/fetch() pick the flexible encodings when offered."""
+        r = self._request(kw.API_API_VERSIONS, 0, b"")
+        err = r.i16()
+        if err:
+            raise KafkaError(f"ApiVersions error {err}")
+        for (key, lo, hi) in r.array(
+                lambda rr: (rr.i16(), rr.i16(), rr.i16())):
+            self.api_versions[key] = (lo, hi)
+        return dict(self.api_versions)
+
+    def _max_version(self, api_key: int) -> int:
+        return self.api_versions.get(api_key, (0, 0))[1]
 
     def _read_exact(self, n: int) -> bytes:
         buf = b""
@@ -76,6 +100,8 @@ class KafkaClient:
     # -- APIs ----------------------------------------------------------------
 
     def metadata(self, topics: Optional[List[str]] = None) -> dict:
+        if self._max_version(kw.API_METADATA) >= 9:
+            return self._metadata_v9(topics)
         w = kw.Writer()
         w.array(topics or [], lambda w2, t: w2.string(t))
         r = self._request(kw.API_METADATA, 0, w.build())
@@ -91,6 +117,45 @@ class KafkaClient:
             return {"error": err, "name": name,
                     "partitions": [p[1] for p in parts]}
         return {"brokers": brokers, "topics": r.array(topic)}
+
+    def _metadata_v9(self, topics: Optional[List[str]]) -> dict:
+        """Flexible (compact) Metadata — KIP-482 encoding."""
+        w = kw.Writer()
+        if topics:
+            w.compact_array(list(topics),
+                            lambda w2, t: w2.compact_string(t).tags())
+        else:
+            w.compact_array(None, None)   # null = all topics
+        w.i8(1)   # allow_auto_topic_creation
+        w.i8(0)   # include_cluster_authorized_operations
+        w.i8(0)   # include_topic_authorized_operations
+        w.tags()
+        r = self._request(kw.API_METADATA, 9, w.build())
+        r.i32()   # throttle
+        brokers = r.compact_array(
+            lambda rr: (rr.i32(), rr.compact_string(), rr.i32(),
+                        rr.compact_string(), rr.tags())[0:3]) or []
+        r.compact_string()  # cluster id
+        r.i32()             # controller id
+
+        def topic(rr):
+            err = rr.i16()
+            name = rr.compact_string()
+            rr.i8()  # is_internal
+            parts = rr.compact_array(lambda r3: (
+                r3.i16(), r3.i32(), r3.i32(), r3.i32(),
+                r3.compact_array(lambda r4: r4.i32()),
+                r3.compact_array(lambda r4: r4.i32()),
+                r3.compact_array(lambda r4: r4.i32()),
+                r3.tags())[0:2]) or []
+            rr.i32()  # topic_authorized_operations
+            rr.tags()
+            return {"error": err, "name": name,
+                    "partitions": [p[1] for p in parts]}
+        out = {"brokers": brokers,
+               "topics": r.compact_array(topic) or []}
+        r.tags()
+        return out
 
     def produce(self, topic: str, partition: int,
                 messages: List[tuple]) -> int:
@@ -121,6 +186,8 @@ class KafkaClient:
     def fetch(self, topic: str, partition: int, offset: int,
               max_bytes: int = 1 << 20) -> List[tuple]:
         """-> [(offset, key, value, timestamp)] from `offset` onward."""
+        if self._max_version(kw.API_FETCH) >= 12:
+            return self._fetch_v12(topic, partition, offset, max_bytes)
         w = kw.Writer()
         w.i32(-1).i32(0).i32(0)
         w.array([topic], lambda w2, t:
@@ -141,6 +208,60 @@ class KafkaClient:
                 out.extend(kw.decode_message_set(mset))
             rr.array(part_resp)
         r.array(topic_resp)
+        return out
+
+    def _fetch_v12(self, topic: str, partition: int, offset: int,
+                   max_bytes: int) -> List[tuple]:
+        """Flexible Fetch with RecordBatch v2 payloads (KIP-482)."""
+        w = kw.Writer()
+        w.i32(-1)         # replica_id
+        w.i32(0)          # max_wait_ms
+        w.i32(0)          # min_bytes
+        w.i32(max_bytes)  # max_bytes
+        w.i8(0)           # isolation_level
+        w.i32(0).i32(-1)  # session id / epoch
+        w.compact_array([topic], lambda w2, t:
+                        w2.compact_string(t)
+                        .compact_array([partition], lambda w3, p:
+                                       w3.i32(p).i32(-1).i64(offset)
+                                       .i32(-1).i64(-1).i32(max_bytes)
+                                       .tags())
+                        .tags())
+        w.compact_array([], lambda w2, x: None)  # forgotten topics
+        w.compact_string("")                     # rack id
+        w.tags()
+        r = self._request(kw.API_FETCH, 12, w.build())
+        r.i32()            # throttle
+        top_err = r.i16()
+        if top_err:
+            raise KafkaError(f"fetch error {top_err}")
+        r.i32()            # session id
+        out: List[tuple] = []
+
+        def topic_resp(rr):
+            rr.compact_string()
+
+            def part_resp(r3):
+                r3.i32()
+                err = r3.i16()
+                r3.i64()   # high watermark
+                r3.i64()   # last stable offset
+                r3.i64()   # log start offset
+                r3.compact_array(lambda r4: (r4.i64(), r4.i64(),
+                                             r4.tags()))  # aborted txns
+                r3.i32()   # preferred read replica
+                recs = r3.compact_bytes() or b""
+                r3.tags()
+                if err:
+                    raise KafkaError(f"fetch error {err}")
+                for (off, key, value, ts) in \
+                        kw.decode_record_batches(recs):
+                    if off >= offset:
+                        out.append((off, key, value, ts))
+            rr.compact_array(part_resp)
+            rr.tags()
+        r.compact_array(topic_resp)
+        r.tags()
         return out
 
     def offset_commit(self, group: str,

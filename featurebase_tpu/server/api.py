@@ -58,6 +58,11 @@ class API:
         # reference: server/config.go:103 MaxWritesPerRequest (default 5000)
         self.max_writes_per_request = max_writes_per_request
         self.transactions = TransactionStore()
+        from featurebase_tpu import __version__
+        from featurebase_tpu.utils.monitor import (DiagnosticsCollector,
+                                                   ErrorMonitor)
+        self.monitor = ErrorMonitor(version=__version__)
+        self.diagnostics = DiagnosticsCollector(self, version=__version__)
         self.exec_requests = None  # lazily created by the SQL engine
         if data_dir:
             import os

@@ -92,6 +92,12 @@ class Handler(BaseHTTPRequestHandler):
         except APIError as e:
             self._err(str(e), e.status)
         except Exception as e:  # noqa: BLE001
+            # internal (non-user) error: captured by the error monitor
+            # (reference: monitor.CaptureException, monitor/monitor.go:26)
+            mon = getattr(self.api, "monitor", None)
+            if mon is not None:
+                mon.capture_exception(e, path=self.path,
+                                      method=self.command)
             self._err(f"internal error: {e}", 500)
 
     do_POST = do_GET
@@ -177,7 +183,10 @@ class Handler(BaseHTTPRequestHandler):
             return self._send({"canceled": True})
         if path == "/query-history" and method == "GET":
             return self._send({"queries": self.api.tracker.past()})
-        if path == "/version" and method == "GET":
+        if path == "/version" and method in ("GET", "POST"):
+            # POST = diagnostics version check-in (the payload is the
+            # anonymous usage body; reference verchk.go answers with the
+            # latest release)
             from featurebase_tpu import __version__
             return self._send({"version": __version__})
         if path == "/health" and method == "GET":
@@ -480,6 +489,19 @@ class Handler(BaseHTTPRequestHandler):
         if path == "/internal/fragments" and method == "GET":
             return self._send(
                 {"fragments": self.api.fragments_info(query.get("index"))})
+
+        if path == "/internal/errors" and method == "GET":
+            # error-monitor ring (reference: Sentry events; monitor.go)
+            return self._send(
+                {"events": self.api.monitor.recent(
+                    int(query.get("n", "50")))})
+
+        if path == "/internal/diagnostics" and method == "GET":
+            # anonymous usage payload + last version check-in
+            # (reference: diagnostics.go:29, verchk.go)
+            d = self.api.diagnostics
+            return self._send({"payload": d.payload(),
+                               "lastVersionCheck": d.last_version_check})
 
         if path == "/internal/schema/log" and method == "GET":
             # ordered schema-log suffix for follower catch-up

@@ -73,19 +73,26 @@ _heap_started = False
 
 def heap_profile(top: int = 30) -> str:
     """Top allocation sites via tracemalloc (reference: pprof heap).
-    Tracing starts on the first call; cost is paid only once requested."""
+
+    Explicit windows: the first call STARTS tracing and returns
+    immediately; the next call takes the snapshot AND STOPS tracing —
+    tracemalloc's per-allocation overhead must never outlive the window
+    (leaving it on silently slowed the whole process)."""
     import tracemalloc
     global _heap_started
     with _heap_lock:
         if not _heap_started:
             tracemalloc.start(10)
             _heap_started = True
-            return ("# tracemalloc started; call again for a snapshot "
-                    "of allocations made from now on\n")
-    snap = tracemalloc.take_snapshot()
-    stats = snap.statistics("lineno")[:top]
-    total = sum(s.size for s in snap.statistics("lineno"))
-    out = [f"# heap: {total / 1e6:.1f} MB traced, top {top} sites"]
-    for s in stats:
+            return ("# tracemalloc started; call again to snapshot the "
+                    "allocations made from now on (tracing stops then)\n")
+        snap = tracemalloc.take_snapshot()
+        tracemalloc.stop()
+        _heap_started = False
+    stats = snap.statistics("lineno")
+    total = sum(s.size for s in stats)
+    out = [f"# heap: {total / 1e6:.1f} MB traced in this window, "
+           f"top {top} sites (tracing stopped)"]
+    for s in stats[:top]:
         out.append(f"{s.size / 1e3:.1f} KB x{s.count}  {s.traceback}")
     return "\n".join(out) + "\n"

@@ -266,3 +266,38 @@ class TestClusterStatus:
             assert st["nodeID"] == "node0"
             assert len(st["nodes"]) == 2
             assert st["state"] == "NORMAL"
+
+
+class TestUnlimitedSortStreaming:
+    def test_unlimited_sort_streams_in_pages(self, monkeypatch):
+        """Unlimited distributed Sort ships bounded pages per node and
+        merges runs at the coordinator (r3 weak #9) — results identical
+        to the single-node oracle, with multiple pages actually fetched."""
+        from featurebase_tpu.cluster.distributed import DistributedExecutor
+        monkeypatch.setattr(DistributedExecutor, "SORT_STREAM_CHUNK", 3)
+        calls = {"n": 0}
+        real = DistributedExecutor._exec_on_node
+
+        def spy(self, node, index_name, call, shards):
+            if call.name == "Sort":
+                calls["n"] += 1
+            return real(self, node, index_name, call, shards)
+
+        monkeypatch.setattr(DistributedExecutor, "_exec_on_node", spy)
+        with TestCluster(2) as tc:
+            seed(tc[0])
+            oracle = API()
+            seed(oracle)
+            want = response_to_json(
+                oracle.query("i", "Sort(All(), field=v)"))
+            got = response_to_json(tc[1].query("i", "Sort(All(), field=v)"))
+            assert got == want
+            assert len(want["results"][0]["columns"]) == len(COLS)
+            # 8 records over 2 nodes with 3-row pages: > one page request
+            assert calls["n"] >= 3
+            # limited path unaffected (per-node pushdown)
+            want_l = response_to_json(
+                oracle.query("i", "Sort(All(), field=v, limit=3, offset=1)"))
+            got_l = response_to_json(
+                tc[1].query("i", "Sort(All(), field=v, limit=3, offset=1)"))
+            assert got_l == want_l
