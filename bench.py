@@ -350,11 +350,15 @@ def engine_latencies(on_tpu: bool) -> dict:
     except Exception as ex:  # noqa: BLE001
         out["mesh_error"] = str(ex)[:120]
 
-    # fold the committed scaling artifact's verdict into the bench record
+    # fold the newest committed scaling artifact's verdict into the
+    # bench record
     try:
+        import glob
         import json as _json
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "SCALING_r03.json")) as fh:
+        arts = sorted(glob.glob(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "SCALING_r*.json")))
+        with open(arts[-1]) as fh:
             art = _json.load(fh)
         out["scaling"] = {
             "machinery_scales": art.get("machinery_scales"),
