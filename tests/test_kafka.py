@@ -291,3 +291,52 @@ class TestFlexibleProtocol:
             c.close()
         finally:
             b.stop()
+
+
+class TestSchemaRegistry:
+    """Confluent Schema Registry service integration (reference: idk's
+    schema-registry client + the docker-compose registry service,
+    idk/kafka/source.go, idk/docker-compose.yml)."""
+
+    @pytest.fixture()
+    def registry(self):
+        from featurebase_tpu.ingest.schema_registry import (
+            SchemaRegistryServer)
+        s = SchemaRegistryServer().start()
+        yield s
+        s.stop()
+
+    def test_register_lookup_roundtrip(self, registry):
+        from featurebase_tpu.ingest.schema_registry import (
+            SchemaRegistryClient, SchemaRegistryError)
+        c = SchemaRegistryClient(registry.url)
+        sid = c.register("orders-value", AVRO_SCHEMA)
+        assert sid >= 1
+        # content dedup: same schema -> same id (real-service behavior)
+        assert c.register("other-value", AVRO_SCHEMA) == sid
+        assert c.get_schema(sid)["name"] == AVRO_SCHEMA["name"]
+        assert c.get_schema(sid + 999) is None
+        assert set(c.subjects()) == {"orders-value", "other-value"}
+        latest = c.latest("orders-value")
+        assert latest["id"] == sid and latest["version"] == 1
+        with pytest.raises(SchemaRegistryError):
+            c.latest("missing-subject")
+
+    def test_avro_consume_through_registry_service(self, registry, broker):
+        """End-to-end: producer registers the schema with the service,
+        consumer resolves ids through the REST client (the deserializer's
+        callable-registry protocol)."""
+        from featurebase_tpu.ingest.schema_registry import (
+            SchemaRegistryClient)
+        c = SchemaRegistryClient(registry.url)
+        sid = c.register("av2-value", AVRO_SCHEMA)
+        kc = KafkaClient("127.0.0.1", broker.port)
+        rec = {"id": 5, "segment": "gold", "value": 123, "score": 1.5}
+        kc.produce("av2", 0, [(None, avro_encode(AVRO_SCHEMA, rec, sid))])
+        # fresh client (separate cache) plays the consumer side
+        consumer_registry = SchemaRegistryClient(registry.url)
+        de = AvroDeserializer(consumer_registry)
+        msgs = kc.fetch("av2", 0, 0)
+        got = de(msgs[0][2])
+        assert got == rec
+        kc.close()
