@@ -236,3 +236,73 @@ def test_operator_edges(db, sql, want):
         assert got == want
     else:
         assert unordered(got) == unordered(want)
+
+
+# -- keyed tables / cast / date functions (defs_keyed.go, defs_cast.go,
+# defs_date_functions.go shapes) ---------------------------------------------
+
+@pytest.fixture(scope="module")
+def kdb():
+    api = API()
+    execute_sql(api, """CREATE TABLE kt (_id STRING, color STRING,
+        tags STRINGSET, n INT MIN 0 MAX 100)""")
+    execute_sql(api, """INSERT INTO kt (_id, color, tags, n) VALUES
+        ('a', 'red', ['x', 'y'], 1),
+        ('b', 'blue', ['y'], 2),
+        ('c', 'red', ['z'], 3)""")
+    return api
+
+
+KEYED_CASES = [
+    ("SELECT _id FROM kt WHERE color = 'red'", [['a'], ['c']]),
+    ("SELECT color FROM kt WHERE _id = 'b'", [['blue']]),
+    ("SELECT _id, tags FROM kt WHERE _id = 'a'", [['a', ['x', 'y']]]),
+    ("SELECT _id FROM kt WHERE setcontains(tags, 'y') ORDER BY n",
+     [['a'], ['b']]),
+    ("SELECT COUNT(*) FROM kt WHERE color != 'red'", [[1]]),
+    ("SELECT color, COUNT(*) FROM kt GROUP BY color ORDER BY color",
+     [['blue', 1], ['red', 2]]),
+    ("SELECT _id FROM kt WHERE color IN ('red', 'blue') AND n > 1 "
+     "ORDER BY n", [['b'], ['c']]),
+    ("SELECT SUM(n) FROM kt WHERE color = 'red'", [[4]]),
+]
+
+
+@pytest.mark.parametrize("sql,want", KEYED_CASES,
+                         ids=[c[0][:60] for c in KEYED_CASES])
+def test_keyed(kdb, sql, want):
+    got = rows_of(kdb, sql)
+    if "ORDER BY" in sql:
+        assert got == want
+    else:
+        assert unordered(got) == unordered(want)
+
+
+CAST_DATE_CASES = [
+    ("SELECT CAST(3.7 AS INT)", [[3]]),
+    ("SELECT CAST(5 AS DECIMAL(2))", [[5.0]]),
+    ("SELECT CAST(1 AS BOOL), CAST(0 AS BOOL)", [[True, False]]),
+    ("SELECT CAST('12' AS INT) + 1", [[13]]),
+    ("SELECT CAST(42 AS STRING)", [['42']]),
+    ("SELECT ABS(-5), SIGN(-2), MOD(7, 3)", [[5, -1, 1]]),
+    ("SELECT CEIL(1.2), FLOOR(1.8), ROUND(1.46, 1)", [[2, 1, 1.5]]),
+    ("SELECT POWER(2, 10)", [[1024]]),
+    ("SELECT UPPER('ab'), LOWER('CD'), REVERSE('abc')",
+     [['AB', 'cd', 'cba']]),
+    ("SELECT TRIM('  x  '), CHAR_LENGTH('abcd')", [['x', 4]]),
+    ("SELECT SUBSTRING('hello', 1, 3)", [['ell']]),
+    ("SELECT REPLACE('axaxa', 'x', '-')", [['a-a-a']]),
+    ("SELECT DATETIMEPART('yy', '2022-03-06T10:30:00Z')", [[2022]]),
+    ("SELECT DATETIMEPART('m', '2022-03-06T10:30:00Z')", [[3]]),
+    ("SELECT DATETIMEPART('d', '2022-03-06T10:30:00Z')", [[6]]),
+    ("SELECT DATETIMEPART('hh', '2022-03-06T10:30:00Z')", [[10]]),
+    ("SELECT GREATEST(1, 5, 3), LEAST(4, 2, 9)", [[5, 2]]),
+    ("SELECT IIF(2 > 1, 'yes', 'no')", [['yes']]),
+    ("SELECT COALESCE(NULL, NULL, 7)", [[7]]),
+]
+
+
+@pytest.mark.parametrize("sql,want", CAST_DATE_CASES,
+                         ids=[c[0][:60] for c in CAST_DATE_CASES])
+def test_cast_and_functions(db, sql, want):
+    assert rows_of(db, sql) == want

@@ -187,11 +187,16 @@ class TestRaceHarness:
         assert not errors, errors[:2]
         assert reads >= 2 and len(write_lat) >= 10
         assert freeze["n"] == 0, "a long read escalated to a write freeze"
-        # zero write stalls: no single write waited on a reader.  The
-        # threshold is far below an Extract's runtime (hundreds of ms) but
-        # generous to CI noise.
-        assert max(write_lat) < 0.5, \
-            f"writer stalled {max(write_lat) * 1e3:.0f} ms"
+        # zero write stalls: writes never wait on a reader.  A pre-MVCC
+        # freeze stalled EVERY write for the reader's full runtime, so
+        # assert the distribution (p99 well under an Extract's runtime)
+        # plus a generous absolute cap — a single CPython GIL hiccup
+        # under full-suite load must not flake the test.
+        lat = sorted(write_lat)
+        p99 = lat[int(len(lat) * 0.99)]
+        assert p99 < 0.25, f"writer p99 stalled {p99 * 1e3:.0f} ms"
+        assert max(lat) < 2.0, \
+            f"writer stalled {max(lat) * 1e3:.0f} ms"
 
     def test_concurrent_bulk_imports_agree_with_serial(self):
         """8 concurrent disjoint bulk imports == one serial import."""
