@@ -227,6 +227,11 @@ def main(argv=None):
     dg.add_argument("--topic", default="datagen")
     dg.add_argument("--custom-config", default="",
                     help="JSON schema file for --source custom")
+    dg.add_argument("--file", default="",
+                    help="CSV/JSON-lines file to ship to kafka "
+                    "(--source file; reference: idk kafkaput)")
+    dg.add_argument("--key-column", default="",
+                    help="column used as the kafka message key")
 
     kc = sub.add_parser(
         "consume", help="Kafka consumer ingest into a durable data dir "
@@ -294,9 +299,15 @@ def cmd_datagen(args):
         c = KafkaClient(args.kafka_host, args.kafka_port)
         try:
             c.negotiate()
-            n = dg.load_kafka(c, args.topic, args.source,
-                              args.start_from, args.end_at, args.seed,
-                              batch_size=args.batch_size, custom=custom)
+            if args.source == "file":
+                n = dg.load_kafka_file(c, args.topic, args.file,
+                                       key_column=args.key_column or None,
+                                       batch_size=args.batch_size)
+            else:
+                n = dg.load_kafka(c, args.topic, args.source,
+                                  args.start_from, args.end_at, args.seed,
+                                  batch_size=args.batch_size,
+                                  custom=custom)
         finally:
             c.close()
         print(f"produced {n} records to {args.topic}")

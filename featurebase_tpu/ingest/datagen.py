@@ -174,3 +174,38 @@ def load_kafka(client, topic: str, source: str, start_from: int = 0,
         client.produce(topic, partition, msgs)
         total += len(msgs)
     return total
+
+
+def load_kafka_file(client, topic: str, path: str, partition: int = 0,
+                    key_column: Optional[str] = None,
+                    batch_size: int = 1000) -> int:
+    """Ship a CSV or JSON-lines file onto a Kafka topic as JSON messages
+    (reference: idk's kafkaput + csv-kafka variants, idk/cmd/kafkaput).
+    CSV headers become JSON keys; `key_column` selects the message key."""
+    import csv as _csv
+    total = 0
+    msgs: List[tuple] = []
+
+    def flush():
+        nonlocal total
+        if msgs:
+            client.produce(topic, partition, list(msgs))
+            total += len(msgs)
+            msgs.clear()
+
+    with open(path, newline="") as fh:
+        head = fh.read(2048)
+        fh.seek(0)
+        is_json = head.lstrip()[:1] == "{"
+        if is_json:
+            rows = (json.loads(line) for line in fh if line.strip())
+        else:
+            rows = _csv.DictReader(fh)
+        for rec in rows:
+            key = str(rec[key_column]).encode() \
+                if key_column and key_column in rec else None
+            msgs.append((key, json.dumps(rec).encode()))
+            if len(msgs) >= batch_size:
+                flush()
+    flush()
+    return total
