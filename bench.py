@@ -124,11 +124,11 @@ def main():
 
     bytes_touched = 2 * nbytes  # two input streams per iteration
     fits = []
-    for _ in range(5):  # 5 independent two-point fits (VERDICT r3 #1)
+    for _ in range(7):  # 7 independent two-point fits (VERDICT r3 #1)
         times = {}
         for K in (k1, k2):
             best = float("inf")
-            for _ in range(3):
+            for _ in range(4):
                 t0 = time.perf_counter()
                 int(loops[K](a, b)[0, 0])
                 best = min(best, time.perf_counter() - t0)
