@@ -592,3 +592,68 @@ class TestTranche3Edges:
         api.create_field("t3", "f", {"type": "set"})
         with _pytest.raises(APIError, match="max-writes"):
             api.query("t3", "Set(1, f=1) Clear(1, f=1)")
+
+
+class TestVarCorrPQL:
+    """Engine-internal Var/Corr PQL calls backing the SQL pushdown
+    (reference semantics: sql3 VAR/CORR aggregators,
+    expressionagg.go:950,1110 — population variance /n, 6dp,
+    CORR over rows where both values exist)."""
+
+    @pytest.fixture()
+    def env(self):
+        holder = Holder()
+        idx = holder.create_index("vc")
+        idx.create_field("f")
+        idx.create_field("x", FieldOptions(type="int", min=-100, max=100))
+        idx.create_field("y", FieldOptions(type="int", min=-500, max=500))
+        cols = [1, 2, 3, 4, 5, SW + 1, SW + 2]
+        xs = [10, -5, 0, 20, 7, -3, 15]
+        ys = [30, -16, 1, 59, 22, -8, 44]
+        idx.field("f").import_bits([1, 1, 0, 1, 0, 1, 1],
+                                   np.array(cols))
+        idx.field("x").import_values(np.array(cols), xs)
+        # y missing for col 5 — CORR must skip that pair
+        ycols = [1, 2, 3, 4, SW + 1, SW + 2]
+        idx.field("y").import_values(np.array(ycols),
+                                     [30, -16, 1, 59, -8, 44])
+        idx.mark_exists(np.array(cols))
+        e = Executor(holder)
+        return e, cols, np.array(xs), dict(zip(ycols,
+                                               [30, -16, 1, 59, -8, 44]))
+
+    def test_var_matches_numpy(self, env):
+        e, cols, xs, _ = env
+        (got,) = e.execute("vc", "Var(field=x)")
+        assert got == pytest.approx(float(np.var(xs)), abs=1e-6)
+
+    def test_var_with_filter(self, env):
+        e, cols, xs, _ = env
+        (got,) = e.execute("vc", "Var(field=x, filter=Row(f=1))")
+        sel = np.array([10, -5, 20, -3, 15], dtype=float)
+        assert got == pytest.approx(float(np.var(sel)), abs=1e-6)
+
+    def test_corr_skips_missing_pairs(self, env):
+        e, cols, xs, ymap = env
+        pairs = [(x, ymap[c]) for c, x in zip(cols, xs) if c in ymap]
+        a = np.array([p[0] for p in pairs], dtype=float)
+        b = np.array([p[1] for p in pairs], dtype=float)
+        (got,) = e.execute("vc", "Corr(field=x, field2=y)")
+        assert got == pytest.approx(float(np.corrcoef(a, b)[0, 1]),
+                                    abs=1e-6)
+
+    def test_corr_empty_and_degenerate(self, env):
+        e, *_ = env
+        (none_r,) = e.execute("vc",
+                              "Corr(field=x, field2=y, "
+                              "filter=Row(x > 1000))")
+        assert none_r is None
+        # single pair: zero variance -> None (reference yields NaN)
+        (one,) = e.execute("vc", "Corr(field=x, field2=y, "
+                                 "filter=Row(x=10))")
+        assert one is None
+
+    def test_var_empty(self, env):
+        e, *_ = env
+        (got,) = e.execute("vc", "Var(field=x, filter=Row(x > 1000))")
+        assert got is None
