@@ -443,25 +443,31 @@ class DistributedExecutor:
     def _sort_unlimited(self, index_name: str, fanout: Call,
                         shards: Optional[List[int]]) -> dict:
         """Chunked streaming for UNLIMITED distributed Sort (r3 weak #9):
-        every node ships bounded pages (limit/offset pagination over its
-        deterministic (value, column) order) rather than serializing the
-        whole sorted shard set into one response; pages concatenate in
-        order per node and the runs k-way merge at the coordinator
-        (reference merge: executor.go:9574).  A node failure mid-stream
-        re-streams that node's shards from their next live replicas."""
+        every node ships bounded pages, resumed by KEYSET cursor — each
+        page passes after=[stored_value, column] of the previous page's
+        last record, so writes landing between pages cannot shift, drop,
+        or duplicate records the way limit/offset pagination could
+        (ADVICE r4 #4).  Pages concatenate in order per node and the runs
+        k-way merge at the coordinator (reference merge:
+        executor.go:9574).  A node failure mid-stream re-streams that
+        node's shards from their next live replicas."""
         import heapq
         if shards is None:
             shards = self.cluster.all_shards(self.api, index_name)
+        fld = fanout.args.get("_field") or fanout.args.get("field")
+        f = self.api.holder.index(index_name).field(fld)
         pending = self._group_shards(index_name, shards)
         runs: List[tuple] = []
         for nid, node_shards in pending.items():
             cols: Optional[list] = []
             vals: list = []
-            page = 0
+            cursor = None  # (stored_value, column) of last record seen
             while True:
                 pc = copy.deepcopy(fanout)
                 pc.args["limit"] = self.SORT_STREAM_CHUNK
-                pc.args["offset"] = page * self.SORT_STREAM_CHUNK
+                pc.args.pop("offset", None)
+                if cursor is not None:
+                    pc.args["after"] = [cursor[0], cursor[1]]
                 node = self.cluster.snapshot.node(nid)
                 try:
                     part = self._exec_on_node(node, index_name, pc,
@@ -477,7 +483,10 @@ class DistributedExecutor:
                 vals.extend(part["values"])
                 if len(part["columns"]) < self.SORT_STREAM_CHUNK:
                     break
-                page += 1
+                # stored value = decoded value re-encoded (exact for int/
+                # timestamp; decimal round-trips through the fixed scale)
+                cursor = (f.encode_value(part["values"][-1]),
+                          int(part["columns"][-1]))
             if cols is not None:
                 runs.append((cols, vals))
         desc = bool(fanout.args.get("sort-desc",

@@ -2443,6 +2443,14 @@ class Executor:
         desc = bool(call.args.get("sort-desc", call.args.get("desc", False)))
         limit = call.args.get("limit")
         offset = int(call.args.get("offset", 0))
+        # keyset cursor [stored_value, column]: only records strictly
+        # after it in (value, column) order — stable under concurrent
+        # writes, unlike offset pagination (ADVICE r4 #4); used by the
+        # distributed unlimited-Sort streamer (cluster/distributed.py)
+        after = call.args.get("after")
+        if after is not None:
+            after_raw = int(after[0]) - f.base  # unbased for the kernels
+            after_col = int(after[1])
         filt_call = call.children[0] if call.children else None
 
         # per-shard device sort (one lax.sort program per shard; reference
@@ -2473,6 +2481,14 @@ class Executor:
                 vals = pe.stacked_vals(index, fld, depth, shard_list)
                 cut = SHARD_WIDTH if take is None else min(take, SHARD_WIDTH)
                 import jax
+                if after is not None:
+                    import jax.numpy as jnp
+                    col0 = jnp.asarray(
+                        np.array(shard_list, dtype=np.int64) * SHARD_WIDTH)
+                    av = int(np.clip(after_raw, -(2**31), 2**31 - 1))
+                    amask = bsiops.after_mask_stacked(
+                        vals, col0, av, after_col, desc)
+                    filt = jnp.bitwise_and(filt, amask)
                 # ONE host fetch for all three results (three separate
                 # np.asarray calls cost three link round trips — r3 bench
                 # measured Sort at ~3.7 sync floors)
@@ -2503,11 +2519,22 @@ class Executor:
                 n = int(n_present)
                 if n == 0:
                     continue
-                cut = n if take is None else min(n, take)
+                cut = n if (take is None or after is not None) \
+                    else min(n, take)
                 cols = np.asarray(idx_s[:cut]).astype(np.int64)
                 vals = np.asarray(key_s[:cut]).astype(np.int64)
                 if desc:
                     vals = -vals
+                if after is not None:
+                    g = cols + shard * SHARD_WIDTH
+                    later = (vals < after_raw) if desc else \
+                        (vals > after_raw)
+                    keep = later | ((vals == after_raw) & (g > after_col))
+                    cols, vals = cols[keep], vals[keep]
+                    if take is not None:
+                        cols, vals = cols[:take], vals[:take]
+                    if cols.size == 0:
+                        continue
             else:
                 # wide fields: vectorized host decode (int64 magnitudes)
                 dense = f.values_dense_host(shard)
@@ -2521,6 +2548,14 @@ class Executor:
                 if cols.size == 0:
                     continue
                 vals = vals_d[cols]
+                if after is not None:
+                    g = cols + shard * SHARD_WIDTH
+                    later = (vals < after_raw) if desc else \
+                        (vals > after_raw)
+                    keep = later | ((vals == after_raw) & (g > after_col))
+                    cols, vals = cols[keep], vals[keep]
+                    if cols.size == 0:
+                        continue
                 order = np.lexsort((cols, -vals if desc else vals))
                 if take is not None:
                     order = order[:take]

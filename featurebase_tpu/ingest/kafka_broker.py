@@ -158,6 +158,11 @@ class _Handler(socketserver.BaseRequestHandler):
                                      .tags())
                     w2.i32(-2147483648).tags()  # topic_authorized_ops
                 w.compact_array(topics, enc_topic9)
+                # cluster_authorized_operations: the Metadata v8-v10
+                # schema carries this top-level int32 before the tagged
+                # fields (INT32_MIN = not requested); omitting it only
+                # parsed by coincidence (ADVICE r4 #3)
+                w.i32(-2147483648)
                 w.tags()
             return w.build()
         if api_key == kw.API_FETCH and api_version >= 12:

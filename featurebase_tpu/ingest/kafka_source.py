@@ -154,6 +154,7 @@ class KafkaClient:
                     "partitions": [p[1] for p in parts]}
         out = {"brokers": brokers,
                "topics": r.compact_array(topic) or []}
+        r.i32()  # cluster_authorized_operations (Metadata v8-v10 schema)
         r.tags()
         return out
 

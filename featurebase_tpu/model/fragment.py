@@ -94,10 +94,14 @@ class Fragment:
 
     def _cow(self, slot: int):
         """Preserve a row about to mutate for active snapshot pins
-        (first-touch copy-on-write; caller holds self._lock, inside or
-        just before the _mutating window).  The overlay insert happens
-        strictly before the row's words change, which is what lets pinned
-        readers verify a lock-free live read afterwards."""
+        (first-touch copy-on-write; caller holds self._lock, INSIDE the
+        _mutating odd window, strictly before the row's words change —
+        that ordering is what lets pinned readers verify a lock-free live
+        read afterwards).  A pin still mid-capture (not .complete) with
+        no entry for this fragment is preserved for conservatively: the
+        writer cannot tell "absent at pin time" from "capture hasn't
+        reached this fragment yet", and a spurious copy is harmless while
+        a missed one breaks snapshot isolation (ADVICE r4 #2)."""
         from featurebase_tpu.model.snapshot import active_pins
         pins = active_pins(self.index)
         if not pins:
@@ -110,8 +114,12 @@ class Fragment:
         need = False
         for pin in pins:
             p = pin.gen_for(self.field, self.view, self.shard)
-            if p is None or p > e:
-                continue  # fragment absent at pin (reads as empty) / newer
+            if p is None:
+                if pin.complete:
+                    continue  # fragment absent at pin (reads as empty)
+                p = e  # capture in flight: assume it will pin <= e
+            if p > e:
+                continue  # pin is newer than the state being overwritten
             if tags is not None and any(p <= t for t, _ in tags):
                 continue  # an existing copy already serves this pin
             need = True
@@ -275,7 +283,11 @@ class Fragment:
         serves the row as of the pin (MVCC overlay, model/snapshot.py)."""
         from featurebase_tpu.model.snapshot import current_pin
         pin = current_pin()
-        if pin is not None and not self.pin_current(pin):
+        if pin is not None:
+            # always copy-then-verify under a pin — a "current" check
+            # followed by a live-buffer return races with a write batch
+            # starting mid-read (ADVICE r4 #1); _pinned_row's post-copy
+            # overlay check is the verification
             return self._pinned_row(pin, row)
         slot = self._slot_of_row.get(row)
         if slot is None:
@@ -293,8 +305,8 @@ class Fragment:
             old = self._words[slot, w]
             if old & b:
                 return False
-            self._cow(slot)
             with self._mutating():
+                self._cow(slot)
                 self._words[slot, w] = old | b
             self._dirty.add(slot)
             return True
@@ -309,8 +321,8 @@ class Fragment:
             old = self._words[slot, w]
             if not (old & b):
                 return False
-            self._cow(slot)
             with self._mutating():
+                self._cow(slot)
                 self._words[slot, w] = old & ~b
             self._dirty.add(slot)
             return True
@@ -319,7 +331,8 @@ class Fragment:
         col %= SHARD_WIDTH
         from featurebase_tpu.model.snapshot import current_pin
         pin = current_pin()
-        if pin is not None and not self.pin_current(pin):
+        if pin is not None:
+            # copy-then-verify (see host_row)
             w = self._pinned_row(pin, row)
             return bool((w[col >> 5] >> (col & 31)) & 1)
         slot = self._slot_of_row.get(row)
@@ -336,14 +349,14 @@ class Fragment:
                 slot = self._slot_of_row.get(row)
                 if slot is None:
                     return
-                self._cow(slot)
                 with self._mutating():
+                    self._cow(slot)
                     np.bitwise_and(self._words[slot], ~words,
                                    out=self._words[slot])
             else:
                 slot = self._ensure_slot(row)
-                self._cow(slot)
                 with self._mutating():
+                    self._cow(slot)
                     np.bitwise_or(self._words[slot], words,
                                   out=self._words[slot])
             self._dirty.add(slot)
@@ -352,8 +365,8 @@ class Fragment:
         """Replace a row wholesale (reference Store / ClearRow+Set)."""
         with self._lock:
             slot = self._ensure_slot(row)
-            self._cow(slot)
             with self._mutating():
+                self._cow(slot)
                 self._words[slot] = words
             self._dirty.add(slot)
 
@@ -361,8 +374,8 @@ class Fragment:
         with self._lock:
             slot = self._slot_of_row.get(row)
             if slot is not None:
-                self._cow(slot)
                 with self._mutating():
+                    self._cow(slot)
                     self._words[slot] = 0
                 self._dirty.add(slot)
 
@@ -398,9 +411,9 @@ class Fragment:
             n = self.num_rows
             if n == 0:
                 return
-            for slot in range(n):
-                self._cow(slot)
             with self._mutating():
+                for slot in range(n):
+                    self._cow(slot)
                 np.bitwise_and(self._words[:n], ~col_mask[None, :],
                                out=self._words[:n])
             self._dirty.update(range(n))
@@ -460,24 +473,33 @@ class Fragment:
         Under a diverged snapshot pin, builds an uncached upload of the
         pinned row states (the generation-keyed mirror belongs to live
         readers)."""
+        import jax.numpy as jnp
         from featurebase_tpu.model.snapshot import current_pin
         pin = current_pin()
-        if pin is not None and not self.pin_current(pin):
-            import jax.numpy as jnp
-            rows = list(self._row_of_slot[: self.num_rows])
-            if not rows:
-                return jnp.zeros((0, WORDS_PER_ROW), dtype=jnp.uint32)
-            host = np.stack([self._pinned_row(pin, r) for r in rows])
-            return jnp.asarray(host)
         from featurebase_tpu.storage.residency import residency
+        host = None
         with self._lock:
-            if self._all_dirty or self._dirty or self._dev is None or \
-                    self._dev_rows != self.num_rows:
-                dev = self._flush_to_device()
+            # the pin decision is made under the fragment lock: writers
+            # mutate only while holding it, so pin_current here cannot be
+            # invalidated before the flush/cached return below completes
+            # (ADVICE r4 #1 — the unlocked check raced with write batches)
+            if pin is not None and not self.pin_current(pin):
+                rows = list(self._row_of_slot[: self.num_rows])
+                if not rows:
+                    return jnp.zeros((0, WORDS_PER_ROW), dtype=jnp.uint32)
+                host = np.stack([self._pinned_row(pin, r) for r in rows])
             else:
-                dev = self._dev
-                residency().touch(self._residency_key())
-            return dev[: max(self.num_rows, 1)] if self.num_rows else dev[:0]
+                if self._all_dirty or self._dirty or self._dev is None or \
+                        self._dev_rows != self.num_rows:
+                    dev = self._flush_to_device()
+                else:
+                    dev = self._dev
+                    residency().touch(self._residency_key())
+                return (dev[: max(self.num_rows, 1)] if self.num_rows
+                        else dev[:0])
+        # upload of the pinned build happens outside the lock — it must
+        # not block writers for the host->device transfer duration
+        return jnp.asarray(host)
 
     def device_row(self, row: int):
         """(W,) uint32 device words for one row (zeros if absent)."""
@@ -496,14 +518,19 @@ class Fragment:
         import jax.numpy as jnp
         from featurebase_tpu.model.snapshot import current_pin
         pin = current_pin()
-        if pin is not None and not self.pin_current(pin):
-            host = np.stack([self._pinned_row(pin, int(r)) for r in rows])
-            present = np.array([self._slot_of_row.get(int(r)) is not None
-                                for r in rows])
+        with self._lock:  # pin decision + slot lookups atomic vs writers
+            if pin is not None and not self.pin_current(pin):
+                host = np.stack([self._pinned_row(pin, int(r))
+                                 for r in rows])
+                present = np.array([self._slot_of_row.get(int(r)) is not None
+                                    for r in rows])
+            else:
+                host = None
+                tile = self.device_tile()
+                slots = np.array([self._slot_of_row.get(int(r), -1)
+                                  for r in rows], dtype=np.int32)
+        if host is not None:  # upload outside the lock (see device_tile)
             return jnp.asarray(host), present
-        tile = self.device_tile()
-        slots = np.array([self._slot_of_row.get(int(r), -1) for r in rows],
-                         dtype=np.int32)
         present = slots >= 0
         if tile.shape[0] == 0:
             return jnp.zeros((len(rows), WORDS_PER_ROW), dtype=jnp.uint32), present

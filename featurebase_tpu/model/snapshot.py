@@ -50,7 +50,7 @@ _pins_by_index: Dict[str, Dict[int, "Pin"]] = {}
 class Pin:
     """A registered snapshot of one index's fragment generations."""
 
-    __slots__ = ("pin_id", "index_name", "gens")
+    __slots__ = ("pin_id", "index_name", "gens", "complete")
 
     def __init__(self, pin_id: int, index_name: str):
         self.pin_id = pin_id
@@ -59,6 +59,10 @@ class Pin:
         # populated during capture (gen_for -> None means the fragment
         # did not exist at pin time: it reads as empty)
         self.gens: Dict[tuple, int] = {}
+        # False while capture is in flight: a writer seeing an incomplete
+        # pin with no entry for its fragment must preserve conservatively
+        # (it cannot distinguish "absent at pin" from "not yet captured")
+        self.complete = False
 
     def gen_for(self, field: str, view: str, shard: int) -> Optional[int]:
         return self.gens.get((field, view, shard))
@@ -77,17 +81,29 @@ def pin_index(index) -> Pin:
         _pins_by_index.setdefault(index.name, {})[pin.pin_id] = pin
     try:
         for key, frag in index.iter_fragments():
-            g = frag.generation
-            if g & 1:
-                # in-flight write batch: the fragment lock is held for
-                # exactly the batch's duration — taking it briefly rides
-                # out the odd window without spinning
-                with frag._lock:
-                    g = frag.generation
-                while g & 1:  # monkeypatched/torn edge: spin briefly
-                    time.sleep(0.0001)
-                    g = frag.generation
-            pin.gens[key] = g
+            while True:
+                g = frag.generation
+                if g & 1:
+                    # in-flight write batch: the fragment lock is held for
+                    # exactly the batch's duration — taking it briefly rides
+                    # out the odd window without spinning
+                    with frag._lock:
+                        g = frag.generation
+                    while g & 1:  # monkeypatched/torn edge: spin briefly
+                        time.sleep(0.0001)
+                        g = frag.generation
+                pin.gens[key] = g
+                # Re-validate after publishing: a writer that read
+                # pin.gens before the entry was visible may have skipped
+                # preservation (seeing None for this key) — but any such
+                # writer also moved the generation, so an unchanged
+                # re-read proves the published entry is safe.  Writers
+                # whose COW runs inside the odd seqlock window and who
+                # treat incomplete pins conservatively (Fragment._cow)
+                # close the remaining pre-bump window.
+                if frag.generation == g:
+                    break
+        pin.complete = True
     except Exception:
         release(pin)
         raise

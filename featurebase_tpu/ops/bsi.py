@@ -690,6 +690,34 @@ def sort_bsi_stacked(vals, exists_words, desc: bool, cut: int, filt=None):
     return top_idx, -top_scores, n_present
 
 
+@jax.jit
+def pack_bits(b):
+    """(..., C) bool -> (..., C//32) uint32 little-endian bitmap words
+    (inverse of expand_bits)."""
+    shape = b.shape
+    x = b.reshape(*shape[:-1], shape[-1] // 32, 32).astype(jnp.uint32)
+    w = jnp.arange(32, dtype=jnp.uint32)
+    return jnp.sum(x << w, axis=-1, dtype=jnp.uint32)
+
+
+@partial(jax.jit, static_argnums=(4,))
+def after_mask_stacked(vals, col0, after_val, after_col, desc: bool):
+    """Keyset-cursor bitmap for streamed Sort pages: columns strictly
+    AFTER (after_val, after_col) in (value, column) sort order.
+
+    `vals` (S, C) int32 unbased decoded values (plan.stacked_vals);
+    `col0` (S,) int64 global column base per shard.  Returns (S, W)
+    uint32 words to AND into the sort filter — cursor resume instead of
+    limit/offset pagination, which is unstable under concurrent writes
+    (ADVICE r4 #4; reference ordering contract: executor.go:9321)."""
+    iota = jnp.arange(vals.shape[-1], dtype=jnp.int64)
+    gcol = col0[:, None] + iota[None, :]
+    v64 = vals.astype(jnp.int64)
+    later = (v64 < after_val) if desc else (v64 > after_val)
+    tie = (v64 == after_val) & (gcol > after_col)
+    return pack_bits(later | tie)
+
+
 def decode_values(slices, sign, depth: int):
     """Per-column signed values as (..., SHARD_WIDTH) int32 dense vector.
 

@@ -657,3 +657,37 @@ class TestVarCorrPQL:
         e, *_ = env
         (got,) = e.execute("vc", "Var(field=x, filter=Row(x > 1000))")
         assert got is None
+
+
+class TestPercentileThresholdCompat:
+    """COMPATIBILITY NOTE (tracked divergence, ADVICE r4 #5): the
+    reference computes Percentile's desired_less/desired_greater
+    thresholds in float64 (reference executor.go:1462), so for (total,
+    nth) combinations where float64 rounding crosses an integer the two
+    engines can pick adjacent values.  This engine computes the
+    thresholds exact-rationally (identical limb arithmetic on the fused
+    device path, ops/bsi.py percentile_fused) — intentionally: the
+    exact form is deterministic across platforms and both of our paths.
+
+    Pinned example: total=500, nth=20.2.  Exactly: 500 * 20.2/100 with
+    20.2's binary value 20.19999999999999928946… gives 100.9999999…,
+    floor 100; float64 arithmetic rounds 500*20.2 up to 10100.000000000002
+    and floors to 101.  Over values 1..500 the reference would therefore
+    answer 102 where we answer 101.
+    """
+
+    def test_exact_rational_thresholds_pinned(self):
+        from featurebase_tpu.executor.executor import Executor
+        from featurebase_tpu.model.field import FieldOptions
+        from featurebase_tpu.model.index import Holder
+        holder = Holder()
+        idx = holder.create_index("pctl")
+        idx.create_field("v", FieldOptions(type="int", min=0, max=1000))
+        cols = np.arange(1, 501)
+        idx.field("v").import_values(cols, cols)
+        idx.mark_exists(cols)
+        e = Executor(holder)
+        (vc,) = e.execute("pctl", "Percentile(field=v, nth=20.2)")
+        # exact-rational thresholds: desired_less=100 -> value 101
+        # (float64 thresholds would give desired_less=101 -> value 102)
+        assert vc.val == 101

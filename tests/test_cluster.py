@@ -301,3 +301,35 @@ class TestUnlimitedSortStreaming:
             got_l = response_to_json(
                 tc[1].query("i", "Sort(All(), field=v, limit=3, offset=1)"))
             assert got_l == want_l
+
+    def test_keyset_pages_stable_under_concurrent_writes(self, monkeypatch):
+        """A write landing BETWEEN pages must not duplicate or drop
+        records: pages resume by (value, column) keyset cursor, not
+        offset, so a newly inserted low value cannot shift the order
+        under the stream (ADVICE r4 #4)."""
+        from featurebase_tpu.cluster.distributed import DistributedExecutor
+        monkeypatch.setattr(DistributedExecutor, "SORT_STREAM_CHUNK", 3)
+        real = DistributedExecutor._exec_on_node
+        state = {"pages": 0, "tc": None}
+
+        def inject(self, node, index_name, call, shards):
+            out = real(self, node, index_name, call, shards)
+            if call.name == "Sort":
+                state["pages"] += 1
+                if state["pages"] == 1 and state["tc"] is not None:
+                    # low value sorts BEFORE every cursor: offset
+                    # pagination would shift the node's pages by one
+                    state["tc"][0].import_values(
+                        "i", "v", [7 * SHARD_WIDTH + 11], [-1000])
+                    state["tc"][0].import_bits(
+                        "i", "f", [1], [7 * SHARD_WIDTH + 11])
+            return out
+
+        monkeypatch.setattr(DistributedExecutor, "_exec_on_node", inject)
+        with TestCluster(2) as tc:
+            seed(tc[0])
+            state["tc"] = tc
+            got = response_to_json(tc[1].query("i", "Sort(All(), field=v)"))
+            cols = got["results"][0]["columns"]
+            assert len(cols) == len(set(cols)), "duplicate records in stream"
+            assert set(COLS) <= set(cols), "seeded records dropped"
