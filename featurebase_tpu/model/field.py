@@ -460,11 +460,59 @@ class Field:
                                                         o.time_quantum) for t in ts])
                     tf.import_bits(r[sel], c[sel], clear=clear)
 
+    def encode_values_vec(self, values) -> np.ndarray:
+        """Vectorized encode_value over a batch (the scalar Python loop
+        cost ~0.3s/M records — the single biggest ingest hot spot)."""
+        o = self.options
+        arr = np.asarray(values)
+        if arr.dtype.kind in "iu":
+            if o.type == TYPE_DECIMAL:
+                return arr.astype(np.int64) * (10 ** o.scale)
+            return arr.astype(np.int64)
+        if arr.dtype.kind == "f" and o.type == TYPE_DECIMAL:
+            return np.round(arr * (10 ** o.scale)).astype(np.int64)
+        return np.array([self.encode_value(v) for v in values],
+                        dtype=np.int64)
+
+    @staticmethod
+    def _bsi_delta(c, v, mg, depth: int) -> np.ndarray:
+        """(depth+2, W) delta tile for one shard's BSI import.  Host
+        scatter by default (np.bitwise_or.at); set
+        FEATUREBASE_TPU_DEVICE_INGEST=1 to run the scatter on device
+        (ops/bsi.py bsi_delta_device — SURVEY §2.9(7) device-side
+        position scatter; pays one host->device->host round trip, a win
+        only when the link outruns host memory)."""
+        import os
+        if os.environ.get("FEATUREBASE_TPU_DEVICE_INGEST") == "1" \
+                and depth <= 31:
+            import jax.numpy as jnp
+            from featurebase_tpu.ops.bsi import bsi_delta_device
+            return np.asarray(bsi_delta_device(
+                jnp.asarray(c, jnp.int32), jnp.asarray(mg, jnp.uint32),
+                jnp.asarray((v < 0), jnp.uint32), depth))
+        wi = (c >> 5).astype(np.int64)
+        bv = (np.uint32(1) << (c & 31).astype(np.uint32))
+        delta = np.zeros((depth + 2, SHARD_WIDTH // 32), dtype=np.uint32)
+        np.bitwise_or.at(delta[0], wi, bv)                    # exists
+        np.bitwise_or.at(delta[1], wi,
+                         bv * (v < 0).astype(np.uint32))      # sign
+        for i in range(depth):
+            np.bitwise_or.at(delta[2 + i], wi,
+                             bv * ((mg >> np.uint64(i)) &
+                                   np.uint64(1)).astype(np.uint32))
+        return delta
+
     def import_values(self, cols: np.ndarray, values, clear: bool = False):
-        """Bulk BSI import (reference fragment.importValue:1947)."""
+        """Bulk BSI import (reference fragment.importValue:1947).
+
+        Hot path (reference parallelSlices position-sort analog,
+        fragment.go:1614): one word-index scatter builds a (depth+2, W)
+        delta tile — exists, sign, magnitude planes — which lands in the
+        fragment in a single locked vectorized OR (merge_rows_delta).
+        OR-ing a zero bit is a no-op, so no per-plane boolean selection
+        is needed."""
         cols = np.asarray(cols, dtype=np.int64)
-        stored = np.array([self.encode_value(v) - self.base for v in values],
-                          dtype=np.int64)
+        stored = self.encode_values_vec(values) - self.base
         if clear:
             for c in cols:
                 self.clear_value(int(c))
@@ -473,30 +521,22 @@ class Field:
         depth = max(self.bit_depth, int(mags.max()).bit_length() if mags.size else 1, 1)
         self.bit_depth = depth
         shards = cols >> 20
-        from featurebase_tpu.ops.bitwise import cols_to_words
         for s in np.unique(shards):
             m = shards == s
             c = cols[m] % SHARD_WIDTH
             v = stored[m]
-            mg = mags[m]
+            mg = mags[m].astype(np.uint64)
             if not self._writable(int(s)):
                 self.note_shard(view_bsi_group(self.name), int(s), ())
                 continue
             frag = self.bsi_view().create_fragment_if_not_exists(int(s))
-            # clear previous values on these columns, then write
-            col_mask = cols_to_words(np.unique(c))
-            frag.clear_columns(col_mask)
-            exists_rows = np.zeros(c.size, dtype=np.int64) + BSI_EXISTS_ROW
-            frag.import_bits(exists_rows, c)
-            neg = v < 0
-            if neg.any():
-                frag.import_bits(np.full(neg.sum(), BSI_SIGN_ROW, dtype=np.int64),
-                                 c[neg])
-            for i in range(depth):
-                sel = ((mg >> i) & 1).astype(bool)
-                if sel.any():
-                    frag.import_bits(np.full(sel.sum(), BSI_OFFSET + i,
-                                             dtype=np.int64), c[sel])
+            delta = self._bsi_delta(c, v, mg, depth)
+            # clear previous values on these columns (delta[0] IS the
+            # imported-column mask), then land every plane in one window
+            frag.clear_columns(delta[0])
+            frag.merge_rows_delta(
+                [BSI_EXISTS_ROW, BSI_SIGN_ROW] +
+                [BSI_OFFSET + i for i in range(depth)], delta)
 
     # -- BSI device data accessor ------------------------------------------
 

@@ -404,6 +404,21 @@ class Fragment:
                         np.bitwise_or.at(tgt, c >> 5, vals)
                     self._dirty.add(slot)
 
+    def merge_rows_delta(self, rows, delta: np.ndarray):
+        """OR a (R, W) delta tile into R rows in ONE lock/seqlock window
+        (the BSI bulk-import hot path: one scatter pass builds the delta,
+        one vectorized OR lands all planes; reference analog:
+        fragment.importValue:1947 position batching)."""
+        with self._lock:
+            slots = [self._ensure_slot(int(r)) for r in rows]
+            with self._mutating():
+                for slot in slots:
+                    self._cow(slot)
+                w = self._words
+                for slot, d in zip(slots, delta):
+                    np.bitwise_or(w[slot], d, out=w[slot])
+            self._dirty.update(slots)
+
     def clear_columns(self, col_mask: np.ndarray):
         """ANDNOT a dense column mask out of every row (reference Delete /
         ClearRecords paths, executor.go:9131)."""

@@ -718,6 +718,32 @@ def after_mask_stacked(vals, col0, after_val, after_col, desc: bool):
     return pack_bits(later | tie)
 
 
+@partial(jax.jit, static_argnums=(3,))
+def bsi_delta_device(cols, mags, neg, depth: int):
+    """Device-side BSI ingest scatter (SURVEY §2.9(7); reference position
+    sort: fragment.go:1614 parallelSlices, importPositions:1731).
+
+    Builds the (depth+2, W) delta tile — exists, sign, magnitude planes —
+    entirely on device from (n,) record arrays: cols int32 (column within
+    shard), mags uint32 magnitudes, neg uint32 sign flags.  Per plane a
+    scatter-max of the plane's bit lands duplicates idempotently; the
+    bit-space result packs to words with pack_bits.  The host path
+    (Field.import_values) computes the same tile with np.bitwise_or.at;
+    this kernel moves that scatter onto the chip for rigs where the
+    device link outruns host memory (bench records both)."""
+    width = 1 << 20  # SHARD_WIDTH; static here to keep ops standalone
+
+    def plane(bit_vals):
+        return jnp.zeros((width,), jnp.uint8).at[cols].max(
+            bit_vals.astype(jnp.uint8))
+
+    planes = [plane(jnp.ones_like(cols, dtype=jnp.uint8)),
+              plane(neg)]
+    for i in range(depth):
+        planes.append(plane((mags >> jnp.uint32(i)) & jnp.uint32(1)))
+    return pack_bits(jnp.stack(planes))
+
+
 def decode_values(slices, sign, depth: int):
     """Per-column signed values as (..., SHARD_WIDTH) int32 dense vector.
 

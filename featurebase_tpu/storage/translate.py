@@ -35,6 +35,40 @@ def fnv64a(data: bytes) -> int:
     return h
 
 
+def fnv64a_batch(prefix: bytes, items: list) -> "np.ndarray":
+    """Vectorized FNV-1a over a batch of byte strings sharing a prefix.
+
+    FNV is sequential per byte but embarrassingly parallel ACROSS keys:
+    equal-length keys advance in lockstep as one uint64 numpy column op
+    per byte position (unsigned wraparound is numpy-exact).  The Python
+    per-byte loop cost ~5us/key and bounded keyed ingest at ~160k
+    records/s (reference bottleneck analog: batch.go:860 doTranslation).
+    """
+    import numpy as np
+    h0 = _FNV_OFFSET
+    for b in prefix:
+        h0 ^= b
+        h0 = (h0 * _FNV_PRIME) & _MASK64
+    out = np.empty(len(items), dtype=np.uint64)
+    by_len: Dict[int, list] = {}
+    for i, kb in enumerate(items):
+        by_len.setdefault(len(kb), []).append(i)
+    prime = np.uint64(_FNV_PRIME)
+    for length, idxs in by_len.items():
+        if length == 0:
+            out[np.array(idxs)] = np.uint64(h0)
+            continue
+        arr = np.frombuffer(
+            b"".join(items[i] for i in idxs), dtype=np.uint8
+        ).reshape(len(idxs), length)
+        h = np.full(len(idxs), h0, dtype=np.uint64)
+        for j in range(length):
+            h ^= arr[:, j].astype(np.uint64)
+            h *= prime
+        out[np.array(idxs)] = h
+    return out
+
+
 def shard_to_shard_partition(index: str, shard: int,
                              partition_n: int = PARTITION_N) -> int:
     return fnv64a(index.encode() + shard.to_bytes(8, "big")) % partition_n
@@ -72,6 +106,11 @@ def generate_next_partitioned_id(index: str, prev: int, partition_id: int,
 class TranslatePartition:
     """One key partition's bidirectional map."""
 
+    # (index, shard) -> shard partition, shared across partitions: the
+    # next-id probe re-hashes the same shard ids constantly (reference:
+    # translate.go:103 GenerateNextPartitionedID)
+    _shard_part_cache: Dict[tuple, int] = {}
+
     def __init__(self, index: str, partition_id: int):
         self.index = index
         self.partition_id = partition_id
@@ -79,12 +118,27 @@ class TranslatePartition:
         self.id_to_key: Dict[int, str] = {}
         self.max_id = 0
 
+    def _next_id(self) -> int:
+        if self.partition_id == -1:
+            return self.max_id + 1
+        id_ = self.max_id + 1
+        cache = self._shard_part_cache
+        while True:
+            shard = id_ // SHARD_WIDTH
+            ck = (self.index, shard)
+            p = cache.get(ck)
+            if p is None:
+                p = shard_to_shard_partition(self.index, shard)
+                cache[ck] = p
+            if p == self.partition_id:
+                return id_
+            id_ += SHARD_WIDTH
+
     def create(self, key: str) -> int:
         id_ = self.key_to_id.get(key)
         if id_ is not None:
             return id_
-        id_ = generate_next_partitioned_id(self.index, self.max_id,
-                                           self.partition_id)
+        id_ = self._next_id()
         self.max_id = id_
         self.key_to_id[key] = id_
         self.id_to_key[id_] = key
@@ -107,15 +161,37 @@ class IndexTranslateStore:
             self.partitions[p] = part
         return part
 
+    def _parts_for_keys(self, keys: list, create: bool) -> list:
+        """Partition objects (or None when absent and not creating) for a
+        key batch via ONE vectorized hash pass (fnv64a_batch) instead of
+        a per-key Python FNV loop."""
+        pids = fnv64a_batch(self.index.encode(),
+                            [k.encode() for k in keys]) % PARTITION_N
+        out = []
+        for pid in pids:
+            pid = int(pid)
+            part = self.partitions.get(pid)
+            if part is None and create:
+                part = TranslatePartition(self.index, pid)
+                self.partitions[pid] = part
+            out.append(part)
+        return out
+
     def create_keys(self, keys: Iterable[str]) -> Dict[str, int]:
+        keys = list(keys)
         with self._lock:
-            return {k: self._part_for_key(k).create(k) for k in keys}
+            parts = self._parts_for_keys(keys, create=True)
+            return {k: part.create(k) for k, part in zip(keys, parts)}
 
     def find_keys(self, keys: Iterable[str]) -> Dict[str, int]:
+        keys = list(keys)
         with self._lock:
             out = {}
-            for k in keys:
-                id_ = self._part_for_key(k).key_to_id.get(k)
+            for k, part in zip(keys, self._parts_for_keys(keys,
+                                                          create=False)):
+                if part is None:
+                    continue
+                id_ = part.key_to_id.get(k)
                 if id_ is not None:
                     out[k] = id_
             return out

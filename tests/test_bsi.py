@@ -124,3 +124,38 @@ def test_expand_bits():
     bits = np.asarray(bsiops.expand_bits(words))
     assert bits.shape == (SHARD_WIDTH,)
     np.testing.assert_array_equal(np.nonzero(bits)[0], cols)
+
+
+class TestDeviceIngestScatter:
+    """Device-side BSI delta scatter (ops/bsi.py bsi_delta_device,
+    SURVEY §2.9(7)) must produce bit-identical tiles to the host
+    np.bitwise_or.at path."""
+
+    def test_device_delta_matches_host(self, monkeypatch):
+        from featurebase_tpu.model.field import Field
+        rng = np.random.default_rng(7)
+        n = 5000
+        c = rng.choice(1 << 20, size=n, replace=False).astype(np.int64)
+        v = rng.integers(-500, 3000, size=n)
+        mg = np.abs(v).astype(np.uint64)
+        depth = 12
+        host = Field._bsi_delta(c, v, mg, depth)
+        monkeypatch.setenv("FEATUREBASE_TPU_DEVICE_INGEST", "1")
+        dev = Field._bsi_delta(c, v, mg, depth)
+        assert host.shape == dev.shape == (depth + 2, (1 << 20) // 32)
+        assert np.array_equal(host, dev)
+
+    def test_import_values_roundtrip_device(self, monkeypatch):
+        monkeypatch.setenv("FEATUREBASE_TPU_DEVICE_INGEST", "1")
+        from featurebase_tpu.model.field import FieldOptions
+        from featurebase_tpu.model.index import Holder
+        holder = Holder()
+        idx = holder.create_index("devi")
+        idx.create_field("v", FieldOptions(type="int", min=-10, max=100))
+        cols = np.array([1, 5, 1 << 20, (1 << 20) + 3])
+        vals = np.array([-7, 42, 0, 99])
+        idx.field("v").import_values(cols, vals)
+        f = idx.field("v")
+        got = [f.value(int(cc)) for cc in cols]
+        assert [g[0] for g in got] == [-7, 42, 0, 99]
+        assert all(g[1] for g in got)
