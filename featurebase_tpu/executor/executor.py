@@ -600,6 +600,21 @@ class Executor:
         n = cols.size
         if f.is_bsi():
             depth = max(f.bit_depth, 1)
+            # large gathers (Extract-scale): decode from the host master
+            # planes — the device gather round-trips ~12B/record over the
+            # link (cols up, values+nulls down), which dominates 1M-record
+            # extracts on a tunnelled chip (VERDICT r4 #5; reference
+            # streams host-side arrow tables, arrow.go:366)
+            if n >= (1 << 16):
+                dense = f.values_dense_host(shard)
+                if dense is None:
+                    return np.zeros(n, np.int64), np.ones(n, dtype=bool)
+                vals_d, exists_b = dense
+                vals = vals_d[cols].astype(np.int64) + f.base
+                null = ~exists_b[cols]
+                if f.options.type == TYPE_DECIMAL:
+                    return vals / float(10 ** f.options.scale), null
+                return vals, null
             data = f.bsi_data(shard)
             if data is None:
                 return np.zeros(n, np.int64), np.ones(n, dtype=bool)
@@ -631,11 +646,14 @@ class Executor:
         rows = frag.slot_rows() if frag else []
         if not rows:
             return np.zeros(n, np.int64), np.ones(n, dtype=bool)
-        jnp = _jnp()
-        tile = frag.device_tile()
         word_idx = (cols >> 5).astype(np.int32)
         bit_idx = (cols & 31).astype(np.uint32)
-        sub = np.asarray(jnp.take(tile, jnp.asarray(word_idx), axis=1))
+        if n >= (1 << 16):  # large gather: host master, no link traffic
+            sub = np.stack([frag.host_row(r)[word_idx] for r in rows])
+        else:
+            jnp = _jnp()
+            tile = frag.device_tile()
+            sub = np.asarray(jnp.take(tile, jnp.asarray(word_idx), axis=1))
         bits = (sub >> bit_idx[None, :]) & 1  # (R, C)
         rows_arr = np.asarray(rows, dtype=np.int64)
         any_set = bits.any(axis=0)
@@ -2355,45 +2373,71 @@ class Executor:
                 tt = "int64"
             tfields.append(ExtractedTableField(name=f.name, type=tt))
 
-        columns: List[ExtractedTableColumn] = []
-        for shard in self._shards(index, shards):
-            words = np.asarray(self._bitmap_call_shard(index, filt_call, shard))
-            cols = bw.words_to_cols(words)  # within-shard
+        # columnar accumulation: shards ascend and within-shard columns
+        # ascend, so the concatenation is already globally sorted — no
+        # per-record objects, no O(n log n) object sort (VERDICT r4 #5;
+        # reference streams per-shard arrow tables, arrow.go:366)
+        col_ids: list = []
+        field_values: List[list] = [[] for _ in flds]
+        shard_list = sorted(self._shards(index, shards))
+        # filter materialization: All() reads the host existence row (no
+        # device traffic); other plannable filters fetch every shard's
+        # words in ONE stacked device_get instead of a round trip per
+        # shard (the per-shard fetches dominated Extract's tail on a
+        # tunnelled chip — VERDICT r4 #5)
+        filt_rows = None
+        ef = index.existence_field()
+        if filt_call.name == "All" and not filt_call.args and \
+                ef is not None and index.options.track_existence:
+            v0 = ef.view(VIEW_STANDARD)
+            filt_rows = {}
+            for s in shard_list:
+                fr = v0.fragment(s) if v0 else None
+                filt_rows[s] = fr.host_row(0) if fr is not None else \
+                    np.zeros(WORDS_PER_ROW, dtype=np.uint32)
+        else:
+            stacked = self._mesh_filter(
+                index, filt_call if isinstance(filt_call, Call) else None,
+                shard_list)
+            if stacked is not None and filt_call.name != "All":
+                import jax
+                arr = np.asarray(jax.device_get(stacked))
+                filt_rows = {s: arr[si] for si, s in enumerate(shard_list)}
+        for shard in shard_list:
+            if filt_rows is not None:
+                words = filt_rows[shard]
+            else:
+                words = np.asarray(
+                    self._bitmap_call_shard(index, filt_call, shard))
+            cols = bw.words_to_cols(words)  # within-shard, ascending
             if cols.size == 0:
                 continue
-            # columnar gather per field, then one C-speed zip into records
-            # (the per-record append loops cost ~4us/record at 1M+ rows)
-            per_field = [self._extract_field_values(f, shard, cols)
-                         for f in flds]
-            gcols = (cols.astype(np.int64) + shard * SHARD_WIDTH).tolist()
-            for c, *vals in zip(gcols, *per_field):
-                columns.append(ExtractedTableColumn(column=c, rows=vals))
-        columns.sort(key=lambda c: c.column)
+            for fi, f in enumerate(flds):
+                field_values[fi].extend(
+                    self._extract_field_values(f, shard, cols))
+            col_ids.extend(
+                (cols.astype(np.int64) + shard * SHARD_WIDTH).tolist())
         # key translation for columns / row ids — batched (one store pass
         # per field, not one lookup per record)
-        if index.options.keys and columns:
-            keys = index.translate_store.translate_ids(
-                [c.column for c in columns])
-            for c, k in zip(columns, keys):
-                if k is not None:
-                    c.column = k
+        if index.options.keys and col_ids:
+            keys = index.translate_store.translate_ids(col_ids)
+            col_ids = [k if k is not None else c
+                       for c, k in zip(col_ids, keys)]
         for fi, f in enumerate(flds):
             if f.options.keys and not f.is_bsi():
                 store = index.row_translation(f.name)
-                ids = sorted({int(r) for c in columns
-                              for r in (c.rows[fi]
-                                        if isinstance(c.rows[fi], list)
-                                        else ([c.rows[fi]]
-                                              if c.rows[fi] is not None
-                                              else []))})
+                vals = field_values[fi]
+                ids = sorted({int(r) for v in vals
+                              for r in (v if isinstance(v, list)
+                                        else ([v] if v is not None else []))})
                 lut = dict(zip(ids, store.translate_ids(ids)))
-                for c in columns:
-                    v = c.rows[fi]
-                    if isinstance(v, list):
-                        c.rows[fi] = [lut.get(r) for r in v]
-                    elif v is not None and f.options.type == TYPE_MUTEX:
-                        c.rows[fi] = lut.get(v)
-        return ExtractedTable(tfields, columns)
+                field_values[fi] = [
+                    [lut.get(r) for r in v] if isinstance(v, list)
+                    else (lut.get(v) if v is not None and
+                          f.options.type == TYPE_MUTEX else v)
+                    for v in vals]
+        return ExtractedTable(tfields, col_ids=col_ids,
+                              field_values=field_values)
 
     def _extract_field_values(self, f: Field, shard: int,
                               cols: np.ndarray) -> List[Any]:
@@ -2418,11 +2462,14 @@ class Executor:
         rows = frag.slot_rows() if frag else []
         if not rows:
             return acc
-        import jax.numpy as jnp
-        tile = frag.device_tile()
         word_idx = (cols >> 5).astype(np.int32)
         bit_idx = (cols & 31).astype(np.uint32)
-        sub = np.asarray(jnp.take(tile, jnp.asarray(word_idx), axis=1))
+        if n >= (1 << 16):  # large gather: host master, no link traffic
+            sub = np.stack([frag.host_row(r)[word_idx] for r in rows])
+        else:
+            import jax.numpy as jnp
+            tile = frag.device_tile()
+            sub = np.asarray(jnp.take(tile, jnp.asarray(word_idx), axis=1))
         bits = (sub >> bit_idx[None, :]) & 1
         rows_arr = np.asarray(rows, dtype=np.int64)
         ci_idx, ri_idx = np.nonzero(bits.T)

@@ -212,16 +212,60 @@ class ExtractedTableColumn:
 
 
 class ExtractedTable:
-    __slots__ = ("fields", "columns")
+    """Tabular Extract result.  Columnar-first (VERDICT r4 #5 /
+    reference arrow.go:366 per-shard streaming): the executor fills
+    `col_ids` (record ids or keys, sorted) and `field_values` (one
+    parallel value list per field); the per-record `columns` view
+    materializes lazily only for consumers that iterate records
+    (volcano SQL scan, gRPC row stream, cluster wire) — building 1M
+    record objects eagerly cost ~2.3s/M at extract time."""
+
+    __slots__ = ("fields", "_columns", "col_ids", "field_values")
 
     def __init__(self, fields: List[ExtractedTableField],
-                 columns: List[ExtractedTableColumn]):
+                 columns: Optional[List[ExtractedTableColumn]] = None,
+                 col_ids: Optional[list] = None,
+                 field_values: Optional[list] = None):
         self.fields = fields
-        self.columns = columns
+        self._columns = columns
+        self.col_ids = col_ids if col_ids is not None else \
+            (None if columns is not None else [])
+        self.field_values = field_values
+
+    @property
+    def columns(self) -> List[ExtractedTableColumn]:
+        if self._columns is None:
+            cids = self.col_ids or []
+            if self.field_values:
+                self._columns = [
+                    ExtractedTableColumn(c, list(vs))
+                    for c, vs in zip(cids, zip(*self.field_values))]
+            else:
+                self._columns = [ExtractedTableColumn(c, [])
+                                 for c in cids]
+        return self._columns
+
+    @columns.setter
+    def columns(self, v: List[ExtractedTableColumn]):
+        self._columns = v
+        self.col_ids = None
+        self.field_values = None
+
+    def __len__(self):
+        if self.col_ids is not None:
+            return len(self.col_ids)
+        return len(self._columns or ())
 
     def to_json(self):
-        return {
-            "fields": [{"name": f.name, "type": f.type} for f in self.fields],
-            "columns": [{"column": c.column, "rows": c.rows}
-                        for c in self.columns],
-        }
+        fields = [{"name": f.name, "type": f.type} for f in self.fields]
+        if self._columns is None and self.col_ids is not None:
+            if self.field_values:
+                cols = [{"column": c, "rows": list(vs)}
+                        for c, vs in zip(self.col_ids,
+                                         zip(*self.field_values))]
+            else:
+                cols = [{"column": c, "rows": []} for c in self.col_ids]
+        else:
+            cols = [{"column": c.column, "rows": c.rows}
+                    for c in self.columns]
+        return {"fields": fields, "columns": cols}
