@@ -369,10 +369,17 @@ def engine_latencies(on_tpu: bool) -> dict:
         em = Executor(holder, mesh=make_mesh(1))
         for name, pql in (("mesh_count_p50_ms", queries["count_p50_ms"]),
                           ("mesh_groupby_sum_p50_ms",
-                           queries["groupby_sum_p50_ms"])):
+                           queries["groupby_sum_p50_ms"]),
+                          ("mesh_sort_p50_ms", queries["sort_p50_ms"]),
+                          ("mesh_min_p50_ms", queries["min_p50_ms"]),
+                          ("mesh_percentile_p50_ms",
+                           queries["percentile_p50_ms"])):
             if time.perf_counter() - start > budget_s:
                 out["truncated"] = True
                 break
+            base = name.replace("mesh_", "").replace("_p50_ms", "")
+            out[f"mesh_{base}_kernel_est_ms"] = out.get(
+                f"{base}_kernel_est_ms", 0.0)
             p50, s50 = measure(em, name, pql)
             record(name, p50, s50)
     except Exception as ex:  # noqa: BLE001

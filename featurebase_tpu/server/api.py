@@ -187,6 +187,15 @@ class API:
             self.holder.sql_functions[e["name"]] = e["def"]
         elif op == "drop_function":
             self.holder.sql_functions.pop(e["name"], None)
+        elif op == "schema_log":
+            # consensus-state rebuild only: schema CONTENT replays from
+            # its own per-op records above (cluster/schemalog.py round-5
+            # durability)
+            self.schema_log.restore_entry(
+                {"idx": e["idx"], "term": e.get("term", 0),
+                 "op": e.get("sop", {})})
+        elif op == "schema_term":
+            self.schema_log.restore_term(e["term"], e.get("leader"))
         else:
             raise ValueError(f"unknown WAL op: {op!r}")
 
@@ -230,18 +239,72 @@ class API:
             raise APIError(str(e), e.status)
         return self._schema_result(op)
 
+    def _ensure_schema_term(self):
+        """Pre-commit quorum round (cluster/schemalog.py round-5 terms):
+        read every reachable peer's (term, applied, suffix); CATCH UP on
+        entries committed while this node was away; when our term lease
+        is stale (a peer has seen a newer term, or we never established
+        one), establish term = max_seen + 1 by quorum vote.  A healed
+        stale leader therefore either converges before committing or
+        fails cleanly — it can never commit behind the majority."""
+        from featurebase_tpu.cluster.client import (NodeUnreachable,
+                                                    RemoteError)
+        cl = self.cluster
+        self_id = cl.self_node.id
+        views = []
+        for p in cl.peers():
+            try:
+                views.append(cl.client._call(
+                    p.uri, "GET",
+                    f"/internal/schema/log?from={self.schema_log.applied}"))
+            except (NodeUnreachable, RemoteError):
+                views.append(None)
+        live = 1 + sum(1 for v in views if v is not None)
+        if live * 2 <= len(cl.nodes):
+            raise APIError(
+                "schema commit needs a reachable majority "
+                f"({live}/{len(cl.nodes)})", 503)
+        # catch up on anything a peer committed past us
+        for v in views:
+            if v and v.get("applied", 0) > self.schema_log.applied:
+                for e in self.schema_log.install(v.get("entries", []),
+                                                 v["applied"]):
+                    self._apply_schema_msg(e["op"], lenient=True)
+                    self._log({"op": "schema_log", "idx": e["idx"],
+                               "term": e.get("term", 0), "sop": e["op"]})
+        max_term = max([self.schema_log.term] +
+                       [v.get("term", 0) for v in views if v])
+        if self.schema_log.holds_term(self_id) and \
+                self.schema_log.term >= max_term:
+            return  # our lease is still the newest known term
+        new_term = max_term + 1
+        acks = 1  # self
+        self.schema_log.accept_term(new_term, self_id)
+        for p in cl.peers():
+            try:
+                cl.client.cluster_message(
+                    p.uri, {"type": "schema_term", "term": new_term,
+                            "leader": self_id})
+                acks += 1
+            except (NodeUnreachable, RemoteError):
+                pass
+        if acks * 2 <= len(cl.nodes):
+            raise APIError(
+                f"schema term {new_term} not accepted by a majority", 503)
+        self._log({"op": "schema_term", "term": new_term,
+                   "leader": self_id})
+
     def _commit_schema_op(self, op: dict):
-        """Leader-side commit: quorum -> validate+apply -> log+broadcast.
-        Nothing is logged when the apply raises (a 409 etc. reaches the
-        proposer with the log untouched)."""
-        from featurebase_tpu.cluster.cluster import ClusterQuorumError
-        try:
-            self.cluster._require_quorum("commit a schema change")
-        except ClusterQuorumError as e:
-            raise APIError(str(e), 503)
+        """Leader-side commit: term round (quorum + catch-up) ->
+        validate+apply -> log+broadcast.  Nothing is logged when the
+        apply raises (a 409 etc. reaches the proposer with the log
+        untouched)."""
         with self._schema_commit_lock:
+            self._ensure_schema_term()
             result = self._apply_schema_msg(op)
             entry = self.schema_log.append(op)
+            self._log({"op": "schema_log", "idx": entry["idx"],
+                       "term": entry["term"], "sop": op})
             self.cluster.broadcast(
                 {"type": "schema_entry", **entry,
                  "origin_uri": self.cluster.self_node.uri})
@@ -311,8 +374,17 @@ class API:
                     self._commit_schema_op(msg["op"])
                 finally:
                     self._from_broadcast = True
+            elif t == "schema_term":
+                if not self.schema_log.accept_term(msg["term"],
+                                                   msg["leader"]):
+                    raise APIError(
+                        f"stale term {msg['term']} "
+                        f"(current {self.schema_log.term})", 409)
+                self._log({"op": "schema_term", "term": msg["term"],
+                           "leader": msg["leader"]})
             elif t == "schema_entry":
-                entry = {"idx": msg["idx"], "op": msg["op"]}
+                entry = {"idx": msg["idx"], "term": msg.get("term", 0),
+                         "op": msg["op"]}
                 origin = msg.get("origin_uri")
 
                 def fetch(frm):
@@ -327,6 +399,8 @@ class API:
                         return []
                 for e in self.schema_log.receive(entry, fetch):
                     self._apply_schema_msg(e["op"], lenient=True)
+                    self._log({"op": "schema_log", "idx": e["idx"],
+                               "term": e.get("term", 0), "sop": e["op"]})
             elif t == "topology":
                 if self.cluster is not None:
                     prev = self.cluster.apply_topology(

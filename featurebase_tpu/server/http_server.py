@@ -509,7 +509,8 @@ class Handler(BaseHTTPRequestHandler):
             frm = int(query.get("from", "0"))
             log = self.api.schema_log
             return self._send({"entries": log.suffix(frm),
-                               "applied": log.applied})
+                               "applied": log.applied,
+                               "term": log.term})
 
         if path == "/internal/cluster/join" and method == "POST":
             return self._send(self.api.cluster_join(self._json()))

@@ -96,12 +96,11 @@ class TestHandoff:
         # peer serving shard snapshots
         src_holder, src_idx, (cols, fr, vv) = build()
         from featurebase_tpu.server.api import API
-        src_api = API.__new__(API)
-        src_api.holder = src_holder
-        src_api.cluster = None
+        src_api = API(holder=src_holder)
 
         # target: process 0 of 2 — owns only its share
         holder, idx, _ = build(with_policy=(2, 0))
+        api = API(holder=holder)
         held_before = {sh for v in idx.field("f").views.values()
                        for sh in v.fragments}
 
@@ -110,9 +109,8 @@ class TestHandoff:
         # api_directive.go:144)
         placement.configure(3, 0)
         res = placement.handoff(
-            holder,
-            lambda index, shard: API.shard_snapshot_bytes(
-                src_api, index, shard),
+            api,
+            lambda index, shard: src_api.shard_snapshot_bytes(index, shard),
             old_n=2, new_n=3)
         held_after = {sh for v in idx.field("f").views.values()
                       for sh in v.fragments}
@@ -131,3 +129,90 @@ class TestHandoff:
         assert count == int(((fr == 1) & owned_mask).sum())
         # departed shards stay known (the metadata keeps the global view)
         assert set(idx.available_shards()) == set(range(16))
+
+
+class TestLiveReconfigure:
+    """reconfigure() — the live membership entry point (VERDICT r4 weak
+    #4 / next #6): grow a 2-process placement to 3 with RUNNING server
+    peers; arriving shards pull their bytes over the real cluster client
+    (HTTP shard-snapshot endpoints) and queries stay correct throughout.
+    Reference flow: ApplyDirective diff -> loadShard
+    (api_directive.go:144,559)."""
+
+    def _write_stream(self, idx, cols, fr, vv):
+        idx.field("f").import_bits(fr, cols)
+        idx.field("v").import_values(cols, vv)
+        idx.mark_exists(cols)
+
+    def test_grow_2_to_3_rehomes_over_live_cluster(self, tmp_path):
+        from featurebase_tpu.testing import TestCluster
+        rng = np.random.default_rng(3)
+        n, shards = 4000, 16
+        cols = np.sort(rng.choice(shards * SHARD_WIDTH, size=n,
+                                  replace=False))
+        fr = rng.integers(0, 4, size=n)
+        vv = rng.integers(0, 1000, size=n)
+        want_total = int((fr == 1).sum())
+        dirs = [str(tmp_path / f"p{i}") for i in range(3)]
+
+        with TestCluster(3) as tc:
+            tc[0].create_index("pl", {})
+            tc[0].create_field("pl", "f", {"type": "set"})
+            tc[0].create_field("pl", "v", {"type": "int", "min": 0,
+                                           "max": 1000})
+            # world of 2: nodes 0,1 store their owned share, node 2 (not
+            # yet a mesh member) records metadata only — every process
+            # sees the same write stream (control plane replication)
+            for i in range(3):
+                placement.reconfigure(tc[i], 2, i, state_dir=dirs[i])
+                self._write_stream(tc[i].holder.index("pl"), cols, fr, vv)
+
+            def held(i):
+                idx = tc[i].holder.index("pl")
+                return {sh for f in idx.fields.values()
+                        for v in f.views.values() for sh in v.fragments}
+
+            def owned_count(i, world):
+                placement.configure(world, i)
+                e = Executor(tc[i].holder)
+                (c,) = e.execute("pl", "Count(Row(f=1))")
+                return int(c)
+
+            assert held(2) == set()
+            # global answer = sum over owners (the mesh psum role)
+            assert sum(owned_count(i, 2) for i in range(2)) == want_total
+
+            # GROW to 3: each process reconfigures at startup into the
+            # new world; node 2 is new (no persisted state -> explicit
+            # old_n).  Default fetch pulls from previous owners over the
+            # live cluster HTTP client.
+            results = []
+            for i in range(3):
+                results.append(placement.reconfigure(
+                    tc[i], 3, i, state_dir=dirs[i],
+                    old_n=2 if i == 2 else None))
+            assert results[2]["loaded"], "new process loaded nothing"
+            assert any(r.get("pending_drop") for r in results[:2]), \
+                "no shard departed the old owners"
+            # drops are deferred until every process's loads completed
+            # (the fleet barrier) — a new owner never finds its source
+            # already gone
+            for i in range(3):
+                placement.configure(3, i)
+                placement.drop_shards(tc[i], results[i].get(
+                    "pending_drop", []))
+
+            # host bytes re-homed: every shard held exactly where owned
+            all_held = set()
+            for i in range(3):
+                placement.configure(3, i)
+                owned = {s for s in range(shards)
+                         if placement.owns("pl", s)}
+                assert held(i) <= owned, (i, held(i), owned)
+                all_held |= held(i)
+            assert all_held == set(range(shards))
+            # and queries stay correct: global answer unchanged
+            assert sum(owned_count(i, 3) for i in range(3)) == want_total
+            # persisted state now says 3 everywhere
+            for d in dirs:
+                assert placement.previous_n(d) == 3
