@@ -84,3 +84,45 @@ class DataframeStore:
                     if n not in names:
                         names.append(n)
         return names
+
+    # -- persistence (reference: per-shard `_dataframe` dirs of parquet/
+    # arrow files alongside the bitmaps, index.go:111, arrow.go) ----------
+
+    def shard_parquet(self, shard: int) -> Optional[bytes]:
+        """One shard's columns as parquet bytes (None when empty)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        df = self.shard(shard)
+        if df is None or df.columns["_id"].size == 0:
+            return None
+        table = pa.table({k: pa.array(v) for k, v in df.columns.items()})
+        buf = io.BytesIO()
+        pq.write_table(table, buf)
+        return buf.getvalue()
+
+    def save(self, directory: str):
+        """Write every shard as <directory>/<shard>.parquet."""
+        import os
+        os.makedirs(directory, exist_ok=True)
+        with self._lock:
+            shard_ids = list(self.shards)
+        for s in shard_ids:
+            data = self.shard_parquet(s)
+            if data:
+                with open(os.path.join(directory, f"{s}.parquet"),
+                          "wb") as fh:
+                    fh.write(data)
+
+    @classmethod
+    def load(cls, directory: str) -> "DataframeStore":
+        """Restore from a save() directory (missing dir -> empty store)."""
+        import os
+        st = cls()
+        if not os.path.isdir(directory):
+            return st
+        for fn in os.listdir(directory):
+            if not fn.endswith(".parquet"):
+                continue
+            with open(os.path.join(directory, fn), "rb") as fh:
+                st.ingest_parquet(int(fn[:-8]), fh.read())
+        return st

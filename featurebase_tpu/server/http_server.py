@@ -397,16 +397,14 @@ class Handler(BaseHTTPRequestHandler):
         # http_handler.go:506; arrow.go ingest)
         m = re.fullmatch(r"/index/([^/]+)/dataframe/(\d+)", path)
         if m and method == "POST":
-            idx = self.api.holder.index(m.group(1))
-            if idx is None:
-                raise APIError("index not found", 404)
             ct = self.headers.get("Content-Type", "")
             if "json" in ct or not ct:
                 b = self._json()
-                idx.dataframe.ingest_json(int(m.group(2)),
-                                          b.get("columns", b))
+                self.api.dataframe_ingest(m.group(1), int(m.group(2)),
+                                          columns=b.get("columns", b))
             else:
-                idx.dataframe.ingest_parquet(int(m.group(2)), self._body())
+                self.api.dataframe_ingest(m.group(1), int(m.group(2)),
+                                          parquet=self._body())
             return self._send({})
 
         m = re.fullmatch(r"/export", path)

@@ -70,6 +70,9 @@ def save(holder: Holder, directory: str, idalloc=None):
                         os.makedirs(fdir, exist_ok=True)
                         np.savez_compressed(
                             os.path.join(fdir, f"{shard}.npz"), **d)
+        for iname, idx in holder.indexes.items():
+            if idx._dataframe is not None and idx._dataframe.shards:
+                idx._dataframe.save(os.path.join(tmp, "dataframe", iname))
         if os.path.exists(directory):
             old = directory + ".old"
             if os.path.exists(old):
@@ -155,4 +158,12 @@ def load(directory: str, idalloc=None) -> Holder:
                                 max_slice = max(max_slice, int(r) - 2)
                         if max_slice >= 0:
                             f.bit_depth = max(f.bit_depth, max_slice + 1)
+    dfroot = os.path.join(directory, "dataframe")
+    if os.path.isdir(dfroot):
+        from featurebase_tpu.model.dataframe import DataframeStore
+        for iname in os.listdir(dfroot):
+            idx = holder.index(iname)
+            if idx is not None:
+                idx._dataframe = DataframeStore.load(
+                    os.path.join(dfroot, iname))
     return holder
