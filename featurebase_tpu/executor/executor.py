@@ -1299,7 +1299,14 @@ class Executor:
             possible = (_trunc_div(lo, 2) + _trunc_div(hi, 2)
                         + _trunc_div(_trunc_div(lo, 2) * -2 + lo
                                      + _trunc_div(hi, 2) * -2 + hi, 2))
-            raw = possible  # field units
+            # bisection runs in stored units; Row() predicates encode
+            # their value, so decimals must be decoded first or the
+            # predicate would be scaled twice (found by tranche-4
+            # acceptance: stored 1150 -> Row(d1 < 1150) meant 11.50,
+            # not 1150.00)
+            from featurebase_tpu.model.field import TYPE_DECIMAL
+            raw = f.decode_value(possible) \
+                if f.options.type == TYPE_DECIMAL else possible
             left = count_of(Condition("<", raw))
             if left > desired_less:
                 hi = possible - 1

@@ -9,6 +9,13 @@ Statements end with ';'; meta commands:
   \\d <table>         describe a table's columns
   \\timing [on|off]   toggle per-query timing
   \\i <file>          execute statements from a file
+  \\ingest <cfg.json> run a Kafka-source ingest into the connected
+                      server (reference: fbsql kafka config, cli/cli.go;
+                      maps onto the IDK kit, ingest/kafka_source.py)
+
+\\ingest config keys: bootstrap "host:port", topic, index; optional
+group, id_field (default "id"), batch_size, max_batches, and fields
+{name: type-or-options} created on the server before consuming.
 
 Non-interactive use: pipe statements on stdin (`echo "SELECT 1;" | fbsql`).
 """
@@ -70,6 +77,79 @@ def render_table(out: dict) -> str:
     return "\n".join(lines)
 
 
+def _post_json(host: str, path: str, body: dict,
+               ok_statuses=(409,)) -> Optional[dict]:
+    req = urllib.request.Request(
+        host + path, data=json.dumps(body).encode(), method="POST",
+        headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            return json.loads(resp.read() or b"{}")
+    except urllib.error.HTTPError as e:
+        if e.code in ok_statuses:  # already-exists is fine for schema
+            return None
+        raise
+
+
+def kafka_ingest(host: str, cfg: dict) -> dict:
+    """Consume a Kafka topic into the connected server over its HTTP
+    import endpoints (the remote counterpart of `featurebase-tpu
+    consume`; reference: fbsql's kafka ingest configuration,
+    cli/cli.go).  Returns {"records": n, "batches": b}."""
+    from featurebase_tpu.ingest.idk import Recordizer
+    from featurebase_tpu.ingest.kafka_source import KafkaSource
+
+    index = cfg["index"]
+    _post_json(host, f"/index/{index}", {"options": cfg.get(
+        "index_options", {"trackExistence": True})})
+    fields = cfg.get("fields", {})
+    for name, opts in fields.items():
+        if isinstance(opts, str):
+            opts = {"type": opts}
+        _post_json(host, f"/index/{index}/field/{name}",
+                   {"options": opts})
+    bootstrap = cfg["bootstrap"]
+    src = KafkaSource(bootstrap, cfg["topic"],
+                      group=cfg.get("group", "fbsql"))
+    rec = Recordizer(id_field=cfg.get("id_field", "id"))
+    batch_size = int(cfg.get("batch_size", 4096))
+    max_batches = cfg.get("max_batches")
+    n_records = n_batches = 0
+    while max_batches is None or n_batches < int(max_batches):
+        records = src.poll(batch_size)
+        if not records:
+            break
+        per_field: dict = {}
+        for raw in records:
+            rid, vals = rec(raw)
+            if rid is None:
+                continue
+            for fname, v in vals.items():
+                if v is None or (fields and fname not in fields):
+                    continue
+                per_field.setdefault(fname, []).append((rid, v))
+        for fname, pairs in per_field.items():
+            cols = [p[0] for p in pairs]
+            vals = [p[1] for p in pairs]
+            if all(isinstance(v, (int, float)) and
+                   not isinstance(v, bool) for v in vals) and \
+                    (fields.get(fname) in ("int", "decimal", "timestamp")
+                     or (isinstance(fields.get(fname), dict) and
+                         fields[fname].get("type") in
+                         ("int", "decimal", "timestamp"))):
+                body = {"columnIDs": cols, "values": vals}
+            else:
+                key = "rowKeys" if any(isinstance(v, str) for v in vals) \
+                    else "rowIDs"
+                body = {key: vals, "columnIDs": cols}
+            _post_json(host, f"/index/{index}/field/{fname}/import", body,
+                       ok_statuses=())
+        src.commit()
+        n_records += len(records)
+        n_batches += 1
+    return {"records": n_records, "batches": n_batches}
+
+
 class Shell:
     def __init__(self, host: str, out=None):
         self.host = host
@@ -112,6 +192,16 @@ class Shell:
                     for stmt in split_statements(fh.read()):
                         self.run_sql(stmt)
             except OSError as e:
+                self._print(f"ERROR: {e}")
+        elif cmd == "\\ingest" and len(parts) > 1:
+            try:
+                with open(parts[1]) as fh:
+                    cfg = json.load(fh)
+                stats = kafka_ingest(self.host, cfg)
+                self._print(f"ingested {stats['records']} records "
+                            f"({stats['batches']} batches) into "
+                            f"{cfg['index']}")
+            except Exception as e:  # noqa: BLE001 — shell surfaces errors
                 self._print(f"ERROR: {e}")
         else:
             self._print(f"unknown command: {cmd}")

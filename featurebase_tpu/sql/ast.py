@@ -228,6 +228,14 @@ class DropView:
         self.if_exists = if_exists
 
 
+class AlterView:
+    __slots__ = ("name", "select_sql")
+
+    def __init__(self, name, select_sql):
+        self.name = name
+        self.select_sql = select_sql
+
+
 class Insert:
     __slots__ = ("table", "columns", "rows", "replace")
 

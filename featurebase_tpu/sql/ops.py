@@ -533,9 +533,7 @@ class AggAcc:
                 return None
             nth = float(eval_expr(self.f.args[1], {})) \
                 if len(self.f.args) > 1 else 50.0
-            vs = sorted(self.values)
-            i = min(int(len(vs) * nth / 100.0), len(vs) - 1)
-            return vs[i]
+            return _pql_percentile(self.values, nth)
         if self.kind == "var":
             # population variance, 6dp (reference expressionagg.go:1183:
             # variance/n, decimal scale 6)
@@ -556,3 +554,46 @@ class AggAcc:
             import math
             return round(num / math.sqrt(den2), 6)
         raise SQLRuntimeError(f"unknown aggregate {self.kind}")
+
+
+def _pql_percentile(values, nth: float):
+    """Reference Percentile bisection over a value list (executor.go:1310)
+    — the same math as the engine's fused device program, so volcano
+    residual paths agree with PQL pushdown.  Integer values bisect
+    exactly (Go-truncating pivot arithmetic, executor.go:1497-1500);
+    float (decimal) values bisect in 1e-2-scaled integer space, matching
+    the engine's stored-unit arithmetic for DECIMAL(2)."""
+    scale = 1
+    if any(isinstance(v, float) and not float(v).is_integer()
+           for v in values):
+        scale = 100
+    vs = [round(v * scale) for v in values]
+    total = len(vs)
+    num0, den0 = float(nth).as_integer_ratio()
+    d100 = den0 * 100
+    desired_less = total * num0 // d100
+    desired_greater = total * (d100 - num0) // d100
+    mn, mx = min(vs), max(vs)
+    if desired_greater != 0 and desired_less == 0:
+        return mn / scale if scale > 1 else mn
+    if desired_greater == 0:
+        return mx / scale if scale > 1 else mx
+
+    def tdiv(a, b):
+        return -(-a // b) if (a < 0) != (b < 0) else a // b
+
+    lo, hi = mn, mx
+    possible = lo
+    while lo < hi:
+        possible = (tdiv(lo, 2) + tdiv(hi, 2)
+                    + tdiv(tdiv(lo, 2) * -2 + lo + tdiv(hi, 2) * -2 + hi, 2))
+        left = sum(1 for v in vs if v < possible)
+        if left > desired_less:
+            hi = possible - 1
+            continue
+        right = sum(1 for v in vs if v > possible)
+        if right > desired_greater:
+            lo = possible + 1
+            continue
+        break
+    return possible / scale if scale > 1 else possible

@@ -16,7 +16,8 @@ from __future__ import annotations
 import re
 from typing import Any, List, Optional, Tuple
 
-from featurebase_tpu.sql.ast import (AlterTable, Between, BinOp, BulkInsert,
+from featurebase_tpu.sql.ast import (AlterTable, AlterView, Between, BinOp,
+                                     BulkInsert,
                                      Case, Col, Copy, CreateDatabase,
                                      CreateFunction, CreateTable, CreateView,
                                      Delete, DropDatabase, DropFunction,
@@ -418,8 +419,16 @@ def _create(lx: Lexer):
     return CreateTable(name, cols, ine, options)
 
 
-def _alter(lx: Lexer) -> AlterTable:
+def _alter(lx: Lexer):
     lx.expect_kw("alter")
+    if lx.try_kw("view"):
+        # ALTER VIEW name AS select — redefine (reference: sql3 alter
+        # view, defs_views.go "alter-view")
+        name = lx.ident()
+        lx.expect_kw("as")
+        mark = lx.pos
+        _select(lx)  # validate
+        return AlterView(name, lx.span_from(mark))
     lx.expect_kw("table")
     table = lx.ident()
     if lx.try_kw("add"):

@@ -127,11 +127,23 @@ def _execute_stmt(api: API, stmt) -> dict:
         api.delete_index(stmt.name)
         return _ok()
     if isinstance(stmt, sa.CreateView):
+        # a view may not shadow an existing table (reference:
+        # defs_views.go "create-view-should-fail")
+        if api.holder.index(stmt.name) is not None:
+            raise APIError(
+                f"table or view already exists: {stmt.name}", 409)
         api.create_sql_view(stmt.name, stmt.select_sql,
                             if_not_exists=stmt.if_not_exists)
         return _ok()
     if isinstance(stmt, sa.DropView):
         api.delete_sql_view(stmt.name, if_exists=stmt.if_exists)
+        return _ok()
+    if isinstance(stmt, sa.AlterView):
+        # redefine: view must exist (reference: defs_views.go alter-view)
+        if stmt.name not in api.holder.sql_views:
+            raise APIError(f"view not found: {stmt.name}", 404)
+        api.delete_sql_view(stmt.name)
+        api.create_sql_view(stmt.name, stmt.select_sql)
         return _ok()
     if isinstance(stmt, sa.CreateDatabase):
         h = api.holder
@@ -420,6 +432,11 @@ def _delete(api: API, stmt: sa.Delete) -> dict:
         filt = Call("All")
     else:
         comp = SelectCompiler(api)
+        # materialize IN (SELECT ...) subqueries first (reference:
+        # defs_delete.go "delete ... where _id in (select ...)")
+        shim = sa.Select()
+        shim.where = stmt.where
+        stmt.where = comp._rewrite_in_selects(shim).where
         filt, residual = comp.split_where(idx, stmt.table, stmt.where)
         if residual is not None:
             raise APIError("DELETE WHERE must be expressible as a bitmap "
@@ -761,6 +778,31 @@ class SelectCompiler:
                                                allow_scan_defer=True))
                      for j in sel.joins]
         self._validate_columns(sel, src, src_info, join_srcs)
+        if src_info is not None:
+            for a in aggs:
+                self._validate_agg(src_info["table"], a)
+            # set-typed columns have no total order (reference:
+            # defs_orderby.go "unable to sort a column of type ...")
+            idx0 = self.api.holder.index(src_info["table"])
+            if idx0 is not None and sel.order_by:
+                amap = {it.alias: it.expr for it in sel.items if it.alias}
+                # a set column in GROUP BY projects one scalar member per
+                # group — sortable (reference: defs_groupby.go groups by
+                # idset and orders on it)
+                grouped = {g.name for g in sel.group_by
+                           if isinstance(g, sa.Col)}
+                for e, _ in sel.order_by:
+                    t = amap.get(e.name, e) \
+                        if isinstance(e, sa.Col) and e.table is None else e
+                    if isinstance(t, sa.Col) and t.name not in grouped:
+                        f0 = idx0.field(t.name)
+                        if f0 is not None and \
+                                f0.options.type in ("set", "time"):
+                            kind = "stringset" if f0.options.keys \
+                                else "idset"
+                            raise APIError(
+                                "unable to sort a column of type "
+                                f"'{kind}'", 400)
 
         joins_present = bool(sel.joins)
 
@@ -922,9 +964,21 @@ class SelectCompiler:
         if sel.order_by:
             alias_map = {it.alias: it.expr for it in sel.items if it.alias}
             keys = []
+            items = [it for it in sel.items]
             for e, desc in sel.order_by:
-                target = alias_map.get(e.name, e) \
-                    if isinstance(e, sa.Col) and e.table is None else e
+                if isinstance(e, sa.Lit) and isinstance(e.value, int):
+                    # ordinal: ORDER BY 1 = first select item (reference:
+                    # defs_orderby.go / defs_groupby.go "order by 2 asc")
+                    n = e.value
+                    if not 1 <= n <= len(items) or \
+                            isinstance(items[n - 1].expr, sa.Star):
+                        raise APIError(
+                            f"ORDER BY position {n} is out of range", 400)
+                    target = items[n - 1].expr
+                elif isinstance(e, sa.Col) and e.table is None:
+                    target = alias_map.get(e.name, e)
+                else:
+                    target = e
                 keys.append((self._key_fn(target), desc))
             op = PlanOpOrderBy(op, keys)
 
@@ -1160,6 +1214,28 @@ class SelectCompiler:
             walk(e)
         return found
 
+    def _validate_agg(self, table: str, a: sa.Func):
+        """Aggregate argument typing (reference: sql3 semantic checks,
+        defs_aggregate.go percentileTests error shapes)."""
+        idx = self.api.holder.index(table)
+        if idx is None or a.name != "percentile":
+            return
+        if not a.args or not isinstance(a.args[0], sa.Col):
+            raise APIError(
+                "percentile: column reference expected", 400)
+        col = a.args[0].name
+        if col == "_id":
+            raise APIError(
+                "_id column cannot be used in aggregate function "
+                "'percentile'", 400)
+        f = idx.field(col)
+        if f is not None and not f.is_bsi():
+            raise APIError(
+                "percentile: integer, decimal or timestamp expression "
+                "expected", 400)
+        if len(a.args) > 1 and not isinstance(a.args[1], sa.Lit):
+            raise APIError("percentile: literal expression expected", 400)
+
     def _agg_pushable(self, table: str, a: sa.Func) -> bool:
         idx = self.api.holder.index(table)
         if a.name == "count":
@@ -1363,8 +1439,16 @@ class SelectCompiler:
         if col is None:
             return None
         if col == "_id":
+            def bounded(c):
+                # ConstRow alone would resurrect deleted records: bound
+                # it by existence (reference: deleted ids stay gone,
+                # defs_delete.go; found by tranche-4 acceptance)
+                if idx.options.track_existence:
+                    return Call("Intersect", children=[c, Call("All")])
+                return c
             if isinstance(e, sa.BinOp) and e.op == "=":
-                return Call("ConstRow", {"columns": [self._id_of(idx, lit)]})
+                return bounded(
+                    Call("ConstRow", {"columns": [self._id_of(idx, lit)]}))
             if isinstance(e, sa.BinOp) and e.op == "!=":
                 return Call("Not", children=[
                     Call("ConstRow", {"columns": [self._id_of(idx, lit)]})])
@@ -1372,7 +1456,7 @@ class SelectCompiler:
                 vals = [self._id_of(idx, v.value) for v in e.values
                         if isinstance(v, sa.Lit)]
                 if len(vals) == len(e.values):
-                    return Call("ConstRow", {"columns": vals})
+                    return bounded(Call("ConstRow", {"columns": vals}))
             return None
         f = idx.field(col)
         if f is None:

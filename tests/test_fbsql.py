@@ -61,3 +61,42 @@ SELECT _id, name, n FROM sh ORDER BY n DESC;
         out = render_table({"schema": [{"name": "a"}, {"name": "b"}],
                             "data": [[None, True], [1, False]]})
         assert "NULL" in out and "true" in out and "false" in out
+
+
+class TestIngestMeta:
+    """\\ingest: kafka-source configuration from the shell (VERDICT r4
+    next #10; reference: fbsql kafka ingest config, cli/cli.go) — drives
+    a kafka -> table ingest against the connected server end-to-end."""
+
+    def test_kafka_ingest_to_table(self, server, tmp_path):
+        import json as _json
+
+        from featurebase_tpu.ingest.kafka_broker import KafkaBroker
+        from featurebase_tpu.ingest.kafka_source import KafkaClient
+        broker = KafkaBroker(num_partitions=1).start()
+        try:
+            c = KafkaClient("127.0.0.1", broker.port)
+            msgs = [(None, _json.dumps(
+                {"id": i, "seg": f"s{i % 2}", "qty": i * 10}).encode())
+                for i in range(1, 7)]
+            c.produce("orders", 0, msgs)
+            cfg = {
+                "bootstrap": f"127.0.0.1:{broker.port}",
+                "topic": "orders",
+                "index": "korders",
+                "id_field": "id",
+                "max_batches": 2,
+                "fields": {"seg": {"type": "set", "keys": True},
+                           "qty": {"type": "int", "min": 0, "max": 1000}},
+            }
+            cfg_path = tmp_path / "ingest.json"
+            cfg_path.write_text(_json.dumps(cfg))
+            out = run_shell(server, f"""\\ingest {cfg_path}
+SELECT COUNT(*) FROM korders;
+SELECT _id, qty FROM korders WHERE seg = 's1' ORDER BY qty;
+""")
+            assert "ingested 6 records" in out, out
+            assert "(3 rows)" in out  # s1 -> ids 1, 3, 5
+            assert "50" in out        # qty of id 5
+        finally:
+            broker.stop()
