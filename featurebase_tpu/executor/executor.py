@@ -817,6 +817,16 @@ class Executor:
 
     def _execute_bitmap_call(self, index: Index, call: Call,
                              shards: Optional[List[int]]) -> Row:
+        if call.name == "All" and ("limit" in call.args
+                                   or "offset" in call.args):
+            # All(limit=, offset=) — a global column cut (reference:
+            # executeAllCallShard executor.go:5781 honors limit/offset;
+            # silently ignoring them over-returned — found by the PQL
+            # tranche-2 acceptance)
+            return self._execute_limit(
+                index, Call("Limit", {"limit": call.args.get("limit"),
+                                      "offset": call.args.get("offset", 0)},
+                            children=[Call("All")]), shards)
         shard_list = self._shards(index, shards)
         # staged-plan fast path: one XLA program over stacked shards
         plan = self._try_compile(index, call)
@@ -1455,6 +1465,11 @@ class Executor:
         f = self._field_or_err(index, fld)
         n = call.args.get("n") or call.args.get("k") or 0
         filt_call = call.children[0] if call.children else None
+        if filt_call is None and isinstance(call.args.get("filter"), Call):
+            # TopK's named filter arg (reference executor.go:2455
+            # CallArg("filter"); silently ignoring it returned unfiltered
+            # counts — found by the PQL tranche-2 acceptance)
+            filt_call = call.args["filter"]
         # TopK time range support
         from_t, to_t = call.args.get("from"), call.args.get("to")
 

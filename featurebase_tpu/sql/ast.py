@@ -247,16 +247,23 @@ class Insert:
 
 
 class BulkInsert:
-    """BULK INSERT INTO t (cols) [MAP (...)] FROM 'file' WITH FORMAT 'CSV'
-    (reference: sql3 BULK INSERT; simplified to CSV header/positional)."""
-    __slots__ = ("table", "columns", "source", "format", "header")
+    """BULK INSERT INTO t (cols) [MAP (pos TYPE, ...)]
+    [TRANSFORM (@n|literal, ...)] FROM 'file'|x'inline'
+    WITH [BATCHSIZE n] [FORMAT 'CSV'] [INPUT 'FILE'|'STREAM']
+    (reference: sql3 BULK INSERT, defs_bulkinsert.go)."""
+    __slots__ = ("table", "columns", "source", "format", "header",
+                 "map_spec", "transform", "inline")
 
-    def __init__(self, table, columns, source, format="CSV", header=True):
+    def __init__(self, table, columns, source, format="CSV", header=True,
+                 map_spec=None, transform=None, inline=False):
         self.table = table
         self.columns = columns
         self.source = source
         self.format = format
         self.header = header
+        self.map_spec = map_spec    # [(source_pos, type_str)] or None
+        self.transform = transform  # [int @pos | ("lit", v)] or None
+        self.inline = inline        # True: source is the data itself
 
 
 class Delete:

@@ -181,8 +181,12 @@ def _statement(lx: Lexer):
             lx.expect_kw("from")
             direction = "from"
         k, v = lx.next()
+        if k == "word" and direction == "to":
+            # COPY src TO dst — table-to-table clone (reference:
+            # defs_copy.go; the quoted-path file form is an extension)
+            return Copy(table, "clone", v)
         if k != "str":
-            raise SQLError("COPY requires a quoted file path")
+            raise SQLError("COPY requires a table name or quoted path")
         return Copy(table, direction, v)
     if w == "bulk":
         return _bulk_insert(lx)
@@ -484,20 +488,81 @@ def _bulk_insert(lx: Lexer) -> BulkInsert:
             if not lx.try_op(","):
                 break
         lx.expect_op(")")
+    map_spec = None
+    if lx.try_kw("map"):
+        # MAP (0 ID, 1 STRING, 3 DECIMAL(2), ...) — source positions +
+        # types (reference: defs_bulkinsert.go)
+        lx.expect_op("(")
+        map_spec = []
+        while True:
+            k, pos = lx.next()
+            if k != "num":
+                raise SQLError("MAP expects a source position")
+            typ = lx.ident().lower()
+            if lx.try_op("("):
+                arg = lx.next()[1]
+                lx.expect_op(")")
+                typ = f"{typ}({arg})"
+            map_spec.append((int(pos), typ))
+            if not lx.try_op(","):
+                break
+        lx.expect_op(")")
+    transform = None
+    if lx.try_kw("transform"):
+        # TRANSFORM (@0, @1, 'lit', ...) — source refs per target column
+        lx.expect_op("(")
+        transform = []
+        while True:
+            if lx.try_op("@"):
+                k, n = lx.next()
+                if k != "num":
+                    raise SQLError("@ expects a position")
+                transform.append(int(n))
+            else:
+                transform.append(("lit", _literal_value(lx)))
+            if not lx.try_op(","):
+                break
+        lx.expect_op(")")
     lx.expect_kw("from")
+    inline = False
+    k, v = lx.peek()
+    if k == "word" and str(v).lower() == "x":
+        lx.next()  # x'...' inline stream (reference: FROM x'data')
+        inline = True
     k, src = lx.next()
     if k != "str":
-        raise SQLError("BULK INSERT FROM expects a quoted path")
+        raise SQLError("BULK INSERT FROM expects a quoted path or x'data'")
     fmt, header = "CSV", True
     while lx.try_kw("with"):
-        w = lx.ident().lower()
-        if w == "format":
-            k, fmt = lx.next()
-        elif w == "header_row":
-            header = True
-        elif w == "no_header_row":
-            header = False
-    return BulkInsert(table, cols, src, fmt, header)
+        while True:
+            kk, w = lx.peek()
+            if kk != "word":
+                break
+            w = str(w).lower()
+            if w == "format":
+                lx.next()
+                k, fmt = lx.next()
+            elif w == "header_row":
+                lx.next()
+                header = True
+            elif w == "no_header_row":
+                lx.next()
+                header = False
+            elif w == "batchsize":
+                lx.next()
+                lx.next()  # batch size hint: accepted, single-batch here
+            elif w == "input":
+                lx.next()
+                k, mode = lx.next()
+                if str(mode).upper() == "STREAM":
+                    inline = True
+            else:
+                break
+    if map_spec is not None:
+        header = False  # mapped positions: no header inference
+    return BulkInsert(table, cols, src, fmt, header,
+                      map_spec=map_spec, transform=transform,
+                      inline=inline)
 
 
 def _literal_value(lx: Lexer):

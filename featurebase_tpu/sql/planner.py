@@ -95,8 +95,30 @@ def plan_graph(api: API, sql: str) -> dict:
 
 
 def _copy(api: API, stmt: sa.Copy) -> dict:
-    """COPY table TO/FROM 'file.csv' (reference: sql3 COPY)."""
+    """COPY src TO dst (table clone, reference: sql3 COPY
+    defs_copy.go) or COPY table TO/FROM 'file.csv' (file extension)."""
     import csv as _csv
+    if stmt.direction == "clone":
+        src = api.holder.index(stmt.table)
+        if src is None:
+            raise APIError(
+                f"table or view not found: {stmt.table}", 404)
+        if api.holder.index(stmt.path) is not None:
+            raise APIError(f"table already exists: {stmt.path}", 409)
+        # clone schema via SHOW CREATE-equivalent field options
+        api.create_index(stmt.path, {
+            "keys": src.options.keys,
+            "trackExistence": src.options.track_existence})
+        for f in src.public_fields():
+            api.create_field(stmt.path, f.name, f.options.to_json())
+        sel = parse_sql(f'SELECT * FROM "{stmt.table}"')[0]
+        out = _execute_stmt(api, sel)
+        names = [fd["name"] for fd in out["schema"]["fields"]]
+        n = len(out["data"])
+        if n:
+            _insert(api, sa.Insert(stmt.path, names, out["data"]))
+        return {"schema": {"fields": [{"name": "rows", "type": "int"}]},
+                "data": [[n]]}
     if stmt.direction == "to":
         sel = parse_sql(f'SELECT * FROM "{stmt.table}"')[0]
         out = _execute_stmt(api, sel)
@@ -388,16 +410,46 @@ def _bulk_insert(api: API, stmt: sa.BulkInsert) -> dict:
         raise APIError(f"table not found: {stmt.table}", 404)
     if str(stmt.format).upper() != "CSV":
         raise APIError(f"unsupported BULK INSERT format {stmt.format}", 400)
-    try:
-        fh = open(stmt.source, newline="")
-    except OSError as e:
-        raise APIError(f"cannot open {stmt.source}: {e}", 400)
-    with fh:
-        reader = csv.reader(fh)
-        rows = list(reader)
+    if stmt.inline:
+        # FROM x'...' / INPUT 'STREAM': the source IS the data
+        # (reference: defs_bulkinsert.go inline streams)
+        lines = [ln.strip() for ln in stmt.source.splitlines()
+                 if ln.strip()]
+        rows = list(csv.reader(lines))
+    else:
+        try:
+            fh = open(stmt.source, newline="")
+        except OSError as e:
+            raise APIError(f"cannot open {stmt.source}: {e}", 400)
+        with fh:
+            reader = csv.reader(fh)
+            rows = list(reader)
     if not rows:
         return _ok()
-    if stmt.columns:
+    if stmt.map_spec is not None and stmt.columns:
+        # MAP positions (+ optional TRANSFORM @refs) select source
+        # fields per target column; MAP index N -> source position
+        cols = stmt.columns
+        refs = stmt.transform if stmt.transform is not None \
+            else list(range(len(stmt.map_spec)))
+        if len(refs) != len(cols):
+            raise APIError(
+                "BULK INSERT column list and transform/map arity differ",
+                400)
+        out_rows = []
+        for r in rows:
+            vals = []
+            for ref in refs:
+                if isinstance(ref, tuple):  # ("lit", v)
+                    vals.append(ref[1])
+                    continue
+                if ref >= len(stmt.map_spec):
+                    raise APIError(f"@{ref} out of MAP range", 400)
+                pos = stmt.map_spec[ref][0]
+                vals.append(r[pos].strip() if pos < len(r) else "")
+            out_rows.append(vals)
+        rows = out_rows
+    elif stmt.columns:
         cols = stmt.columns
         if stmt.header:
             rows = rows[1:]
