@@ -66,19 +66,22 @@ class Controller:
         self.field_keys: Dict[str, FieldTranslateStore] = {}
         self._threads: List[threading.Thread] = []
         self._stop = threading.Event()
+        self._db = None
         if data_dir:
             os.makedirs(data_dir, exist_ok=True)
+            from featurebase_tpu.dax.sqldb import ControllerDB
+            self._db = ControllerDB(os.path.join(data_dir,
+                                                 "controller.sqlite"))
             self._load_state()
 
-    # -- persistence -----------------------------------------------------------
+    # -- persistence (reference: dax/controller/sqldb — SQL-backed state
+    # with migrations; every save is one transaction) ----------------------
 
     def _state_path(self) -> str:
         return os.path.join(self.data_dir, "controller.json")
 
-    def _persist(self):
-        if not self.data_dir:
-            return
-        state = {
+    def _state_dict(self) -> dict:
+        return {
             "assignments": {t: {str(s): w for s, w in m.items()}
                             for t, m in self.assignments.items()},
             "databases": self.databases,
@@ -91,17 +94,28 @@ class Controller:
             "fieldKeys": {k: st.to_json()
                           for k, st in self.field_keys.items()},
         }
-        tmp = self._state_path() + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(state, fh)
-        os.replace(tmp, self._state_path())
+
+    def _persist(self):
+        if self._db is None:
+            return
+        self._db.save_state(self._state_dict())
 
     def _load_state(self):
-        path = self._state_path()
-        if not os.path.exists(path):
+        st = self._db.load_state() if self._db is not None else None
+        if st is None:
+            # import a pre-sqldb JSON blob once (older deployments)
+            path = self._state_path()
+            if not os.path.exists(path):
+                return
+            with open(path) as fh:
+                st = json.load(fh)
+            self._apply_state(st)
+            self._persist()
+            os.replace(path, path + ".imported")
             return
-        with open(path) as fh:
-            st = json.load(fh)
+        self._apply_state(st)
+
+    def _apply_state(self, st: dict):
         self.assignments = {t: {int(s): w for s, w in m.items()}
                             for t, m in st.get("assignments", {}).items()}
         self.databases = st.get("databases", {"default": {"min_workers": 0}})

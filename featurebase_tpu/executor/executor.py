@@ -241,6 +241,16 @@ class Executor:
                     if f is not None and f.options.keys and fr.value is None:
                         store = index.row_translation(fr.field)
                         fr.row_key = store.translate_ids([fr.row_id])[0]
+        if isinstance(result, dict) and call.name == "Sort" and \
+                "columns" in result and index.options.keys:
+            # sorted record ids translate to record keys on keyed
+            # indexes (reference translateResults; the distributed
+            # fan-out legs stay numeric — only the coordinator-visible
+            # result translates, so keyset cursors keep comparing ids)
+            cols = result["columns"]
+            keys = index.translate_store.translate_ids(cols)
+            result["columns"] = [k if k is not None else c
+                                 for k, c in zip(keys, cols)]
         if isinstance(result, list) and call.name == "Rows":
             # keyed fields return row keys (reference RowIdentifiers.Keys,
             # executor.go translateResults)
@@ -1258,8 +1268,14 @@ class Executor:
         # executor.go:1310 issues ~2*log2(range) + 3 separate queries).
         depth = max(f.bit_depth, 1)
         shard_list = list(self._shards(index, shards))
-        from featurebase_tpu.model.field import TYPE_INT
-        if (shard_list and depth <= 31 and f.options.type == TYPE_INT
+        from featurebase_tpu.model.field import (TYPE_DECIMAL, TYPE_INT,
+                                                 TYPE_TIMESTAMP)
+        # decimal/timestamp fields bisect in stored units exactly like
+        # int — the fused one-sync program applies to all three
+        # (wrap_valcount decodes the stored result)
+        if (shard_list and depth <= 31
+                and f.options.type in (TYPE_INT, TYPE_DECIMAL,
+                                       TYPE_TIMESTAMP)
                 and abs(f.base) + (1 << depth) < 2**31 - 2):
             filt_words = self._mesh_filter(
                 index, filt if isinstance(filt, Call) else None, shard_list)

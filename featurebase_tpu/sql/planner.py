@@ -567,10 +567,31 @@ class PlanOpPQLAggregate(PlanOp):
             calls.append(_agg_to_call(a, self.filt))
         results = self.api.query(self.table, Query(calls))
         schema, row = [], []
+        idx = self.api.holder.index(self.table)
         for a, r in zip(self.aggs, results):
-            schema.append((agg_slot_name(a), "int"))
+            schema.append((agg_slot_name(a), _agg_result_type(idx, a)))
             row.append(_agg_result_value(a, r))
         return schema, [row]
+
+
+def _agg_result_type(idx, a: sa.Func) -> str:
+    """Result type of a pushed-down aggregate: value-typed aggregates
+    carry the field's type (reference: percentileTests ExpHdrs
+    fldTypeDecimal2 for decimal fields); counts stay int."""
+    if a.name in ("count", "var", "corr"):
+        return "int" if a.name == "count" else "decimal(6)"
+    if a.name == "avg":
+        return "decimal(6)"
+    col = a.args[0].name if a.args and isinstance(a.args[0], sa.Col) \
+        else None
+    f = idx.field(col) if idx is not None and col else None
+    if f is not None:
+        t = f.options.type
+        if t == "decimal":
+            return f"decimal({f.options.scale})"
+        if t == "timestamp":
+            return "timestamp"
+    return "int"
 
 
 def _agg_to_call(a: sa.Func, filt: Optional[Call]) -> Call:
@@ -1101,7 +1122,9 @@ class SelectCompiler:
             return [(f"{op.alias}.{g}", "") for g in op.group_cols] + \
                 [(agg_slot_name(a), "int") for a in op.aggs]
         if isinstance(op, PlanOpPQLAggregate):
-            return [(agg_slot_name(a), "int") for a in op.aggs]
+            idx = self.api.holder.index(op.table)
+            return [(agg_slot_name(a), _agg_result_type(idx, a))
+                    for a in op.aggs]
         if isinstance(op, PlanOpGroupBy):
             return [(repr_expr(g), "") for g in op.group_exprs] + \
                 [(agg_slot_name(a), "") for a in op.aggs]
@@ -1128,6 +1151,13 @@ class SelectCompiler:
                     return t
             return ""
         if isinstance(e, sa.Func) and e.name in sa.AGGREGATES:
+            # value-typed aggregates carry the field's type through the
+            # $agg slot (reference: percentileTests ExpHdrs
+            # fldTypeDecimal2); the child op schema knows it
+            slot = agg_slot_name(e)
+            for name, t in self._schema_of(op):
+                if name == slot and t:
+                    return t
             if e.name in ("avg", "var", "corr"):
                 return "decimal"
             return "int"

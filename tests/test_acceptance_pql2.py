@@ -268,3 +268,28 @@ class TestKeyedFlows:
         kapi.query("k", 'Delete(Row(kf="beta"))')
         assert kapi.query("k", 'Count(Row(kf="beta"))') == [0]
         assert kapi.query("k", "Count(All())") == [2]
+
+
+def test_keyed_sort_returns_keys():
+    """Sort on a keyed index translates sorted record ids to keys
+    (reference translateResults; the columns were raw ids before r5)."""
+    api = API()
+    api.create_index("ks", {"keys": True, "trackExistence": True})
+    api.create_field("ks", "v", {"type": "int"})
+    api.import_values("ks", "v", cols=None, values=[30, 10, 20],
+                      col_keys=["c", "a", "b"])
+    (out,) = api.query("ks", "Sort(All(), field=v, limit=3)")
+    assert out["values"] == [10, 20, 30]
+    assert out["columns"] == ["a", "b", "c"]
+
+
+def test_decimal_percentile_one_sync_fused():
+    """Decimal fields ride the fused Percentile program (stored-unit
+    bisection; the host fallback is for wide fields only)."""
+    api = API()
+    api.create_index("dp", {"trackExistence": True})
+    api.create_field("dp", "d", {"type": "decimal", "scale": 2})
+    api.import_values("dp", "d", [1, 2, 3, 4, 5, 6],
+                      [10.0, 10.0, 11.0, 12.0, 12.0, 13.0])
+    (vc,) = api.query("dp", "Percentile(field=d, nth=50)")
+    assert vc.float_val == 11.5
