@@ -156,6 +156,17 @@ def main(argv=None):
     rp.add_argument("--data-dir")
     rp.add_argument("--host", help="live-cluster restore: any node's URL")
 
+    # tar-named aliases (reference: featurebase backuptar/restoretar —
+    # our backup/restore already produce/consume tars)
+    bt = sub.add_parser("backuptar", help="alias of backup")
+    bt.add_argument("--data-dir")
+    bt.add_argument("--host")
+    bt.add_argument("--output", "-o", required=True)
+    rt = sub.add_parser("restoretar", help="alias of restore")
+    rt.add_argument("--source", required=True)
+    rt.add_argument("--data-dir")
+    rt.add_argument("--host")
+
     ip = sub.add_parser("import", help="import a CSV file")
     ip.add_argument("--host", default=_env_default("host",
                                                    "http://127.0.0.1:10101"))
@@ -181,8 +192,31 @@ def main(argv=None):
     qs = sub.add_parser("sql", help="run a SQL query")
     qs.add_argument("--host", default=_env_default("host",
                                                    "http://127.0.0.1:10101"))
+    qs.add_argument("--token", default=None,
+                    help="bearer token for an auth-enabled server")
     qs.add_argument("sql", nargs="?", default=None,
                     help="statement; omit for the interactive fbsql shell")
+
+    at = sub.add_parser(
+        "auth-token", help="mint an HS256 bearer token for the configured "
+        "auth secret (reference: featurebase auth-token)")
+    at.add_argument("--secret", required=True)
+    at.add_argument("--sub", default="admin")
+    at.add_argument("--groups", default="admins",
+                    help="comma-separated group list")
+    at.add_argument("--ttl", type=float, default=3600.0)
+    at.add_argument("--issuer", default=None)
+    at.add_argument("--audience", default=None)
+
+    kg = sub.add_parser(
+        "keygen", help="generate auth keys: an HS256 shared secret, or an "
+        "RS256 keypair with --rsa (reference: featurebase keygen)")
+    kg.add_argument("--rsa", action="store_true")
+    kg.add_argument("--out-prefix", default="featurebase-auth")
+
+    sub.add_parser(
+        "generate-config", help="print a commented TOML config with the "
+        "defaults (reference: featurebase generate-config)")
 
     pq = sub.add_parser(
         "parquet-info", help="print a parquet file's schema + row count "
@@ -257,10 +291,16 @@ def main(argv=None):
         return cmd_server(args, cfg)
     if args.cmd == "dax":
         return cmd_dax(args, cfg)
-    if args.cmd == "backup":
+    if args.cmd in ("backup", "backuptar"):
         return cmd_backup(args)
-    if args.cmd == "restore":
+    if args.cmd in ("restore", "restoretar"):
         return cmd_restore(args)
+    if args.cmd == "auth-token":
+        return cmd_auth_token(args)
+    if args.cmd == "keygen":
+        return cmd_keygen(args)
+    if args.cmd == "generate-config":
+        return cmd_generate_config(args)
     if args.cmd == "import":
         return cmd_import(args)
     if args.cmd == "export":
@@ -728,6 +768,70 @@ def cmd_export(args):
     return 0
 
 
+def cmd_auth_token(args):
+    """Mint an HS256 bearer token (reference: featurebase auth-token)."""
+    from featurebase_tpu.server.auth import mint_hs256
+    print(mint_hs256(args.secret, args.sub,
+                     [g for g in args.groups.split(",") if g],
+                     ttl=args.ttl, issuer=args.issuer,
+                     audience=args.audience))
+    return 0
+
+
+def cmd_keygen(args):
+    """Generate auth keys (reference: featurebase keygen)."""
+    if not args.rsa:
+        import secrets
+        print(secrets.token_urlsafe(32))
+        return 0
+    from cryptography.hazmat.primitives import serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    priv = key.private_bytes(
+        serialization.Encoding.PEM,
+        serialization.PrivateFormat.PKCS8,
+        serialization.NoEncryption())
+    pub = key.public_key().public_bytes(
+        serialization.Encoding.PEM,
+        serialization.PublicFormat.SubjectPublicKeyInfo)
+    with open(args.out_prefix + ".key", "wb") as fh:
+        fh.write(priv)
+    with open(args.out_prefix + ".pub", "wb") as fh:
+        fh.write(pub)
+    print(f"wrote {args.out_prefix}.key and {args.out_prefix}.pub")
+    return 0
+
+
+def cmd_generate_config(args):
+    """Print a commented TOML config with the defaults (reference:
+    featurebase generate-config)."""
+    print("""\
+# featurebase-tpu server configuration (flags > FEATUREBASE_TPU_* env >
+# this file; pass with --config)
+
+bind = "127.0.0.1:10101"
+data-dir = ""            # enable WAL + snapshots when set
+# long-query-time = 1.0  # seconds; slower queries are logged
+# max-query-memory = 0   # bytes; 0 = unlimited
+# query-timeout = 0.0    # seconds; 0 = none
+
+[cluster]
+# name = "cluster0"
+# replicas = 1
+# seeds = ["http://127.0.0.1:10101"]
+
+[auth]
+# enable = true
+# secret = "..."          # HS256 shared secret (or rsa public key file)
+# permissions = "perms.yaml"
+
+[tls]
+# certificate = "srv.crt"
+# key = "srv.key"
+""")
+    return 0
+
+
 def cmd_query(args):
     out = _http(args.host, "POST", f"/index/{args.index}/query",
                 {"query": args.pql})
@@ -742,7 +846,7 @@ def cmd_sql(args):
         return 0
     # no statement: interactive fbsql shell (reference: cli/cli.go)
     from featurebase_tpu.fbsql import Shell
-    Shell(args.host).interact()
+    Shell(args.host, token=getattr(args, "token", None)).interact()
     return 0
 
 

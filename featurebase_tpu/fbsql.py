@@ -28,10 +28,14 @@ import urllib.request
 from typing import List, Optional
 
 
-def _post_sql(host: str, sql: str, timeout: float = 60.0) -> dict:
+def _post_sql(host: str, sql: str, timeout: float = 60.0,
+              token: Optional[str] = None) -> dict:
+    headers = {"Content-Type": "application/json"}
+    if token:
+        headers["Authorization"] = f"Bearer {token}"
     req = urllib.request.Request(
         host + "/sql", data=json.dumps({"sql": sql}).encode(),
-        method="POST", headers={"Content-Type": "application/json"})
+        method="POST", headers=headers)
     try:
         with urllib.request.urlopen(req, timeout=timeout) as resp:
             return json.loads(resp.read())
@@ -78,10 +82,14 @@ def render_table(out: dict) -> str:
 
 
 def _post_json(host: str, path: str, body: dict,
-               ok_statuses=(409,)) -> Optional[dict]:
+               ok_statuses=(409,), token: Optional[str] = None
+               ) -> Optional[dict]:
+    headers = {"Content-Type": "application/json"}
+    if token:
+        headers["Authorization"] = f"Bearer {token}"
     req = urllib.request.Request(
         host + path, data=json.dumps(body).encode(), method="POST",
-        headers={"Content-Type": "application/json"})
+        headers=headers)
     try:
         with urllib.request.urlopen(req, timeout=60) as resp:
             return json.loads(resp.read() or b"{}")
@@ -91,7 +99,8 @@ def _post_json(host: str, path: str, body: dict,
         raise
 
 
-def kafka_ingest(host: str, cfg: dict) -> dict:
+def kafka_ingest(host: str, cfg: dict,
+                 token: Optional[str] = None) -> dict:
     """Consume a Kafka topic into the connected server over its HTTP
     import endpoints (the remote counterpart of `featurebase-tpu
     consume`; reference: fbsql's kafka ingest configuration,
@@ -99,15 +108,17 @@ def kafka_ingest(host: str, cfg: dict) -> dict:
     from featurebase_tpu.ingest.idk import Recordizer
     from featurebase_tpu.ingest.kafka_source import KafkaSource
 
+    def post(path, body, ok=(409,)):
+        return _post_json(host, path, body, ok_statuses=ok, token=token)
+
     index = cfg["index"]
-    _post_json(host, f"/index/{index}", {"options": cfg.get(
+    post(f"/index/{index}", {"options": cfg.get(
         "index_options", {"trackExistence": True})})
     fields = cfg.get("fields", {})
     for name, opts in fields.items():
         if isinstance(opts, str):
             opts = {"type": opts}
-        _post_json(host, f"/index/{index}/field/{name}",
-                   {"options": opts})
+        post(f"/index/{index}/field/{name}", {"options": opts})
     bootstrap = cfg["bootstrap"]
     src = KafkaSource(bootstrap, cfg["topic"],
                       group=cfg.get("group", "fbsql"))
@@ -142,8 +153,7 @@ def kafka_ingest(host: str, cfg: dict) -> dict:
                 key = "rowKeys" if any(isinstance(v, str) for v in vals) \
                     else "rowIDs"
                 body = {key: vals, "columnIDs": cols}
-            _post_json(host, f"/index/{index}/field/{fname}/import", body,
-                       ok_statuses=())
+            post(f"/index/{index}/field/{fname}/import", body, ok=())
         src.commit()
         n_records += len(records)
         n_batches += 1
@@ -151,10 +161,11 @@ def kafka_ingest(host: str, cfg: dict) -> dict:
 
 
 class Shell:
-    def __init__(self, host: str, out=None):
+    def __init__(self, host: str, out=None, token: Optional[str] = None):
         self.host = host
         self.out = out or sys.stdout
         self.timing = False
+        self.token = token  # bearer auth (reference: fbsql cloud auth)
         self._buf: List[str] = []
 
     def _print(self, s: str):
@@ -162,7 +173,7 @@ class Shell:
 
     def run_sql(self, sql: str):
         t0 = time.perf_counter()
-        res = _post_sql(self.host, sql)
+        res = _post_sql(self.host, sql, token=self.token)
         dt = (time.perf_counter() - t0) * 1e3
         self._print(render_table(res))
         if self.timing:
@@ -174,6 +185,11 @@ class Shell:
         cmd = parts[0]
         if cmd in ("\\q", "\\quit"):
             return False
+        if cmd == "\\auth":
+            self.token = parts[1] if len(parts) > 1 else None
+            self._print("Auth token " +
+                        ("set." if self.token else "cleared."))
+            return True
         if cmd == "\\dt":
             self.run_sql("SHOW TABLES")
         elif cmd == "\\d" and len(parts) > 1:
@@ -197,7 +213,7 @@ class Shell:
             try:
                 with open(parts[1]) as fh:
                     cfg = json.load(fh)
-                stats = kafka_ingest(self.host, cfg)
+                stats = kafka_ingest(self.host, cfg, token=self.token)
                 self._print(f"ingested {stats['records']} records "
                             f"({stats['batches']} batches) into "
                             f"{cfg['index']}")

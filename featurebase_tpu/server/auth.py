@@ -247,3 +247,33 @@ def route_access(method: str, path: str, pql: str = "", sql: str = ""):
     if method in ("POST", "DELETE") and path not in ("/sql",):
         return None, "admin"  # schema apply, restore, etc.
     return None, "read"
+
+
+def mint_hs256(secret: str, sub: str, groups: List[str],
+               ttl: float = 3600.0, issuer: Optional[str] = None,
+               audience: Optional[str] = None,
+               groups_claim: str = "groups") -> str:
+    """Mint an HS256 JWT accepted by TokenVerifier (reference:
+    `featurebase auth-token` prints a token for the configured auth)."""
+    import base64
+    import hashlib
+    import hmac
+    import json as _json
+    import time as _time
+
+    def b64url(b: bytes) -> str:
+        return base64.urlsafe_b64encode(b).rstrip(b"=").decode()
+
+    header = {"alg": "HS256", "typ": "JWT"}
+    claims = {"sub": sub, groups_claim: groups,
+              "iat": int(_time.time()),
+              "exp": int(_time.time() + ttl)}
+    if issuer:
+        claims["iss"] = issuer
+    if audience:
+        claims["aud"] = audience
+    signing = (b64url(_json.dumps(header).encode()) + "." +
+               b64url(_json.dumps(claims).encode()))
+    sig = hmac.new(secret.encode(), signing.encode(),
+                   hashlib.sha256).digest()
+    return signing + "." + b64url(sig)

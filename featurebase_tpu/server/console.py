@@ -70,6 +70,7 @@ CONSOLE_HTML = """<!doctype html>
   <div id="tabs">
     <span class="tab active" data-t="query">query</span>
     <span class="tab" data-t="tables">tables</span>
+    <span class="tab" data-t="browse">browse</span>
     <span class="tab" data-t="fragments">fragments</span>
     <span class="tab" data-t="cluster">cluster</span>
     <span class="tab" data-t="metrics">metrics</span>
@@ -85,9 +86,11 @@ CONSOLE_HTML = """<!doctype html>
       <input id="index" placeholder="index (PQL only)" size="16">
       <button onclick="run()">Run (Ctrl-Enter)</button>
       <button onclick="explain()">Explain</button>
+      <button onclick="saveQuery()">Save</button>
       <label><input type="checkbox" id="profile"> profile</label>
     </div>
     <textarea id="q" placeholder="SELECT ..."></textarea>
+    <div id="saved"></div>
   </div>
   <div id="out"></div>
 </div>
@@ -214,10 +217,12 @@ async function showTab(name) {
     name === 'query' ? '' : 'none';
   const out = document.getElementById('out');
   if (chartTimer) { clearInterval(chartTimer); chartTimer = null; }
-  if (name === 'query') return;
+  if (name === 'query') { renderSaved(); return; }
   out.innerHTML = '';
   try {
-    if (name === 'tables') {
+    if (name === 'browse') {
+      await browseTab(out);
+    } else if (name === 'tables') {
       await schemaActions(out);
       for (const idx of ((schemaDoc||{}).indexes || [])) {
         const h = el('h2', idx.name);
@@ -413,6 +418,105 @@ async function showTab(name) {
     out.appendChild(el('div', String(e), 'err'));
   }
 }
+// -- saved queries (localStorage bookmarks; a lattice product feature) --
+function savedList() {
+  try { return JSON.parse(localStorage.getItem('fbtpu_saved') || '[]'); }
+  catch (e) { return []; }
+}
+function saveQuery() {
+  const name = prompt('name this query');
+  if (!name) return;
+  const list = savedList().filter(s => s.name !== name);
+  list.push({name, mode: document.getElementById('mode').value,
+             index: document.getElementById('index').value,
+             q: document.getElementById('q').value});
+  localStorage.setItem('fbtpu_saved', JSON.stringify(list));
+  renderSaved();
+}
+function renderSaved() {
+  const box = document.getElementById('saved');
+  if (!box) return;
+  box.innerHTML = '';
+  const list = savedList();
+  if (!list.length) return;
+  box.appendChild(el('h2', 'saved queries'));
+  for (const s of list) {
+    const d = el('div');
+    const a = el('span', s.name, 'act');
+    a.onclick = () => {
+      document.getElementById('mode').value = s.mode;
+      document.getElementById('index').value = s.index || '';
+      document.getElementById('q').value = s.q;
+      run();
+    };
+    const del = el('span', '[x]', 'act');
+    del.onclick = () => {
+      localStorage.setItem('fbtpu_saved', JSON.stringify(
+        savedList().filter(x => x.name !== s.name)));
+      renderSaved();
+    };
+    d.appendChild(a); d.appendChild(del); box.appendChild(d);
+  }
+}
+// -- data browser: paginated, sortable SELECT over a table --------------
+const browseState = {table: null, page: 0, size: 20, sort: null,
+                     desc: false};
+async function browseTab(out) {
+  const bar = el('div');
+  const sel = document.createElement('select');
+  sel.id = 'browse-table';
+  for (const idx of ((schemaDoc||{}).indexes || [])) {
+    const o = document.createElement('option');
+    o.value = idx.name; o.textContent = idx.name;
+    sel.appendChild(o);
+  }
+  if (browseState.table) sel.value = browseState.table;
+  sel.onchange = () => { browseState.table = sel.value;
+                         browseState.page = 0; browseState.sort = null;
+                         showTab('browse'); };
+  bar.appendChild(sel);
+  const prev = el('button', 'prev');
+  const next = el('button', 'next');
+  const info = el('span', '', 'fld');
+  prev.onclick = () => { if (browseState.page > 0) { browseState.page--;
+                         showTab('browse'); } };
+  next.onclick = () => { browseState.page++; showTab('browse'); };
+  bar.appendChild(prev); bar.appendChild(next); bar.appendChild(info);
+  out.appendChild(bar);
+  const t = sel.value;
+  if (!t) { out.appendChild(el('div', 'no tables')); return; }
+  browseState.table = t;
+  const total = await jfetch('/sql', {method: 'POST', body:
+    JSON.stringify({sql: 'SELECT COUNT(*) FROM "' + t + '"'})});
+  const n = ((total.data||[[0]])[0]||[0])[0];
+  const pages = Math.max(1, Math.ceil(n / browseState.size));
+  if (browseState.page >= pages) browseState.page = pages - 1;
+  info.textContent = n + ' records, page ' + (browseState.page + 1) +
+    '/' + pages;
+  let sql = 'SELECT * FROM "' + t + '"';
+  if (browseState.sort)
+    sql += ' ORDER BY "' + browseState.sort + '"' +
+           (browseState.desc ? ' DESC' : '');
+  sql += ' LIMIT ' + browseState.size +
+         ' OFFSET ' + (browseState.page * browseState.size);
+  const j = await jfetch('/sql', {method: 'POST',
+                                  body: JSON.stringify({sql})});
+  const fields = ((j.schema||{}).fields)||[];
+  const tbl = renderTable(fields.map(f=>f.name), j.data||[]);
+  // click a header to sort by that column (set columns refuse server-
+  // side; surface the error inline)
+  for (const th of tbl.querySelectorAll('th')) {
+    th.style.cursor = 'pointer';
+    th.onclick = () => {
+      if (browseState.sort === th.textContent)
+        browseState.desc = !browseState.desc;
+      else { browseState.sort = th.textContent; browseState.desc = false; }
+      browseState.page = 0;
+      showTab('browse');
+    };
+  }
+  out.appendChild(tbl);
+}
 for (const t of document.querySelectorAll('.tab'))
   t.onclick = () => showTab(t.dataset.t);
 async function explain() {
@@ -460,6 +564,7 @@ document.getElementById('q').addEventListener('keydown', (e) => {
   if (e.key === 'Enter' && (e.ctrlKey || e.metaKey)) run();
 });
 loadSchema();
+renderSaved();
 </script>
 </body>
 </html>

@@ -100,3 +100,52 @@ SELECT _id, qty FROM korders WHERE seg = 's1' ORDER BY qty;
             assert "50" in out        # qty of id 5
         finally:
             broker.stop()
+
+
+class TestAuth:
+    """fbsql auth (reference: fbsql cloud auth, cli/cli.go): bearer
+    tokens via Shell(token=) / \\auth, minted by `auth-token`."""
+
+    def test_token_sent_and_required(self, tmp_path):
+        from featurebase_tpu.server.api import API
+        from featurebase_tpu.server.auth import (Auth, GroupAuthorizer,
+                                                 TokenVerifier, mint_hs256)
+        from featurebase_tpu.server.http_server import Server
+        api = API()
+        api.auth = Auth(TokenVerifier(secret="s3cret"),
+                        GroupAuthorizer({"admins": {"*": "admin"}}))
+        srv = Server(api=api).start()
+        try:
+            # unauthenticated shell: server rejects
+            out = run_shell(srv, "SELECT 1;\n")
+            assert "ERROR" in out
+            # token minted exactly like `featurebase-tpu auth-token`
+            tok = mint_hs256("s3cret", "ops", ["admins"])
+            outio = io.StringIO()
+            sh = Shell(srv.url, out=outio, token=tok)
+            sh.interact(in_stream=io.StringIO("SELECT 1;\n"))
+            assert "1 row" in outio.getvalue()
+            # \auth meta-command sets the token mid-session
+            outio = io.StringIO()
+            sh = Shell(srv.url, out=outio)
+            sh.interact(in_stream=io.StringIO(
+                f"\\auth {tok}\nSELECT 1;\n"))
+            assert "1 row" in outio.getvalue()
+        finally:
+            srv.stop()
+
+
+class TestCliAuthTools:
+    def test_auth_token_and_keygen(self, capsys, tmp_path, monkeypatch):
+        from featurebase_tpu.cli import main
+        from featurebase_tpu.server.auth import TokenVerifier
+        assert main(["auth-token", "--secret", "k", "--sub", "me",
+                     "--groups", "a,b"]) == 0
+        tok = capsys.readouterr().out.strip()
+        user = TokenVerifier(secret="k").verify(tok)
+        assert user.name == "me" and user.groups == ["a", "b"]
+        monkeypatch.chdir(tmp_path)
+        assert main(["keygen"]) == 0
+        assert len(capsys.readouterr().out.strip()) >= 32
+        assert main(["generate-config"]) == 0
+        assert "bind" in capsys.readouterr().out

@@ -343,3 +343,16 @@ class TestConsoleBehavior:
         assert "Thread" in stacks or "File" in stacks or stacks
         prof = self._get(srv, "/debug/pprof/profile?seconds=0.2").decode()
         assert prof is not None
+
+    def test_browse_tab(self, srv):
+        # browseTab(): COUNT(*) then a paged, sorted SELECT
+        j = json.loads(self._post(srv, "/sql",
+                                  {"sql": 'SELECT COUNT(*) FROM "ci"'}))
+        assert j["data"][0][0] == 3
+        j = json.loads(self._post(srv, "/sql", {
+            "sql": 'SELECT * FROM "ci" ORDER BY "_id" DESC '
+                   'LIMIT 2 OFFSET 0'}))
+        assert [r[0] for r in j["data"]] == [3, 2]
+        j = json.loads(self._post(srv, "/sql", {
+            "sql": 'SELECT * FROM "ci" LIMIT 2 OFFSET 2'}))
+        assert len(j["data"]) == 1
