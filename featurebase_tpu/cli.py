@@ -218,6 +218,20 @@ def main(argv=None):
         "generate-config", help="print a commented TOML config with the "
         "defaults (reference: featurebase generate-config)")
 
+    ps = sub.add_parser(
+        "presort", help="split a CSV/NDJSON ingest file into per-key-"
+        "partition files so each partition's owner can import its slice "
+        "(reference: featurebase presort, ctl/presort.go)")
+    ps.add_argument("--file", required=True)
+    ps.add_argument("--type", default="ndjson", choices=["ndjson", "csv"])
+    ps.add_argument("--table", required=True,
+                    help="index name (keys hash as FNV(index, key))")
+    ps.add_argument("--primary-key-fields", required=True,
+                    help="comma list of fields forming the record key")
+    ps.add_argument("--primary-key-separator", default="|")
+    ps.add_argument("--partition-n", type=int, default=256)
+    ps.add_argument("--output-dir", default="presorted_files")
+
     pq = sub.add_parser(
         "parquet-info", help="print a parquet file's schema + row count "
         "(reference: featurebase parquet-info, cmd/)")
@@ -280,6 +294,9 @@ def main(argv=None):
                     help="allocate record ids via the ID allocator")
     kc.add_argument("--batch-size", type=int, default=4096)
     kc.add_argument("--max-batches", type=int, default=None)
+    kc.add_argument("--sasl-user", default=None,
+                    help="SASL/PLAIN username (broker auth)")
+    kc.add_argument("--sasl-password", default=None)
     kc.add_argument("--avro-schema", default=None,
                     help="JSON file {schema_id: avro schema} for "
                          "Confluent-framed values")
@@ -301,6 +318,8 @@ def main(argv=None):
         return cmd_keygen(args)
     if args.cmd == "generate-config":
         return cmd_generate_config(args)
+    if args.cmd == "presort":
+        return cmd_presort(args)
     if args.cmd == "import":
         return cmd_import(args)
     if args.cmd == "export":
@@ -457,7 +476,9 @@ def cmd_consume(args):
         deser = AvroDeserializer(reg)
     api = API(data_dir=args.data_dir)
     src = KafkaSource(args.bootstrap, args.topic, group=args.group,
-                      deserializer=deser)
+                      deserializer=deser,
+                      sasl_user=getattr(args, "sasl_user", None),
+                      sasl_password=getattr(args, "sasl_password", None))
     ing = Ingester(api, args.index, src,
                    batch_size=args.batch_size,
                    id_field=None if args.auto_id else args.id_field)
@@ -829,6 +850,68 @@ data-dir = ""            # enable WAL + snapshots when set
 # certificate = "srv.crt"
 # key = "srv.key"
 """)
+    return 0
+
+
+def cmd_presort(args):
+    """Split an ingest file into per-key-partition files (reference:
+    ctl/presort.go — FNV(index, key) % partition_n routing, so each
+    partition's primary can bulk-import its own slice)."""
+    import csv as _csv
+
+    from featurebase_tpu.storage.translate import key_to_key_partition
+    os.makedirs(args.output_dir, exist_ok=True)
+    pk = [f.strip() for f in args.primary_key_fields.split(",") if f]
+    sep = args.primary_key_separator
+    outs = {}
+    n = 0
+
+    def sink(part):
+        f = outs.get(part)
+        if f is None:
+            ext = "csv" if args.type == "csv" else "ndjson"
+            f = outs[part] = open(
+                os.path.join(args.output_dir,
+                             f"partition_{part}.{ext}"), "w", newline="")
+        return f
+
+    with open(args.file, newline="") as fh:
+        if args.type == "csv":
+            reader = _csv.reader(fh)
+            header = next(reader)
+            hidx = {h: i for i, h in enumerate(header)}
+            missing = [f for f in pk if f not in hidx]
+            if missing:
+                print(f"key fields not in header: {missing}",
+                      file=sys.stderr)
+                return 1
+            writers = {}
+            for row in reader:
+                key = sep.join(row[hidx[f]] for f in pk)
+                part = key_to_key_partition(args.table, key,
+                                            args.partition_n)
+                w = writers.get(part)
+                if w is None:
+                    f = sink(part)
+                    w = writers[part] = _csv.writer(f)
+                    w.writerow(header)
+                w.writerow(row)
+                n += 1
+        else:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                rec = json.loads(line)
+                key = sep.join(str(rec.get(f, "")) for f in pk)
+                part = key_to_key_partition(args.table, key,
+                                            args.partition_n)
+                sink(part).write(line + "\n")
+                n += 1
+    for f in outs.values():
+        f.close()
+    print(f"presorted {n} records into {len(outs)} partition files "
+          f"under {args.output_dir}")
     return 0
 
 

@@ -121,7 +121,9 @@ def kafka_ingest(host: str, cfg: dict,
         post(f"/index/{index}/field/{name}", {"options": opts})
     bootstrap = cfg["bootstrap"]
     src = KafkaSource(bootstrap, cfg["topic"],
-                      group=cfg.get("group", "fbsql"))
+                      group=cfg.get("group", "fbsql"),
+                      sasl_user=cfg.get("sasl_user"),
+                      sasl_password=cfg.get("sasl_password"))
     rec = Recordizer(id_field=cfg.get("id_field", "id"))
     batch_size = int(cfg.get("batch_size", 4096))
     max_batches = cfg.get("max_batches")

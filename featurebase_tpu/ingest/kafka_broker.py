@@ -23,6 +23,9 @@ from featurebase_tpu.ingest import kafka_wire as kw
 ERR_NONE = 0
 ERR_UNKNOWN_TOPIC = 3
 ERR_OFFSET_OUT_OF_RANGE = 1
+ERR_UNSUPPORTED_SASL_MECHANISM = 33
+ERR_ILLEGAL_SASL_STATE = 34
+ERR_SASL_AUTH_FAILED = 58
 
 
 class _State:
@@ -59,6 +62,7 @@ class _Handler(socketserver.BaseRequestHandler):
     def handle(self):
         st: _State = self.server.state  # type: ignore[attr-defined]
         sock = self.request
+        self.authenticated = False
         try:
             while True:
                 hdr = self._read_exact(sock, 4)
@@ -98,6 +102,35 @@ class _Handler(socketserver.BaseRequestHandler):
 
     def _dispatch(self, st, api_key, api_version, r) -> bytes:
         flexible_broker = getattr(self.server, "flexible", True)
+        users = getattr(self.server, "users", None)
+        if api_key == kw.API_SASL_HANDSHAKE:
+            # SASL/PLAIN negotiation (v1: tokens ride SaslAuthenticate;
+            # reference deployment: idk kafka-sasl consumer)
+            mech = r.string()
+            w = kw.Writer()
+            if (mech or "").upper() != "PLAIN":
+                return w.i16(ERR_UNSUPPORTED_SASL_MECHANISM).array(
+                    ["PLAIN"], lambda w2, m: w2.string(m)).build()
+            return w.i16(ERR_NONE).array(
+                ["PLAIN"], lambda w2, m: w2.string(m)).build()
+        if api_key == kw.API_SASL_AUTHENTICATE:
+            auth = r.bytes_() or b""
+            parts = auth.split(b"\x00")
+            w = kw.Writer()
+            if len(parts) != 3:
+                return w.i16(ERR_SASL_AUTH_FAILED).string(
+                    "malformed PLAIN token").bytes_(b"").build()
+            _authz, user, pw = (p.decode() for p in parts)
+            if users is not None and users.get(user) != pw:
+                return w.i16(ERR_SASL_AUTH_FAILED).string(
+                    "bad credentials").bytes_(b"").build()
+            self.authenticated = True
+            return w.i16(ERR_NONE).string(None).bytes_(b"").build()
+        if users is not None and not self.authenticated and \
+                api_key != kw.API_API_VERSIONS:
+            # an auth-required broker refuses everything but the
+            # bootstrap APIs before SaslAuthenticate succeeds
+            raise ConnectionError("unauthenticated request")
         if api_key == kw.API_API_VERSIONS:
             fx = flexible_broker
             apis = [(kw.API_PRODUCE, 0, 0),
@@ -106,7 +139,9 @@ class _Handler(socketserver.BaseRequestHandler):
                     (kw.API_METADATA, 0, 9 if fx else 0),
                     (kw.API_OFFSET_COMMIT, 0, 0),
                     (kw.API_OFFSET_FETCH, 0, 0),
-                    (kw.API_API_VERSIONS, 0, 3 if fx else 0)]
+                    (kw.API_API_VERSIONS, 0, 3 if fx else 0),
+                    (kw.API_SASL_HANDSHAKE, 0, 1),
+                    (kw.API_SASL_AUTHENTICATE, 0, 0)]
             if api_version >= 3:
                 # flexible request body: client software name/version
                 r.compact_string()
@@ -401,7 +436,8 @@ class KafkaBroker:
     def __init__(self, host: str = "127.0.0.1", port: int = 0,
                  num_partitions: int = 2,
                  offsets_path: Optional[str] = None,
-                 flexible: bool = True):
+                 flexible: bool = True,
+                 users: Optional[dict] = None):
         class _Srv(socketserver.ThreadingTCPServer):
             allow_reuse_address = True
             daemon_threads = True
@@ -410,6 +446,8 @@ class KafkaBroker:
         # flexible=False caps advertised versions at the legacy set
         # (KIP-482 off: a pre-compact broker stand-in for tests)
         self.server.flexible = flexible
+        # users={name: password} turns on mandatory SASL/PLAIN
+        self.server.users = users
         self.port = self.server.server_address[1]
         self._thread: Optional[threading.Thread] = None
 

@@ -33,7 +33,9 @@ class KafkaClient:
     """Single-broker protocol client (request/response over one socket)."""
 
     def __init__(self, host: str, port: int, client_id: str = "fb-tpu",
-                 timeout: float = 30.0):
+                 timeout: float = 30.0,
+                 sasl_user: Optional[str] = None,
+                 sasl_password: Optional[str] = None):
         self.host = host
         self.port = port
         self.client_id = client_id
@@ -44,6 +46,10 @@ class KafkaClient:
         # broker advertises them — KIP-482, VERDICT r3 #10)
         self.api_versions = {}
         self._sock = socket.create_connection((host, port), timeout=timeout)
+        if sasl_user is not None:
+            # SASL/PLAIN before anything else (reference deployment:
+            # idk molecula-consumer-kafka-sasl)
+            self.sasl_plain(sasl_user, sasl_password or "")
 
     def close(self):
         try:
@@ -87,6 +93,24 @@ class KafkaClient:
 
     def _max_version(self, api_key: int) -> int:
         return self.api_versions.get(api_key, (0, 0))[1]
+
+    def sasl_plain(self, user: str, password: str):
+        """SaslHandshake(v1, PLAIN) + SaslAuthenticate with the
+        RFC 4616 [authzid] NUL authcid NUL passwd token."""
+        r = self._request(kw.API_SASL_HANDSHAKE, 1,
+                          kw.Writer().string("PLAIN").build())
+        err = r.i16()
+        if err:
+            mechs = r.array(lambda rr: rr.string())
+            raise KafkaError(
+                f"SASL handshake error {err}; broker offers {mechs}")
+        token = b"\x00" + user.encode() + b"\x00" + password.encode()
+        r = self._request(kw.API_SASL_AUTHENTICATE, 0,
+                          kw.Writer().bytes_(token).build())
+        err = r.i16()
+        msg = r.string()
+        if err:
+            raise KafkaError(f"SASL authentication failed: {msg}")
 
     def _read_exact(self, n: int) -> bytes:
         buf = b""
@@ -470,9 +494,13 @@ class KafkaSource(Source):
 
     def __init__(self, bootstrap: str, topic: str, group: str = "fb-tpu",
                  deserializer: Optional[Callable[[bytes], dict]] = None,
-                 client: Optional[KafkaClient] = None):
+                 client: Optional[KafkaClient] = None,
+                 sasl_user: Optional[str] = None,
+                 sasl_password: Optional[str] = None):
         host, _, port = bootstrap.partition(":")
-        self.client = client or KafkaClient(host, int(port or 9092))
+        self.client = client or KafkaClient(host, int(port or 9092),
+                                            sasl_user=sasl_user,
+                                            sasl_password=sasl_password)
         self.topic = topic
         self.group = group
         self.deserializer = deserializer or json_deserializer

@@ -340,3 +340,75 @@ class TestSchemaRegistry:
         got = de(msgs[0][2])
         assert got == rec
         kc.close()
+
+
+class TestSaslPlain:
+    """SASL/PLAIN auth (reference deployment: idk kafka-sasl consumer;
+    SaslHandshake v1 + SaslAuthenticate with RFC 4616 tokens)."""
+
+    def test_handshake_and_authenticated_flow(self):
+        b = KafkaBroker(num_partitions=1,
+                        users={"svc": "hunter2"}).start()
+        try:
+            c = KafkaClient("127.0.0.1", b.port, sasl_user="svc",
+                            sasl_password="hunter2")
+            c.produce("t", 0, [(None, b'{"id": 1, "f": 2}')])
+            msgs = c.fetch("t", 0, 0)
+            assert len(msgs) == 1
+        finally:
+            b.stop()
+
+    def test_bad_credentials_rejected(self):
+        from featurebase_tpu.ingest.kafka_source import KafkaError
+        b = KafkaBroker(num_partitions=1,
+                        users={"svc": "hunter2"}).start()
+        try:
+            with pytest.raises(KafkaError, match="authentication failed"):
+                KafkaClient("127.0.0.1", b.port, sasl_user="svc",
+                            sasl_password="wrong")
+        finally:
+            b.stop()
+
+    def test_unauthenticated_requests_refused(self):
+        from featurebase_tpu.ingest.kafka_source import KafkaError
+        b = KafkaBroker(num_partitions=1,
+                        users={"svc": "hunter2"}).start()
+        try:
+            c = KafkaClient("127.0.0.1", b.port)  # no credentials
+            with pytest.raises((KafkaError, OSError)):
+                c.metadata(["t"])
+        finally:
+            b.stop()
+
+    def test_wrong_mechanism_lists_plain(self):
+        from featurebase_tpu.ingest import kafka_wire as kw2
+        from featurebase_tpu.ingest.kafka_source import KafkaError
+        b = KafkaBroker(num_partitions=1,
+                        users={"svc": "x"}).start()
+        try:
+            c = KafkaClient("127.0.0.1", b.port)
+            r = c._request(kw2.API_SASL_HANDSHAKE, 1,
+                           kw2.Writer().string("SCRAM-SHA-256").build())
+            assert r.i16() == 33  # UNSUPPORTED_SASL_MECHANISM
+            assert r.array(lambda rr: rr.string()) == ["PLAIN"]
+        finally:
+            b.stop()
+
+    def test_sasl_source_end_to_end(self):
+        import json as _json
+
+        from featurebase_tpu.ingest.kafka_source import KafkaSource
+        b = KafkaBroker(num_partitions=1,
+                        users={"svc": "hunter2"}).start()
+        try:
+            prod = KafkaClient("127.0.0.1", b.port, sasl_user="svc",
+                               sasl_password="hunter2")
+            prod.produce("orders", 0, [
+                (None, _json.dumps({"id": i, "n": i}).encode())
+                for i in range(3)])
+            src = KafkaSource(f"127.0.0.1:{b.port}", "orders",
+                              sasl_user="svc", sasl_password="hunter2")
+            got = src.poll(10)
+            assert [r["id"] for r in got] == [0, 1, 2]
+        finally:
+            b.stop()

@@ -183,3 +183,46 @@ class TestInternalInfoEndpoints:
             assert out == {"1": [1, 5]}
         finally:
             srv.stop()
+
+
+class TestPresortCli:
+    """presort: per-key-partition file splitting (reference:
+    ctl/presort.go — FNV(index, key) % 256 routing)."""
+
+    def test_ndjson_and_csv_roundtrip(self, tmp_path, capsys,
+                                      monkeypatch):
+        import json as _json
+
+        from featurebase_tpu.cli import main
+        from featurebase_tpu.storage.translate import key_to_key_partition
+        src = tmp_path / "in.ndjson"
+        recs = [{"uid": f"user{i}", "n": i} for i in range(40)]
+        src.write_text("\n".join(_json.dumps(r) for r in recs) + "\n")
+        outd = tmp_path / "parts"
+        assert main(["presort", "--file", str(src), "--table", "t",
+                     "--primary-key-fields", "uid",
+                     "--output-dir", str(outd)]) == 0
+        got = []
+        import os as _os
+        for fn in _os.listdir(outd):
+            part = int(fn.split("_")[1].split(".")[0])
+            for line in (outd / fn).read_text().splitlines():
+                rec = _json.loads(line)
+                # every record landed in ITS key's partition
+                assert key_to_key_partition("t", rec["uid"]) == part
+                got.append(rec["uid"])
+        assert sorted(got) == sorted(r["uid"] for r in recs)
+
+        csvsrc = tmp_path / "in.csv"
+        csvsrc.write_text("uid,n\n" + "".join(
+            f"user{i},{i}\n" for i in range(10)))
+        outc = tmp_path / "csvparts"
+        assert main(["presort", "--file", str(csvsrc), "--type", "csv",
+                     "--table", "t", "--primary-key-fields", "uid",
+                     "--output-dir", str(outc)]) == 0
+        total = 0
+        for fn in _os.listdir(outc):
+            lines = (outc / fn).read_text().splitlines()
+            assert lines[0] == "uid,n"  # header per partition file
+            total += len(lines) - 1
+        assert total == 10
