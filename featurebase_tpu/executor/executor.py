@@ -620,7 +620,7 @@ class Executor:
                 if dense is None:
                     return np.zeros(n, np.int64), np.ones(n, dtype=bool)
                 vals_d, exists_b = dense
-                vals = vals_d[cols].astype(np.int64) + f.base
+                vals = vals_d[cols] + f.base  # already int64
                 null = ~exists_b[cols]
                 if f.options.type == TYPE_DECIMAL:
                     return vals / float(10 ** f.options.scale), null

@@ -302,8 +302,20 @@ def decode_values_host(slices_np, sign_np, depth: int):
     bits = np.unpackbits(
         np.ascontiguousarray(slices_np[:d]).view(np.uint8).reshape(d, -1),
         axis=-1, bitorder="little")
-    weights = (np.int64(1) << np.arange(d, dtype=np.int64))[:, None]
-    vals = (bits.astype(np.int64) * weights).sum(axis=0)
+    # bit-matrix transpose via packbits: 8 planes pack into one BYTE of
+    # every value at once, so the magnitude assembles from ceil(d/8)
+    # byte planes instead of d int64 multiply-adds (the int64 weighted
+    # sum materialized a (d, N) int64 intermediate — ~3x slower at
+    # Extract's full-shard decodes)
+    n_bytes = (d + 7) // 8
+    if d % 8:
+        pad = np.zeros((n_bytes * 8 - d, bits.shape[1]), dtype=np.uint8)
+        bits = np.concatenate([bits, pad], axis=0)
+    byte_planes = np.packbits(bits.reshape(n_bytes, 8, -1), axis=1,
+                              bitorder="little")[:, 0, :]
+    vals = byte_planes[0].astype(np.int64)
+    for b in range(1, n_bytes):
+        vals += byte_planes[b].astype(np.int64) << np.int64(8 * b)
     sign_bits = np.unpackbits(np.ascontiguousarray(sign_np).view(np.uint8),
                               bitorder="little").astype(bool)
     np.negative(vals, out=vals, where=sign_bits)

@@ -247,3 +247,33 @@ class TestSchemaTermsAndDurability:
             for api in tc.apis:
                 assert set(fields_of(api, "t")) == {"a", "b"}
                 assert "stale" not in fields_of(api, "t")
+
+
+class TestConcurrentProposals:
+    def test_parallel_proposals_serialize_without_divergence(self):
+        """Schema ops proposed concurrently from every node serialize
+        through the term-holding leader: every op lands exactly once, in
+        one order, on every node (reference: raft serializes via etcd)."""
+        import threading
+        with TestCluster(3) as tc:
+            tc[0].create_index("t", {})
+            errs = []
+
+            def propose(i):
+                try:
+                    tc[i].create_field("t", f"f{i}", {"type": "set"})
+                except APIError as e:  # pragma: no cover - none expected
+                    errs.append((i, str(e)))
+
+            threads = [threading.Thread(target=propose, args=(i,))
+                       for i in range(3)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            assert not errs, errs
+            logs = [api.schema_log.to_json() for api in tc.apis]
+            assert all(lg["entries"] == logs[0]["entries"] for lg in logs)
+            assert logs[0]["applied"] == 4  # index + 3 fields
+            for api in tc.apis:
+                assert set(fields_of(api, "t")) == {"f0", "f1", "f2"}
