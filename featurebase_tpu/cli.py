@@ -232,6 +232,14 @@ def main(argv=None):
     ps.add_argument("--partition-n", type=int, default=256)
     ps.add_argument("--output-dir", default="presorted_files")
 
+    wi = sub.add_parser(
+        "wal-info", help="inspect a data dir's WAL: entries by op, "
+        "bytes, bad lines (the rbf check/dump role — reference: "
+        "ctl/rbf_*.go — for this engine's JSONL WAL)")
+    wi.add_argument("--data-dir", required=True)
+    wi.add_argument("--verbose", "-v", action="store_true",
+                    help="also print each entry's op + key fields")
+
     pq = sub.add_parser(
         "parquet-info", help="print a parquet file's schema + row count "
         "(reference: featurebase parquet-info, cmd/)")
@@ -320,6 +328,8 @@ def main(argv=None):
         return cmd_generate_config(args)
     if args.cmd == "presort":
         return cmd_presort(args)
+    if args.cmd == "wal-info":
+        return cmd_wal_info(args)
     if args.cmd == "import":
         return cmd_import(args)
     if args.cmd == "export":
@@ -851,6 +861,42 @@ data-dir = ""            # enable WAL + snapshots when set
 # key = "srv.key"
 """)
     return 0
+
+
+def cmd_wal_info(args):
+    """WAL inspector (the rbf check/dump role for the JSONL WAL):
+    per-op entry counts, total bytes, and undecodable lines."""
+    path = os.path.join(args.data_dir, "wal.jsonl")
+    if not os.path.exists(path):
+        print(f"no WAL at {path}", file=sys.stderr)
+        return 1
+    counts = {}
+    total = bad = 0
+    with open(path, "rb") as fh:
+        for i, line in enumerate(fh, 1):
+            line = line.strip()
+            if not line:
+                continue
+            total += 1
+            try:
+                e = json.loads(line)
+            except ValueError:
+                bad += 1
+                print(f"line {i}: undecodable ({len(line)} bytes)")
+                continue
+            op = e.get("op", "?")
+            counts[op] = counts.get(op, 0) + 1
+            if args.verbose:
+                keys = {k: e[k] for k in ("i", "f", "name", "shard",
+                                          "idx", "term")
+                        if k in e}
+                print(f"line {i}: {op} {keys}")
+    size = os.path.getsize(path)
+    print(f"{path}: {total} entries, {size} bytes"
+          + (f", {bad} BAD" if bad else ""))
+    for op in sorted(counts, key=counts.get, reverse=True):
+        print(f"  {op:14s} {counts[op]}")
+    return 1 if bad else 0
 
 
 def cmd_presort(args):

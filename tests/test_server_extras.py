@@ -226,3 +226,24 @@ class TestPresortCli:
             assert lines[0] == "uid,n"  # header per partition file
             total += len(lines) - 1
         assert total == 10
+
+
+class TestWalInfoCli:
+    def test_wal_info_counts_and_bad_lines(self, tmp_path, capsys):
+        import os as _os
+
+        from featurebase_tpu.cli import main
+        from featurebase_tpu.server.api import API
+        d = str(tmp_path / "node")
+        api = API(data_dir=d)
+        api.create_index("t", {})
+        api.create_field("t", "f", {"type": "set"})
+        api.import_bits("t", "f", [1, 1], [1, 2])
+        assert main(["wal-info", "--data-dir", d]) == 0
+        out = capsys.readouterr().out
+        assert "entries" in out and "create_index" in out and "bits" in out
+        # corrupt one line: reported, nonzero exit
+        with open(_os.path.join(d, "wal.jsonl"), "a") as fh:
+            fh.write("not json\n")
+        assert main(["wal-info", "--data-dir", d]) == 1
+        assert "BAD" in capsys.readouterr().out
