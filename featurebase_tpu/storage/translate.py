@@ -180,8 +180,28 @@ class IndexTranslateStore:
     def create_keys(self, keys: Iterable[str]) -> Dict[str, int]:
         keys = list(keys)
         with self._lock:
-            parts = self._parts_for_keys(keys, create=True)
-            return {k: part.create(k) for k, part in zip(keys, parts)}
+            # one vectorized hash pass, then a tight loop with bound
+            # locals (method dispatch per key measured ~40% of bulk
+            # create time — this is THE keyed-ingest hot path, reference
+            # bottleneck analog batch.go:860 doTranslation)
+            pids = (fnv64a_batch(self.index.encode(),
+                                 [k.encode() for k in keys])
+                    % PARTITION_N).tolist()
+            partitions = self.partitions
+            index = self.index
+            out = {}
+            for k, pid in zip(keys, pids):
+                part = partitions.get(pid)
+                if part is None:
+                    part = partitions[pid] = TranslatePartition(index, pid)
+                id_ = part.key_to_id.get(k)
+                if id_ is None:
+                    id_ = part._next_id()
+                    part.max_id = id_
+                    part.key_to_id[k] = id_
+                    part.id_to_key[id_] = k
+                out[k] = id_
+            return out
 
     def find_keys(self, keys: Iterable[str]) -> Dict[str, int]:
         keys = list(keys)
