@@ -96,6 +96,21 @@ class DistributedExecutor:
             else:
                 call.args["_col"] = index.translate_store.find_keys(
                     [col]).get(col, -1)
+        # record-key args (ConstRow columns / Rows-IncludesColumn column)
+        # translate read-side on keyed indexes, like the local executor
+        if index.options.keys:
+            cols_arg = call.args.get("columns")
+            if call.name == "ConstRow" and isinstance(cols_arg, list) and \
+                    any(isinstance(c, str) for c in cols_arg):
+                skeys = [c for c in cols_arg if isinstance(c, str)]
+                found = index.translate_store.find_keys(skeys)
+                call.args["columns"] = [
+                    found.get(c, -1) if isinstance(c, str) else c
+                    for c in cols_arg]
+            colf = call.args.get("column")
+            if isinstance(colf, str):
+                call.args["column"] = index.translate_store.find_keys(
+                    [colf]).get(colf, -1)
         for k, v in list(call.args.items()):
             f = index.field(k)
             if f is None:

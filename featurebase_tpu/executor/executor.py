@@ -164,6 +164,22 @@ class Executor:
             else:
                 found = index.translate_store.find_keys([col])
                 call.args["_col"] = found.get(col, -1)
+        # record-key args on keyed indexes (reference translateCall:
+        # ConstRow "columns" and the "column" filter of Rows/
+        # IncludesColumn translate through the column store)
+        if index.options.keys:
+            cols_arg = call.args.get("columns")
+            if call.name == "ConstRow" and isinstance(cols_arg, list) and \
+                    any(isinstance(c, str) for c in cols_arg):
+                skeys = [c for c in cols_arg if isinstance(c, str)]
+                found = index.translate_store.find_keys(skeys)
+                call.args["columns"] = [
+                    found.get(c, -1) if isinstance(c, str) else c
+                    for c in cols_arg]
+            colf = call.args.get("column")
+            if isinstance(colf, str):
+                call.args["column"] = index.translate_store.find_keys(
+                    [colf]).get(colf, -1)
         # row keys in field args
         for k, v in list(call.args.items()):
             f = index.field(k)
@@ -405,6 +421,15 @@ class Executor:
                             shards: Optional[List[int]]):
         name = call.name
         if name == "Options":
+            # Options(call, shards=[...]) restricts execution to the
+            # listed shards (reference: executor.go Options -> opt.Shards;
+            # the arg was silently ignored before r5)
+            opt_shards = call.args.get("shards")
+            if opt_shards is not None:
+                opt_shards = [int(s) for s in opt_shards]
+                if shards is not None:
+                    opt_shards = sorted(set(opt_shards) & set(shards))
+                shards = opt_shards
             return self._execute_call(index, call.children[0], shards)
         if name == "Set":
             return self._execute_set(index, call)

@@ -293,3 +293,35 @@ def test_decimal_percentile_one_sync_fused():
                       [10.0, 10.0, 11.0, 12.0, 12.0, 13.0])
     (vc,) = api.query("dp", "Percentile(field=d, nth=50)")
     assert vc.float_val == 11.5
+
+
+def test_options_shards_restricts_execution(api):
+    """Options(call, shards=[...]) runs only the listed shards
+    (reference: executor.go Options -> opt.Shards; was silently ignored
+    — found by a parity probe)."""
+    # f row1 = {1, 2}: both in shard 0; shard 2 holds only 2*SW+5
+    assert api.query("i", "Options(Count(Row(f=1)), shards=[0])") == [2]
+    assert api.query("i", "Options(Count(Row(f=1)), shards=[1, 2])") == [0]
+    assert api.query("i", "Options(Count(All()), shards=[2])") == [1]
+    assert api.query("i", "Options(Count(All()), shards=[0, 1, 2])") == [5]
+    # restriction to an empty shard: nothing runs
+    assert api.query("i", "Options(Count(All()), shards=[7])") == [0]
+
+
+def test_keyed_constrow_and_column_args():
+    """ConstRow(columns=[keys]) and column= filters translate record
+    keys on keyed indexes (reference translateCall; both crashed or
+    returned empty before r5 — found by a parity probe)."""
+    api = API()
+    api.create_index("kc", {"keys": True, "trackExistence": True})
+    api.create_field("kc", "f", {"type": "set", "keys": True})
+    api.import_bits("kc", "f", row_keys=["a", "a", "b"],
+                    col_keys=["u1", "u2", "u3"], rows=None, cols=None)
+    assert api.query("kc", 'Count(ConstRow(columns=["u1", "u2"]))') == [2]
+    assert api.query("kc", 'Count(ConstRow(columns=["missing"]))') == [0]
+    assert api.query("kc", 'IncludesColumn(Row(f="a"), column="u1")') \
+        == [True]
+    assert api.query("kc", 'IncludesColumn(Row(f="a"), column="u3")') \
+        == [False]
+    (rows,) = api.query("kc", 'Rows(f, column="u3")')
+    assert [getattr(r, "row_key", None) or r for r in rows] == ["b"]
