@@ -92,7 +92,12 @@ class Index:
         return self.fields.get(EXISTENCE_FIELD)
 
     def public_fields(self) -> List[Field]:
-        return [f for n, f in sorted(self.fields.items())
+        # DECLARATION order (the fields dict preserves insertion): the
+        # reference returns SELECT * columns and no-column-list INSERT
+        # slots in declared order, not alphabetical (found by a tranche
+        # probe: INSERT INTO t VALUES(...) mismapped values when the
+        # declared order differed from the sorted one)
+        return [f for n, f in self.fields.items()
                 if n != EXISTENCE_FIELD]
 
     # -- existence maintenance (reference: fragment importExistenceColumns) --

@@ -316,3 +316,18 @@ class TestShow:
     def test_show_missing_table_errors(self, db):
         with pytest.raises(APIError):
             execute_sql(db, "SHOW COLUMNS FROM missing")
+
+
+def test_declared_column_order():
+    """SELECT * and no-column-list INSERT use DECLARED field order, not
+    alphabetical (reference: defs_select ExpHdrs; found when INSERT
+    INTO t VALUES(...) mismapped values on a table whose declared order
+    differed from the sorted one)."""
+    api = API()
+    execute_sql(api, "CREATE TABLE ord (_id ID, zz INT MIN 0 MAX 9, "
+                     "aa STRING)")
+    execute_sql(api, "INSERT INTO ord VALUES (1, 5, 'x')")
+    out = execute_sql(api, "SELECT * FROM ord")
+    assert [f["name"] for f in out["schema"]["fields"]] == \
+        ["_id", "zz", "aa"]
+    assert out["data"] == [[1, 5, "x"]]
