@@ -382,6 +382,8 @@ class API:
                     self._commit_schema_op(msg["op"])
                 finally:
                     self._from_broadcast = True
+            elif t == "recalculate_caches":
+                self.recalculate_caches(broadcast=False)
             elif t == "schema_term":
                 if not self.schema_log.accept_term(msg["term"],
                                                    msg["leader"]):
@@ -1134,6 +1136,17 @@ class API:
                 total_gen += frag.generation
         frags.sort(key=lambda d: (d["field"], d["view"]))
         return {"fragments": frags, "total_generation": total_gen}
+
+    def recalculate_caches(self, broadcast: bool = True):
+        """Drop every field's TopN rank cache so the next ranked query
+        recomputes exact counts (reference: api.RecalculateCaches ->
+        fragment.RecalculateCache broadcast, http_handler.go:523,
+        fragment.go:2207)."""
+        for idx in self.holder.indexes.values():
+            for f in idx.fields.values():
+                f._topn_cache.clear()
+        if broadcast:
+            self._broadcast({"type": "recalculate_caches"})
 
     def dataframe_ingest(self, index: str, shard: int,
                          columns: Optional[dict] = None,

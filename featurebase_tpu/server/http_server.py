@@ -407,6 +407,11 @@ class Handler(BaseHTTPRequestHandler):
                                           parquet=self._body())
             return self._send({})
 
+        if path == "/recalculate-caches" and method == "POST":
+            # reference: http_handler.go:523 RecalculateCaches (admin)
+            self.api.recalculate_caches()
+            return self._send({})
+
         m = re.fullmatch(r"/export", path)
         if m and method == "GET":
             data = self.api.export_roaring(

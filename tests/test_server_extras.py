@@ -247,3 +247,32 @@ class TestWalInfoCli:
             fh.write("not json\n")
         assert main(["wal-info", "--data-dir", d]) == 1
         assert "BAD" in capsys.readouterr().out
+
+
+class TestRecalculateCaches:
+    def test_recalculate_drops_topn_caches_cluster_wide(self):
+        """POST /recalculate-caches clears TopN rank caches on every
+        node (reference: http_handler.go:523 -> RecalculateCaches
+        broadcast, fragment.go:2207)."""
+        import json as _json
+        import urllib.request
+
+        from featurebase_tpu.testing import TestCluster
+        with TestCluster(2) as tc:
+            tc[0].create_index("rc", {"trackExistence": True})
+            tc[0].create_field("rc", "f", {"type": "set"})
+            tc[0].import_bits("rc", "f", [1, 1, 2], [1, 2, 3])
+            # warm the caches on both nodes
+            for api in tc.apis:
+                api.query("rc", "TopN(f)")
+            assert any(api.holder.index("rc").field("f")._topn_cache
+                       for api in tc.apis)
+            req = urllib.request.Request(
+                tc.url(0) + "/recalculate-caches", data=b"",
+                method="POST")
+            urllib.request.urlopen(req, timeout=30).read()
+            for api in tc.apis:
+                assert not api.holder.index("rc").field("f")._topn_cache
+            # cold recompute stays exact
+            (pf,) = tc[1].query("rc", "TopN(f)")
+            assert [(p.id, p.count) for p in pf.pairs] == [(1, 2), (2, 1)]
