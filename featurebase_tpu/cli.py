@@ -665,6 +665,8 @@ def _live_backup(host: str, output: str) -> int:
             tf.addfile(info, io.BytesIO(data))
         put("schema.json", json.dumps(schema).encode())
         put("translate.json", json.dumps(translate).encode())
+        idalloc = _http(host, "GET", "/internal/idalloc/data")
+        put("idalloc.json", json.dumps(idalloc).encode())
         n_shards = 0
         for idx in schema.get("indexes", []):
             name = idx["name"]
@@ -713,6 +715,10 @@ def _live_restore(host: str, source: str) -> int:
             tf.extractfile(members["translate.json"]).read())
         _http(host, "POST", "/internal/translate/restore",
               {"snap": translate})
+        if "idalloc.json" in members:  # absent in pre-r5 backups
+            _http(host, "POST", "/internal/idalloc/restore",
+                  json.loads(tf.extractfile(
+                      members["idalloc.json"]).read()))
         n_shards = 0
         for name, m in members.items():
             if not name.startswith("shards/"):

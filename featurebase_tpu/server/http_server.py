@@ -425,6 +425,13 @@ class Handler(BaseHTTPRequestHandler):
             return
 
         # id allocation (reference http_handler.go /internal/idalloc)
+        if path == "/internal/idalloc/data" and method == "GET":
+            # full allocator state for backup (reference:
+            # http_handler.go /internal/idalloc/data, ctl/backup.go)
+            return self._send(self.api.idalloc.to_json())
+        if path == "/internal/idalloc/restore" and method == "POST":
+            self.api.idalloc.restore_json(self._json())
+            return self._send({})
         if path == "/internal/idalloc/reserve" and method == "POST":
             b = self._json()
             ranges = self.api.reserve_ids(

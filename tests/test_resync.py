@@ -91,9 +91,16 @@ class TestLiveBackupRestore:
             rc = cli_main(["backup", "--host", tc.url(0), "--output", tar])
             assert rc == 0
             assert os.path.exists(tar)
+            # idalloc state rides the backup (reference ctl/backup.go
+            # GET /internal/idalloc/data) — reserve a range first so the
+            # restored cluster resumes past it
+            tc[0].idalloc.reserve("i", "k", b"s1", 0, 10)
+            rc = cli_main(["backup", "--host", tc.url(0), "--output", tar])
+            assert rc == 0
             with tarfile.open(tar) as tf:
                 names = tf.getnames()
             assert "schema.json" in names
+            assert "idalloc.json" in names
             assert any(n.startswith("shards/i/") for n in names)
 
         # restore into a brand-new cluster
@@ -104,6 +111,9 @@ class TestLiveBackupRestore:
             assert tc2.query(0, "i", "Count(Row(f=1))") == want_count
             assert tc2.query(1, "i", "Sum(field=v)") == want_sum
             assert tc2.query(0, "i", "Count(Row(f=2))") == {"results": [1]}
+            # allocator resumed: a NEW session/offset cannot re-issue ids
+            rng = tc2[0].idalloc.reserve("i", "k", b"s2", 1, 10)
+            assert rng[0].start >= 10
 
 
 class TestBlockGranularResync:
