@@ -611,6 +611,7 @@ class API:
                                     "ifNotExists": if_not_exists})
         idx = self._index(index)
         opts = FieldOptions.from_json(options or {})
+        self._validate_field_options(opts)
         if opts.foreign_index and self.holder.index(opts.foreign_index) \
                 is None:
             # reference: field.go foreign-index validation at create time
@@ -625,6 +626,32 @@ class API:
         self._broadcast({"type": "create_field", "index": index,
                          "field": field, "options": options})
         return f
+
+    @staticmethod
+    def _validate_field_options(opts):
+        """Reject malformed field options at create time (reference:
+        field.go applyOption / TimeQuantum.Valid — silently accepting
+        min>max, unknown cache types, or bad quanta corrupted queries
+        later)."""
+        if opts.min is not None and opts.max is not None and \
+                opts.min > opts.max:
+            raise APIError(
+                f"field min ({opts.min}) greater than max ({opts.max})",
+                400)
+        if opts.cache_type not in ("ranked", "lru", "none"):
+            raise APIError(
+                f"invalid cache type: {opts.cache_type!r}", 400)
+        if not 0 <= opts.scale <= 19:
+            raise APIError(
+                f"decimal scale must be in [0, 19], got {opts.scale}", 400)
+        tq = opts.time_quantum
+        if tq and tq not in ("Y", "YM", "YMD", "YMDH", "M", "MD", "MDH",
+                             "D", "DH", "H"):
+            # the reference accepts only contiguous granularity runs
+            # (time.go:44 TimeQuantum.Valid)
+            raise APIError(f"invalid time quantum: {tq!r}", 400)
+        if opts.ttl and not tq:
+            raise APIError("ttl requires a time quantum", 400)
 
     def delete_field(self, index: str, field: str):
         if self._should_route_schema():

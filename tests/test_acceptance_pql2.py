@@ -325,3 +325,29 @@ def test_keyed_constrow_and_column_args():
         == [False]
     (rows,) = api.query("kc", 'Rows(f, column="u3")')
     assert [getattr(r, "row_key", None) or r for r in rows] == ["b"]
+
+
+def test_field_option_validation():
+    """Malformed field options are rejected at create time (reference:
+    field.go applyOption, time.go:44 TimeQuantum.Valid — all four were
+    silently accepted before r5, found by a parity probe)."""
+    from featurebase_tpu.server.api import APIError
+    api = API()
+    api.create_index("fv", {})
+    bad = [
+        ({"type": "int", "min": 10, "max": 5}, "greater than max"),
+        ({"type": "set", "cacheType": "nope"}, "cache type"),
+        ({"type": "decimal", "scale": -1}, "scale"),
+        ({"type": "decimal", "scale": 20}, "scale"),
+        ({"type": "time", "timeQuantum": "YD"}, "time quantum"),
+        ({"type": "time", "timeQuantum": "XB"}, "time quantum"),
+        ({"type": "time", "ttl": 60}, "ttl requires"),
+    ]
+    for opts, msg in bad:
+        with pytest.raises(APIError, match=msg):
+            api.create_field("fv", "bad", opts)
+    # valid shapes still create
+    api.create_field("fv", "ok1", {"type": "int", "min": 0, "max": 10})
+    api.create_field("fv", "ok2", {"type": "time", "timeQuantum": "MDH",
+                                   "ttl": 60})
+    api.create_field("fv", "ok3", {"type": "set", "cacheType": "none"})
