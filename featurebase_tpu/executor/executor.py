@@ -1813,6 +1813,24 @@ class Executor:
             if agg_field is not None and agg_field.options.type == TYPE_DECIMAL:
                 gc.decimal_agg = agg / (10 ** agg_field.options.scale)
             out.append(gc)
+        # aggregate=Count(Distinct(field=x)): coordinator post-pass — for
+        # each group, Count(Distinct(Intersect(group rows, filter),
+        # field=x)) sets the agg (reference executor.go:3342)
+        if (isinstance(agg_call, Call) and agg_kind == "Count"
+                and agg_call.children
+                and agg_call.children[0].name == "Distinct"):
+            dist = agg_call.children[0]
+            for gc in out:
+                kids = [Call("Row", {fr.field: fr.row_id})
+                        for fr in gc.group]
+                if isinstance(filt_call, Call):
+                    kids.append(filt_call)
+                if dist.children:
+                    kids.append(dist.children[0])
+                inner = Call("Distinct", dict(dist.args),
+                             children=[Call("Intersect", children=kids)])
+                gc.agg = self._execute_count(
+                    index, Call("Count", children=[inner]), shards)
         if isinstance(having, Call):
             out = self._apply_having(out, having, agg_field)
         if limit is not None:

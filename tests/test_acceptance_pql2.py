@@ -351,3 +351,25 @@ def test_field_option_validation():
     api.create_field("fv", "ok2", {"type": "time", "timeQuantum": "MDH",
                                    "ttl": 60})
     api.create_field("fv", "ok3", {"type": "set", "cacheType": "none"})
+
+
+def test_groupby_count_distinct_aggregate():
+    """GroupBy(..., aggregate=Count(Distinct(field=x))) fills agg with
+    the per-group distinct value count via the reference's coordinator
+    post-pass (executor.go:3342; agg was silently 0 before r5)."""
+    api = API()
+    api.create_index("gcd", {"trackExistence": True})
+    api.create_field("gcd", "f", {"type": "set"})
+    api.create_field("gcd", "v", {"type": "int"})
+    api.import_bits("gcd", "f", [1, 1, 1, 2], [1, 2, 3, 4])
+    api.import_values("gcd", "v", [1, 2, 3, 4], [5, 10, 5, 15])
+    (gcs,) = api.query(
+        "gcd", "GroupBy(Rows(f), aggregate=Count(Distinct(field=v)))")
+    got = {gc.group[0].row_id: gc.agg for gc in gcs}
+    assert got == {1: 2, 2: 1}
+    # with a filter: distinct counts respect it
+    (gcs,) = api.query(
+        "gcd", "GroupBy(Rows(f), filter=Row(v > 9), "
+               "aggregate=Count(Distinct(field=v)))")
+    got = {gc.group[0].row_id: (gc.count, gc.agg) for gc in gcs}
+    assert got == {1: (1, 1), 2: (1, 1)}
