@@ -210,6 +210,9 @@ class Executor:
                 call.args[k] = v_id
             elif isinstance(v, bool) and f.options.type == TYPE_BOOL:
                 call.args[k] = 1 if v else 0
+            elif isinstance(v, str) and not f.is_bsi():
+                raise ExecError(
+                    f"string row key on unkeyed field {k!r}")
         for i, ch in enumerate(call.children):
             call.children[i] = self._pre_translate(index, ch)
         for k, v in list(call.args.items()):
@@ -764,7 +767,10 @@ class Executor:
         f = self._field_or_err(index, fld)
         ts = call.args.get("_timestamp")
         if f.is_bsi():
-            changed = f.set_value(int(col), val)
+            try:
+                changed = f.set_value(int(col), val)
+            except ValueError as e:  # out-of-range: a user error, not 500
+                raise ExecError(str(e))
         else:
             changed = f.set_bit(int(val), int(col), timestamp=ts)
         index.mark_exists(np.array([int(col)]))

@@ -369,8 +369,22 @@ class Field:
 
     # -- BSI writes (reference fragment.setValue:615) -----------------------
 
+    def _check_value_range(self, stored_with_base) -> None:
+        """Writes outside the configured [min, max] are rejected
+        (reference: fragment.go:615 setValue / importValue bsiGroup
+        range errors; silently accepting them breaks range predicates
+        that clamp to the declared bounds)."""
+        o = self.options
+        if o.min is not None and stored_with_base < self.encode_value(o.min):
+            raise ValueError(
+                f"value {stored_with_base} below field minimum {o.min}")
+        if o.max is not None and stored_with_base > self.encode_value(o.max):
+            raise ValueError(
+                f"value {stored_with_base} above field maximum {o.max}")
+
     def set_value(self, col: int, value) -> bool:
         stored = self.encode_value(value) - self.base
+        self._check_value_range(stored + self.base)
         shard = col >> 20
         if not self._writable(shard):
             self.note_shard(view_bsi_group(self.name), shard, ())
@@ -512,7 +526,14 @@ class Field:
         OR-ing a zero bit is a no-op, so no per-plane boolean selection
         is needed."""
         cols = np.asarray(cols, dtype=np.int64)
-        stored = self.encode_values_vec(values) - self.base
+        encoded = self.encode_values_vec(values)
+        o = self.options
+        if encoded.size and (o.min is not None or o.max is not None):
+            lo = int(encoded.min())
+            hi = int(encoded.max())
+            self._check_value_range(lo)
+            self._check_value_range(hi)
+        stored = encoded - self.base
         if clear:
             for c in cols:
                 self.clear_value(int(c))

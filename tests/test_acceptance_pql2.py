@@ -373,3 +373,31 @@ def test_groupby_count_distinct_aggregate():
                "aggregate=Count(Distinct(field=v)))")
     got = {gc.group[0].row_id: (gc.count, gc.agg) for gc in gcs}
     assert got == {1: (1, 1), 2: (1, 1)}
+
+
+def test_bsi_writes_outside_min_max_rejected():
+    """Values outside the configured [min, max] are rejected at write
+    time (reference: fragment.go:615 bsiGroup range errors; both Set()
+    and bulk import silently accepted them before r5)."""
+    api = API()
+    api.create_index("rng", {"trackExistence": True})
+    api.create_field("rng", "v", {"type": "int", "min": 0, "max": 100})
+    with pytest.raises(Exception, match="above field maximum"):
+        api.query("rng", "Set(1, v=500)")
+    with pytest.raises(Exception, match="below field minimum"):
+        api.query("rng", "Set(1, v=-5)")
+    with pytest.raises(Exception, match="maximum"):
+        api.import_values("rng", "v", [1, 2], [50, 101])
+    api.query("rng", "Set(1, v=100)")  # boundary ok
+    api.import_values("rng", "v", [2], [0])
+    # unbounded fields stay unbounded
+    api.create_field("rng", "u", {"type": "int"})
+    api.query("rng", "Set(1, u=123456789)")
+
+
+def test_string_row_on_unkeyed_field_clean_error():
+    api = API()
+    api.create_index("uk", {"trackExistence": True})
+    api.create_field("uk", "f", {"type": "set"})
+    with pytest.raises(Exception, match="unkeyed field"):
+        api.query("uk", 'Row(f="nope")')
